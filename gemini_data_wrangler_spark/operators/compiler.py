@@ -1,0 +1,238 @@
+"""Stage → DataFrame compiler.
+
+The semantic contract is the SQL emitted by the reference's
+``generateSQLFromStage`` (``ui/src/sqlGenerator.ts:6-124``); each branch
+below re-expresses that SQL as a *lazy* DataFrame transformation so Catalyst
+can fuse stages, push filters/projections to the parquet scan, and pick join
+strategies (broadcast vs sort-merge) with AQE — none of which the reference
+could do across its per-stage CTAS materialization boundaries.
+
+Faithfulness notes (SURVEY.md §7.4):
+
+* JOIN same-key-name path → ``df.join(other, on=[key], how=...)`` — key kept
+  once and coalesced on outer joins, matching DuckDB ``USING`` + ``EXCLUDE``
+  (ui/src/sqlGenerator.ts:20-21). Different-key-name path keeps BOTH key
+  columns (ui/src/sqlGenerator.ts:23-24).
+* FILTER condition chains are compiled to ONE SQL expression string without
+  added parentheses, so standard SQL precedence (AND binds over OR) applies
+  exactly as in the reference (ui/src/sqlGenerator.ts:45-52).
+* UNION is positional (not by-name) and de-duplicates unless UNION ALL
+  (ui/src/sqlGenerator.ts:28-37).
+* GROUP's output = group keys + aggregations, in that order
+  (ui/src/sqlGenerator.ts:68-80).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.plans.stage import Stage
+
+Resolver = Callable[[str], DataFrame]
+
+# DuckDB join keyword → Spark how-string (ui/src/sqlGenerator.ts:12-13).
+_JOIN_HOW = {
+    "INNER": "inner",
+    "LEFT": "left",
+    "RIGHT": "right",
+    "FULL OUTER": "full",
+}
+
+
+def sql_literal(value: Any) -> str:
+    """Render a python value as a SQL literal.
+
+    String values are single-quoted with ``''`` escaping, non-strings are
+    emitted verbatim — the same ``typeof``-based rule as
+    ui/src/sqlGenerator.ts:49,55. Lists (reachable only through our IR, the
+    reference degenerates to scalar IN) become parenthesized tuples.
+    """
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, str):
+        escaped = value.replace("'", "''")
+        return f"'{escaped}'"
+    if isinstance(value, (list, tuple)):
+        return "(" + ", ".join(sql_literal(v) for v in value) + ")"
+    return repr(value)
+
+
+def filter_predicate_sql(stage: Stage) -> str:
+    """Compile FILTER conditions to one SQL boolean expression.
+
+    Conditions are concatenated ``c1 op v1 AND|OR c2 op v2 ...`` with NO
+    parentheses, so AND-over-OR SQL precedence applies — bug-compatible with
+    ui/src/sqlGenerator.ts:45-52. Scalar IN/NOT IN values are wrapped in a
+    1-tuple (DuckDB accepts ``col IN 'v'`` as the same thing).
+    """
+    parts: list[str] = []
+    for i, cond in enumerate(stage.conditions):
+        value = cond.value
+        op = cond.operator.upper() if isinstance(cond.operator, str) else cond.operator
+        if op in ("IN", "NOT IN") and not isinstance(value, (list, tuple)):
+            value = [value]
+        lit = sql_literal(value)
+        prefix = f" {cond.logic or 'AND'} " if i > 0 else ""
+        parts.append(f"{prefix}{cond.column} {cond.operator} {lit}")
+    if not parts:
+        raise ValueError("FILTER stage requires column, operator, and value, or conditions array")
+    return "".join(parts)
+
+
+def agg_exprs(stage: Stage) -> list:
+    """Compile the aggregations array to Spark expressions.
+
+    ``F.expr("FN(col)")`` keeps execution JVM-side and matches the SQL the
+    reference emits (ui/src/sqlGenerator.ts:72-75,113-116), including
+    ``COUNT(*)`` and default output names like ``sum(o_totalprice)``.
+    """
+    exprs = []
+    for agg in stage.aggregations:
+        e = F.expr(f"{agg.function}({agg.column})")
+        if agg.alias:
+            e = e.alias(agg.alias)
+        exprs.append(e)
+    return exprs
+
+
+def compile_stage(
+    stage: Stage,
+    resolve: Resolver,
+    spark: SparkSession | None = None,
+    default_table: str | None = None,
+) -> DataFrame:
+    """Compile one stage into a lazy DataFrame.
+
+    ``resolve(name)`` maps a table name to its DataFrame (the pipeline's
+    catalog); ``default_table`` is the input-table fallback used when
+    ``stage.data.table`` is absent (the ``sourceTableName`` argument of
+    generateSQLFromStage).
+    """
+    t = stage.type
+    d = stage.data
+
+    def input_df() -> DataFrame:
+        name = d.get("table") or default_table
+        if not name:
+            raise ValueError(f"{t} stage has no input table and no default")
+        return resolve(name)
+
+    if t == "JOIN":
+        for req in ("leftTable", "rightTable", "leftKey", "rightKey"):
+            if not d.get(req):
+                raise ValueError("JOIN stage requires leftTable, rightTable, leftKey, and rightKey")
+        left = resolve(d["leftTable"])
+        right = resolve(d["rightTable"])
+        how = _JOIN_HOW.get(d.get("joinType") or "INNER", "inner")
+        hint = d.get("broadcast")  # engine extension: explicit broadcast hint
+        if hint == "left":
+            left = F.broadcast(left)
+        elif hint == "right":
+            right = F.broadcast(right)
+        lk, rk = d["leftKey"], d["rightKey"]
+        if lk == rk:
+            # USING(key) + EXCLUDE(r.key) path: ONE key column, the LEFT
+            # side's values (ui/src/sqlGenerator.ts:20-21). NB: DuckDB's
+            # `SELECT l.*, r.* EXCLUDE (k) ... USING (k)` does NOT coalesce —
+            # right-only rows of RIGHT/FULL OUTER joins carry a NULL key. For
+            # inner/left joins Spark's `on=[k]` is identical (and keeps the
+            # plan eligible for USING-style optimizations); for right/full we
+            # must emulate keep-left-key explicitly.
+            if how in ("inner", "left"):
+                return left.join(right, on=[lk], how=how)
+            return left.join(right, on=left[lk] == right[rk], how=how).drop(right[rk])
+        # ON l.lk = r.rk path: both key columns kept.
+        return left.join(right, on=left[lk] == right[rk], how=how)
+
+    if t == "UNION":
+        tables = d.get("tables") or []
+        if len(tables) < 2:
+            raise ValueError("UNION stage requires at least 2 tables")
+        dfs = [resolve(name) for name in tables]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.union(df)  # positional, like SELECT * UNION SELECT *
+        if (d.get("unionType") or "UNION") != "UNION ALL":
+            out = out.distinct()
+        return out
+
+    if t == "FILTER":
+        return input_df().filter(filter_predicate_sql(stage))
+
+    if t == "GROUP":
+        group_by = d.get("groupBy") or []
+        if not group_by:
+            raise ValueError("GROUP stage requires groupBy array")
+        df = input_df()
+        exprs = agg_exprs(stage)
+        if exprs:
+            return df.groupBy(*[F.expr(g) for g in group_by]).agg(*exprs)
+        # No aggregations: SELECT g1, g2 FROM t GROUP BY g1, g2 ≡ distinct keys.
+        return df.select(*[F.expr(g) for g in group_by]).distinct()
+
+    if t == "AGGREGATE":
+        exprs = agg_exprs(stage)
+        if not exprs:
+            raise ValueError("AGGREGATE stage requires aggregations array")
+        return input_df().agg(*exprs)
+
+    if t == "SELECT":
+        columns = d.get("columns") or []
+        if not columns:
+            raise ValueError("SELECT stage requires columns array")
+        # Columns may be bare names or expressions (reference passes them
+        # verbatim into the SELECT list — ui/src/sqlGenerator.ts:87).
+        return input_df().select(*[F.expr(c) for c in columns])
+
+    if t == "SORT":
+        order_by = stage.order_by
+        if not order_by:
+            raise ValueError("SORT stage requires orderBy array")
+        cols = [
+            F.expr(o.column).desc() if (o.direction or "ASC").upper() == "DESC" else F.expr(o.column).asc()
+            for o in order_by
+        ]
+        return input_df().orderBy(*cols)
+
+    if t == "CUSTOM":
+        sql = d.get("sql")
+        if not sql or not str(sql).strip():
+            raise ValueError("CUSTOM stage requires sql string")
+        if spark is None:
+            raise ValueError("CUSTOM stage requires a SparkSession")
+        return spark.sql(sql)
+
+    if t == "LOAD":
+        # In the engine, LOAD resolves an already-registered table (the
+        # pipeline's source layer does the actual reading — sources/readers).
+        name = d.get("tableName") or d.get("fileName")
+        if not name:
+            raise ValueError("LOAD stage requires tableName or fileName")
+        return resolve(name)
+
+    # ---- extension stage types -------------------------------------------
+    if t == "LIMIT":
+        n = int(d.get("n", 1000))
+        return input_df().limit(n)
+
+    if t == "DISTINCT":
+        columns = d.get("columns") or []
+        df = input_df()
+        return df.select(*columns).distinct() if columns else df.distinct()
+
+    if t == "WINDOW":
+        from gemini_data_wrangler_spark.operators.window import compile_window_stage
+
+        return compile_window_stage(stage, input_df())
+
+    if t == "DEDUP":
+        from gemini_data_wrangler_spark.operators.dedup import compile_dedup_stage
+
+        return compile_dedup_stage(stage, input_df())
+
+    raise ValueError(f"Unsupported stage type: {t}")

@@ -1,0 +1,89 @@
+"""WINDOW stage — analytic/window functions (engine extension).
+
+The reference's stage algebra has NO window functions (SURVEY.md §2.4 — they
+are reachable only through CUSTOM SQL), so this stage type is our extension,
+kept in the same closed-IR style:
+
+``data = {table?, partitionBy: [..], orderBy: [{column, direction}],
+          functions: [{function, column?, alias, frame?}]}``
+
+``function`` ∈ ROW_NUMBER | RANK | DENSE_RANK | LAG | LEAD | SUM | AVG |
+MIN | MAX | COUNT | FIRST_VALUE | LAST_VALUE. ``frame`` (optional, for
+aggregates): "rows_unbounded" (ROWS UNBOUNDED PRECEDING..CURRENT ROW,
+i.e. running totals) or "range_unbounded" (the SQL default).
+
+Scale note: a window over ``partitionBy`` shuffles once on the partition
+keys; Catalyst keeps all functions sharing one (partition, order) spec in a
+single Window physical operator — we group specs so that holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+from gemini_data_wrangler_spark.plans.stage import Stage
+
+_RANKING = {
+    "ROW_NUMBER": F.row_number,
+    "RANK": F.rank,
+    "DENSE_RANK": F.dense_rank,
+    "PERCENT_RANK": F.percent_rank,
+    "CUME_DIST": F.cume_dist,
+}
+_AGGS = {
+    "SUM": F.sum,
+    "AVG": F.avg,
+    "MIN": F.min,
+    "MAX": F.max,
+    "COUNT": F.count,
+    "FIRST_VALUE": F.first,
+    "LAST_VALUE": F.last,
+}
+
+
+def _order_cols(order_by: list[dict]) -> list[Column]:
+    cols = []
+    for o in order_by:
+        c = F.expr(o["column"])
+        cols.append(c.desc() if str(o.get("direction", "ASC")).upper() == "DESC" else c.asc())
+    return cols
+
+
+def _window_spec(data: dict, need_order: bool, frame: str | None) -> WindowSpec:
+    spec = Window.partitionBy(*[F.expr(p) for p in data.get("partitionBy", [])])
+    order_by = data.get("orderBy") or []
+    if order_by:
+        spec = spec.orderBy(*_order_cols(order_by))
+    elif need_order:
+        raise ValueError("window function requires orderBy")
+    if frame == "rows_unbounded":
+        spec = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    elif frame == "range_unbounded":
+        spec = spec.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    return spec
+
+
+def compile_window_stage(stage: Stage, df: DataFrame) -> DataFrame:
+    d = stage.data
+    functions = d.get("functions") or []
+    if not functions:
+        raise ValueError("WINDOW stage requires functions array")
+    out = df
+    for fn in functions:
+        name = str(fn["function"]).upper()
+        alias = fn.get("alias") or name.lower()
+        frame = fn.get("frame")
+        if name in _RANKING:
+            col = _RANKING[name]().over(_window_spec(d, need_order=True, frame=None))
+        elif name in ("LAG", "LEAD"):
+            offset = int(fn.get("offset", 1))
+            maker = F.lag if name == "LAG" else F.lead
+            col = maker(F.expr(fn["column"]), offset).over(_window_spec(d, need_order=True, frame=None))
+        elif name in _AGGS:
+            col = _AGGS[name](F.expr(fn["column"])).over(_window_spec(d, need_order=False, frame=frame))
+        else:
+            raise ValueError(f"Unsupported window function: {name}")
+        out = out.withColumn(alias, col)
+    return out

@@ -1,0 +1,127 @@
+"""Sources — CSV/parquet readers + inline-row tables.
+
+Reference LOAD semantics (``ui/src/App.tsx:354-459``): a 3-tier CSV ingest —
+(1) ``read_csv_auto(header=true, auto_detect=true)`` (type-sniffing),
+(2) same from re-read text, (3) a manual all-VARCHAR parse. Spark-first:
+tier 1–2 ≡ ``spark.read.csv(..., inferSchema=True)``, tier 3 ≡
+``inferSchema=False`` (every column string). Image-extracted tables
+(``ui/src/App.tsx:812-835``) built row-by-row with INSERTs become a single
+``spark.createDataFrame`` — no driver-side row loops at scale.
+
+Driver testdata is parquet; ``load_sf_tables`` registers all tables of a
+scale-factor directory as temp views so both DataFrame code and CUSTOM SQL
+stages can reach them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _enable_nanos_timestamps(spark: SparkSession) -> None:
+    """The driver testdata stores TIMESTAMP(NANOS) parquet columns, which
+    Spark rejects by default (PARQUET_TYPE_ILLEGAL). This runtime conf makes
+    Spark 4 read them (as timestamp_ntz, truncated to µs — the same value
+    DuckDB's TIMESTAMP cast produces). Set here, not only at session build,
+    so it also applies under an externally-provided SparkSession."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    _enable_nanos_timestamps(spark)
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    infer_schema: bool = True,
+    header: bool = True,
+) -> DataFrame:
+    """CSV ingest. ``infer_schema=True`` is the reference's
+    ``read_csv_auto`` path; ``False`` is the all-VARCHAR fallback
+    (ui/src/App.tsx:417)."""
+    return (
+        spark.read.option("header", header)
+        .option("inferSchema", infer_schema)
+        # Quote-aware parsing like the manual parser at ui/src/App.tsx:328-352.
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def dataframe_from_rows(
+    spark: SparkSession,
+    columns: list[dict[str, str]] | list[str],
+    rows: list[list],
+) -> DataFrame:
+    """Build a table from extracted row data (image-OCR path,
+    ui/src/App.tsx:812-835) — one distributed createDataFrame instead of
+    per-row INSERTs.
+
+    ``columns`` is either a list of names (all-string, the reference's
+    VARCHAR default) or ``[{"name": ..., "type": ...}]`` with SQL type names
+    (VARCHAR/INTEGER/BIGINT/DOUBLE/DATE/TIMESTAMP/BOOLEAN —
+    server/index.js:359).
+    """
+    type_map = {
+        "VARCHAR": "string",
+        "TEXT": "string",
+        "STRING": "string",
+        "INTEGER": "int",
+        "INT": "int",
+        "BIGINT": "long",
+        "DOUBLE": "double",
+        "FLOAT": "float",
+        "DATE": "date",
+        "TIMESTAMP": "timestamp",
+        "BOOLEAN": "boolean",
+    }
+    if columns and isinstance(columns[0], dict):
+        fields = ", ".join(
+            f"`{c['name']}` {type_map.get(str(c.get('type', 'VARCHAR')).upper(), 'string')}"
+            for c in columns
+        )
+    else:
+        fields = ", ".join(f"`{c}` string" for c in columns)
+    return spark.createDataFrame(rows, schema=fields)
+
+
+def load_sf_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load every parquet table of a testdata scale-factor directory,
+    optionally registering each as a temp view (for CUSTOM SQL stages)."""
+    _enable_nanos_timestamps(spark)
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
