@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk``      — exact brute-force top-k: the correctness baseline.
+                         Cross join (queries broadcast) + JVM vector math +
+                         one window for ranking. Cost O(|Q|·|C|·d): right
+                         answer, wrong scale beyond ~millions of candidates
+                         per query batch.
+* ``lsh_topk``         — random-hyperplane (SimHash-for-cosine) bucketing:
+                         candidates share a signature prefix bucket, exact
+                         rerank inside buckets. The scale path: each vector
+                         lands in ``n_tables`` buckets, the join is
+                         bucket-equi, never all-pairs.
+* ``ivf_topk``         — inverted-file: deterministic coarse centroids,
+                         vectors assigned to nearest cell, queries probe
+                         ``nprobe`` cells then rerank exactly.
+
+The reference app has no similarity surface at all; this is north-star
+scope. Everything below is built-in higher-order functions — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gemini_data_wrangler_spark.functions.vectors import cosine_similarity
+
+
+def _ranked_topk(scored: DataFrame, k: int, round_to: int = 6) -> DataFrame:
+    """Deterministic ranking: round similarity (so fp last-bit wobble can't
+    reorder), tie-break by candidate id."""
+    sim_r = F.round(F.col("_sim"), round_to)
+    w = Window.partitionBy("query_id").orderBy(sim_r.desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("sim", sim_r)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity for each query vector.
+
+    ``queries`` is (query_id, query_vec); it is broadcast so the candidate
+    scan is one shuffle-free pass. Self-matches (query_id == vec_id) are
+    excluded.
+
+    Output: query_id, vec_id, sim (rounded to 6), rank.
+    """
+    cand = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    q = queries.select(F.col("query_id"), F.col("query_vec").alias("_q"))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_sim", cosine_similarity(F.col("_q"), F.col("_v")))
+    )
+    return _ranked_topk(scored, k)
+
+
+def queries_from_ids(embeddings: DataFrame, ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return embeddings.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+
+
+def cosine_topk_oracle_sql(
+    table: str,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB equivalent: explicit double-precision dot/norm via list
+    aggregation (list_cosine_similarity computes in float32, which diverges
+    from Spark's double math — so spell out the double computation)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH q AS (
+      SELECT {id_col} AS query_id, {vec_col} AS qv FROM {table} WHERE {id_col} IN ({ids})
+    ), scored AS (
+      SELECT q.query_id, e.{id_col} AS vec_id,
+             round(
+               list_sum(list_transform(list_zip(q.qv, e.{vec_col}),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.{vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS sim
+      FROM q CROSS JOIN {table} e
+      WHERE e.{id_col} != q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+def _hyperplane_sign(vec, table_idx: int, plane_idx: int, dim: int):
+    """Deterministic ±1 hyperplane weights from a hash of (table, plane,
+    dim index); the projection sign is one JVM aggregate over the vector."""
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, i: x.cast("double")
+            * (
+                F.when(
+                    F.pmod(F.xxhash64(F.concat_ws("-", F.lit(f"hp-{table_idx}-{plane_idx}"), i.cast("string"))), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures; a candidate must
+    share at least one table's full ``n_planes``-bit bucket with the query,
+    then exact cosine rerank. Output schema matches cosine_topk (ranks may
+    have < k rows when buckets are sparse — that's the ANN trade-off)."""
+
+    def bucketize(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    F.concat_ws(
+                        "", *[_hyperplane_sign(F.col(vc), t, p, dim).cast("string") for p in range(n_planes)]
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(F.col(idc), F.col(vc), F.explode(buckets).alias("_b")).select(
+            F.col(idc), F.col(vc), F.col("_b.tbl"), F.col("_b.bucket")
+        )
+
+    cand = bucketize(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")), "vec_id", "_v")
+    q = bucketize(queries.select(F.col("query_id"), F.col("query_vec").alias("_q")), "query_id", "_q")
+    pairs = (
+        cand.join(q.hint("broadcast"), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "_q", "vec_id", "_v")
+        .distinct()
+    )
+    scored = pairs.withColumn("_sim", cosine_similarity(F.col("_q"), F.col("_v")))
+    return _ranked_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file)
+# ---------------------------------------------------------------------------
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 10,
+    nprobe: int = 3,
+    centroid_stride: int = 50,
+) -> DataFrame:
+    """Approximate top-k via inverted-file partitioning.
+
+    Centroids are deterministic: every ``centroid_stride``-th vector by id
+    (a real system would train k-means; the IVF plumbing — assignment,
+    probing, rerank — is identical). Every vector is assigned to its nearest
+    centroid cell (broadcast centroid list); a query probes its ``nprobe``
+    nearest cells and reranks exactly within them.
+    """
+    centroids = (
+        embeddings.filter((F.col(id_col) % centroid_stride) == 0)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_c"))
+    )
+
+    def assign(df: DataFrame, vc: str, n_best: int, out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "_csim", cosine_similarity(F.col(vc), F.col("_c"))
+        )
+        w = Window.partitionBy(*[c for c in df.columns if c != vc] or [vc]).orderBy(
+            F.col("_csim").desc(), F.col("cell_id").asc()
+        )
+        return (
+            scored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= n_best)
+            .withColumnRenamed("cell_id", out)
+            .drop("_c", "_csim", "_cr")
+        )
+
+    cand = assign(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")), "_v", 1, "cell")
+    q = assign(queries.select("query_id", F.col("query_vec").alias("_q")), "_q", nprobe, "cell")
+    pairs = cand.join(F.broadcast(q), "cell").filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.withColumn("_sim", cosine_similarity(F.col("_q"), F.col("_v")))
+    return _ranked_topk(scored, k)

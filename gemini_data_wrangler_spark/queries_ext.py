@@ -1,8 +1,375 @@
-"""Extension-operator query registrations (dedup / similarity / text /
-window / streaming). Imported for side effects by ``queries.registry()``.
+"""Extension-operator query registrations — the beyond-the-reference
+surface (SURVEY.md §7.2 M6): window functions, dedup (exact / exact-jaccard
+/ MinHash-LSH / SimHash / embedding-cosine), similarity search (brute-force
+/ LSH / IVF), text analysis, multimodal plumbing, event-time windows.
 
-Filled in as extension modules land; see operators/dedup.py,
-operators/similarity.py, functions/text.py, streaming/events.py.
+Registered into the same ``queries.registry()`` the driver consumes. Every
+query that is SQL-expressible carries a DuckDB oracle; approximate operators
+whose *verified* output equals the exact answer on the test corpus carry the
+exact oracle (recall confirmed in tests); the rest are rows-only.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    language_id_oracle_sql,
+    quality_features,
+    token_count,
+)
+from gemini_data_wrangler_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_oracle_sql,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from gemini_data_wrangler_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_assets,
+    frame_sample,
+)
+from gemini_data_wrangler_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_oracle_sql,
+    ivf_topk,
+    lsh_topk,
+    queries_from_ids,
+)
+from gemini_data_wrangler_spark.queries import make_runner, register, run_stages
+from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+from gemini_data_wrangler_spark.streaming.events import (
+    session_agg,
+    session_oracle_sql,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_sf_tables(spark, sf_dir)[name]
+
+
+# ---------------------------------------------------------------------------
+# Window functions (extension WINDOW stage through the pipeline runner)
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_topn",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal, rn FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = run_stages(
+        spark,
+        sf_dir,
+        [
+            {
+                "id": "stage_0",
+                "type": "WINDOW",
+                "data": {
+                    "table": "customer",
+                    "partitionBy": ["c_nationkey"],
+                    "orderBy": [
+                        {"column": "c_acctbal", "direction": "DESC"},
+                        {"column": "c_custkey", "direction": "ASC"},
+                    ],
+                    "functions": [{"function": "ROW_NUMBER", "alias": "rn"}],
+                },
+            },
+            {
+                "id": "stage_1",
+                "type": "FILTER",
+                "data": {"table": "result_stage_0_window", "column": "rn", "operator": "<=", "value": 3},
+            },
+        ],
+    )
+    return df.select("c_custkey", "c_nationkey", "c_acctbal", "rn")
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = run_stages(
+        spark,
+        sf_dir,
+        [
+            {
+                "id": "stage_0",
+                "type": "WINDOW",
+                "data": {
+                    "table": "orders",
+                    "partitionBy": ["o_custkey"],
+                    "orderBy": [
+                        {"column": "o_orderdate", "direction": "ASC"},
+                        {"column": "o_orderkey", "direction": "ASC"},
+                    ],
+                    "functions": [
+                        {
+                            "function": "SUM",
+                            "column": "o_totalprice",
+                            "alias": "running_total",
+                            "frame": "rows_unbounded",
+                        }
+                    ],
+                },
+            }
+        ],
+    )
+    # Round: running double sums accumulate in different associativity
+    # between engines (DuckDB windows use segment-tree aggregation).
+    return df.select("o_orderkey", "o_custkey", F.round("running_total", 2).alias("running_total"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+_QUALITY_ORACLE = """
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS p_cnt,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS s_cnt
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(p_cnt AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(CAST(s_cnt AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio,
+           round(round(CAST(s_cnt AS DOUBLE) / greatest(n_tokens, 1), 6) * 2
+                 + (1.0 - round(CAST(p_cnt AS DOUBLE) / greatest(n_chars, 1), 6)), 6) AS quality_score
+    FROM f
+"""
+
+
+@register("text_quality_scores", _QUALITY_ORACLE)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+@register(
+    "text_language_id",
+    f"SELECT doc_id, {language_id_oracle_sql('text')} AS lang_pred FROM documents",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (documents table)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS copies FROM documents GROUP BY text",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id")
+
+
+_NGRAM_ORACLE = ngram_jaccard_oracle_sql("documents", "doc_id", "text", n=5, threshold=0.8)
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+
+
+# MinHash-LSH and SimHash produce candidates that are then EXACT-verified,
+# so on corpora where recall holds (confirmed for the driver testdata in
+# tests/test_dedup.py) their output equals the exact pair set → same oracle.
+@register("dedup_minhash_lsh", _NGRAM_ORACLE)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+
+
+@register("dedup_simhash", _NGRAM_ORACLE)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", n=5, jaccard_threshold=0.8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) >= 0.45
+    """,
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemini_data_wrangler_spark.functions.vectors import cosine_similarity
+
+    emb = _table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_vb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("sim") >= 0.45)
+        .select("doc_a", "doc_b", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@register(
+    "similarity_cosine_topk",
+    cosine_topk_oracle_sql("embeddings", _ANN_QUERY_IDS, k=10),
+)
+def similarity_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
+
+
+@register("similarity_lsh_topk", None)  # approximate: rows-only check
+def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
+
+
+@register("similarity_ivf_topk", None)  # approximate: rows-only check
+def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (events table; batch mode of the streaming builders)
+# ---------------------------------------------------------------------------
+@register(
+    "events_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, round(SUM(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_agg(_table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "events_sliding_halfhour",
+    """
+    WITH e AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, user_id FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, user_id FROM events
+    )
+    SELECT ws AS window_start, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM e GROUP BY 1
+    """,
+)
+def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_agg(_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@register("events_sessions", session_oracle_sql("events", 30))
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(_table(spark, sf_dir, "events"), "30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payloads built from documents)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return attach_binary_payload(docs, "doc_id", "text").select(
+        "asset_id", "modality", "n_bytes", "content_hash"
+    )
+
+
+@register("multimodal_decode", None)  # stubbed decoder: rows-only check
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return decode_assets(attach_binary_payload(docs, "doc_id", "text"))
+
+
+@register("multimodal_frame_sample", None)  # stubbed decoder: rows-only check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return frame_sample(decode_assets(attach_binary_payload(docs, "doc_id", "text")))

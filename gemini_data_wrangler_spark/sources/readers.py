@@ -45,9 +45,38 @@ def _enable_nanos_timestamps(spark: SparkSession) -> None:
         pass
 
 
+def _normalize_ns_timestamps(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as bigint (nanos since epoch)
+    under ``nanosAsLong``; convert them back to timestamp_ntz so event-time
+    operators (window/session_window) see real timestamps. Conversion goes
+    through epoch-micros with the session timezone pinned to UTC so the
+    wall-clock values match what DuckDB reads, independent of the host tz."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    try:
+        arrow_schema = pq.read_schema(path)
+    except Exception:
+        return df
+    ns_cols = [f.name for f in arrow_schema if str(f.type) == "timestamp[ns]"]
+    if not ns_cols:
+        return df
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    for c in ns_cols:
+        # Integer DIV, not `/`: float division of ~1.7e18 nanos exceeds
+        # double precision (2^53) and lands microseconds off.
+        df = df.withColumn(
+            c, F.expr(f"CAST(timestamp_micros(CAST(`{c}` AS BIGINT) DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     _enable_nanos_timestamps(spark)
-    return spark.read.parquet(path)
+    return _normalize_ns_timestamps(spark, spark.read.parquet(path), path)
 
 
 def read_csv(
@@ -106,6 +135,11 @@ def dataframe_from_rows(
     return spark.createDataFrame(rows, schema=fields)
 
 
+# (session id, sf_dir) -> loaded tables; parquet schema discovery costs a
+# JVM round-trip per table, so reuse DataFrames across queries in a session.
+_LOAD_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_sf_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -114,14 +148,23 @@ def load_sf_tables(
 ) -> dict[str, DataFrame]:
     """Load every parquet table of a testdata scale-factor directory,
     optionally registering each as a temp view (for CUSTOM SQL stages)."""
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        if register:
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+        return dict(cached)
+
     _enable_nanos_timestamps(spark)
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = _normalize_ns_timestamps(spark, spark.read.parquet(path), path)
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df
+    _LOAD_CACHE[key] = dict(out)
     return out

@@ -1,0 +1,120 @@
+"""Event-time windowed aggregation — batch and Structured Streaming.
+
+The reference has no streaming at all (SURVEY.md §2.4); this module is the
+north-star extension over the driver's ``events`` table. The same builders
+work on batch DataFrames and on streaming DataFrames (`readStream`) — Spark
+gives identical semantics for ``F.window``/``F.session_window`` in both
+modes, so the batch path doubles as the oracle-checkable correctness surface
+for the streaming path (tests/test_streaming.py runs the real streaming
+engine with watermarks over the same data and asserts equal results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(window, event_type) count + value sum over tumbling windows.
+
+    Output: window_start, event_type, n_events, total_value.
+    """
+    return (
+        events.groupBy(F.window(F.col(ts_col), window).alias("_w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("_w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in window/slide windows.
+
+    Output: window_start, n_events, n_users.
+    """
+    return (
+        events.groupBy(F.window(F.col(ts_col), window, slide).alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("_w.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session windows (events within ``gap`` of each other merge).
+
+    Output: user_id, session_start, n_events. ``session_window``'s start is
+    the first event's timestamp — the same value the classic gaps-and-islands
+    SQL (LAG + cumulative sum of gap flags) produces, which is the oracle.
+    """
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("_w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("_w.start").alias("session_start"), "n_events")
+    )
+
+
+def session_oracle_sql(table: str = "events", gap_minutes: int = 30) -> str:
+    """Gaps-and-islands session equivalent for DuckDB."""
+    return f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL {gap_minutes} MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM {table}
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """
+
+
+# ---------------------------------------------------------------------------
+# True Structured Streaming path
+# ---------------------------------------------------------------------------
+def read_events_stream(
+    spark: SparkSession,
+    parquet_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a parquet directory (how a 100 TB pipeline
+    would tail an ingest location); schema must be supplied for streaming
+    reads."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_dir)
+    )
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — late data beyond ``watermark``
+    is dropped and state is evicted (bounded state at scale)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("_w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("_w.start").alias("window_start"), "event_type", "n_events")
+    )
