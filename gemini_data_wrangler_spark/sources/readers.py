@@ -148,6 +148,9 @@ def load_sf_tables(
 ) -> dict[str, DataFrame]:
     """Load every parquet table of a testdata scale-factor directory,
     optionally registering each as a temp view (for CUSTOM SQL stages)."""
+    from gemini_data_wrangler_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:

@@ -96,12 +96,21 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over a parquet directory (how a 100 TB pipeline
     would tail an ingest location); schema must be supplied for streaming
-    reads."""
-    return (
+    reads.
+
+    Watermarks require TIMESTAMP (with local timezone); parquet written with
+    ``timestamp_ntz`` would fail ``withWatermark``, so NTZ columns are cast
+    on read (session timezone is the implied zone).
+    """
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(parquet_dir)
     )
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+    return stream
 
 
 def streaming_tumbling_counts(

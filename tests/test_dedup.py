@@ -1,0 +1,67 @@
+"""Dedup-operator behavior beyond the oracle queries: LSH recall against the
+exact pair set, synthetic duplicate handling, determinism across runs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_sf_tables(spark, SF_ORACLE)["documents"]
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id int, text string",
+    )
+    out = {(r.text, r.keep_id, r.copies) for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {("same text", 1, 3), ("other", 3, 1)}
+
+
+def test_lsh_recall_matches_exact_pairs(spark, documents):
+    """The LSH parameters must catch every pair the exact operator finds on
+    the driver corpus (this is what licenses sharing the oracle)."""
+    exact = _pairs(ngram_jaccard_pairs(documents, "doc_id", "text", n=5, threshold=0.8))
+    lsh = _pairs(minhash_lsh_pairs(documents, "doc_id", "text", n=5, threshold=0.8))
+    assert len(exact) > 0  # the corpus has planted near-dups
+    assert lsh == exact
+
+
+def test_simhash_recall_matches_exact_pairs(spark, documents):
+    exact = _pairs(ngram_jaccard_pairs(documents, "doc_id", "text", n=5, threshold=0.8))
+    sim = _pairs(simhash_pairs(documents, "doc_id", "text", n=5, jaccard_threshold=0.8))
+    assert sim == exact
+
+
+def test_minhash_deterministic_across_runs(spark, documents):
+    a = _pairs(minhash_lsh_pairs(documents, "doc_id", "text"))
+    b = _pairs(minhash_lsh_pairs(documents, "doc_id", "text"))
+    assert a == b
+
+
+def test_near_dup_detected_verbatim_edit(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base.replace("lazy", "sleepy", 1)
+    different = "completely unrelated content with nothing shared here at all " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, different)], "doc_id int, text string"
+    )
+    pairs = _pairs(ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.7))
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

@@ -1,0 +1,77 @@
+"""Source-layer tests: CSV 3-tier ingest semantics, inline-row tables,
+parquet ns-timestamp normalization."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from gemini_data_wrangler_spark.sources.readers import (
+    dataframe_from_rows,
+    load_sf_tables,
+    read_csv,
+)
+from tests.conftest import SF_ORACLE
+
+CSV_CONTENT = """id,name,amount,joined
+1,Ann,10.5,2023-01-01
+2,"O'Brien, Bo",20.0,2023-02-03
+3,Cy,,2023-03-05
+"""
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "people.csv"
+    p.write_text(CSV_CONTENT)
+    return str(p)
+
+
+def test_csv_infer_schema(spark, csv_path):
+    df = read_csv(spark, csv_path)
+    types = dict(df.dtypes)
+    assert types["id"] == "int"
+    assert types["amount"] == "double"
+    assert types["joined"] == "date"
+    # quoted field with comma survives
+    assert df.filter("id = 2").collect()[0]["name"] == "O'Brien, Bo"
+    # empty numeric → NULL
+    assert df.filter("id = 3").collect()[0]["amount"] is None
+
+
+def test_csv_all_varchar_fallback(spark, csv_path):
+    df = read_csv(spark, csv_path, infer_schema=False)
+    assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_dataframe_from_rows_typed(spark):
+    df = dataframe_from_rows(
+        spark,
+        [{"name": "id", "type": "INTEGER"}, {"name": "label", "type": "VARCHAR"}, {"name": "price", "type": "DOUBLE"}],
+        [[1, "a", 1.5], [2, "b", 2.5]],
+    )
+    assert dict(df.dtypes) == {"id": "int", "label": "string", "price": "double"}
+    assert df.count() == 2
+
+
+def test_dataframe_from_rows_default_varchar(spark):
+    df = dataframe_from_rows(spark, ["a", "b"], [["1", "x"]])
+    assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_load_sf_tables_registers_views(spark):
+    tables = load_sf_tables(spark, SF_ORACLE)
+    assert set(tables) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert spark.sql("SELECT count(*) AS n FROM nation").collect()[0].n == 25
+
+
+def test_ns_timestamp_normalized_to_timestamp_ntz(spark):
+    events = load_sf_tables(spark, SF_ORACLE)["events"]
+    assert dict(events.dtypes)["ts"] == "timestamp_ntz"
+    # microsecond precision survives the ns→µs integer conversion
+    row = events.orderBy("event_id").limit(1).collect()[0]
+    assert row.ts.microsecond != 0
