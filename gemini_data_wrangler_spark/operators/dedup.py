@@ -82,6 +82,20 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 5) -> DataFrame:
     return df.withColumn("_shingles", char_shingles(F.col(text_col), n))
 
 
+def _hot(df: DataFrame, key: str) -> DataFrame:
+    """Stage a frame that feeds BOTH sides of a self-join (and often a later
+    verify join): spread it across the cluster and persist it.
+
+    Without this, Spark recomputes the whole upstream subtree once per join
+    branch (self-joins don't share plan fragments), and a single-file parquet
+    source keeps the heavy explode/aggregate work on one partition. The
+    repartition uses an explicit partition count, which AQE will not coalesce
+    away, so shingle/signature computation parallelizes even on small inputs.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, key).persist()
+
+
 def _verify_jaccard(
     candidates: DataFrame,  # columns: doc_a, doc_b
     shingled: DataFrame,  # columns: <id_col>, _shingles
@@ -89,9 +103,20 @@ def _verify_jaccard(
     threshold: float,
 ) -> DataFrame:
     """Exact jaccard on candidate pairs via array_intersect on the shingle
-    sets. The candidate side is small after LSH, so these joins broadcast."""
-    a = shingled.select(F.col(id_col).alias("doc_a"), F.col("_shingles").alias("_sh_a"))
-    b = shingled.select(F.col(id_col).alias("doc_b"), F.col("_shingles").alias("_sh_b"))
+    sets.
+
+    Shingle strings are hashed to 64-bit longs once per document before the
+    pair join — candidate verification then intersects compact long arrays
+    instead of hauling string arrays through the shuffle (at millions of
+    candidate pairs the string copies dominate memory traffic). xxhash64
+    collisions across a ~250-element set are ~1e-15, and the sf0.01 oracle
+    hash-match confirms the pair set is unchanged.
+    """
+    hashed = shingled.select(
+        F.col(id_col), F.transform("_shingles", lambda s: F.xxhash64(s)).alias("_sh")
+    )
+    a = hashed.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    b = hashed.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b"))).cast("double")
     union = F.size(F.col("_sh_a")) + F.size(F.col("_sh_b")) - F.size(
         F.array_intersect(F.col("_sh_a"), F.col("_sh_b"))
@@ -115,35 +140,65 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """All pairs with char-n-gram jaccard ≥ threshold, computed exactly.
+    """All pairs with char-n-gram jaccard ≥ threshold, computed exactly,
+    with AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    Xiao et al., WWW'08) so the candidate join stays near-linear:
 
-    Plan: explode distinct shingles → self-join on shingle (doc_a < doc_b)
-    → count = |A∩B| → jaccard from set sizes. The self-join key is the
-    shingle string: fine when shingles are near-unique, quadratic on hot
-    shingles — use minhash_lsh_pairs beyond small corpora.
+    1. shingle each doc; rank every shingle globally by document frequency
+       (rarest first — ties broken by hash for determinism);
+    2. per doc keep only the *prefix*: the ``|A| - ceil(t·|A|) + 1`` rarest
+       shingles. Two docs with jaccard ≥ t MUST share a prefix shingle
+       (pigeonhole on the overlap bound ⌈t/(1+t)·(|A|+|B|)⌉), so joining on
+       prefix shingles alone loses nothing;
+    3. length filter on the join: t·|A| ≤ |B| ≤ |A|/t (jaccard ≥ t bounds
+       the size ratio);
+    4. exact-jaccard verification of surviving candidate pairs.
+
+    Versus the naive shingle self-join this turns hot-shingle quadratic
+    blowup (every doc pair sharing ' the ' collides) into a join keyed on
+    rare shingles only — the standard exact similarity-join at scale.
 
     Output: doc_a, doc_b, jaccard (double).
     """
-    shingled = with_shingles(df, text_col, n).select(id_col, "_shingles")
-    sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
+    from pyspark.sql import Window
+
+    shingled = _hot(with_shingles(df, text_col, n).select(id_col, "_shingles"), id_col)
     ex = shingled.select(F.col(id_col), F.explode("_shingles").alias("_g"))
-    a = ex.select(F.col(id_col).alias("doc_a"), F.col("_g"))
-    b = ex.select(F.col(id_col).alias("doc_b"), F.col("_g"))
-    inter = (
+    # Global document frequency per shingle — one cheap agg; broadcast back
+    # via shuffle join on the shingle key.
+    freq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = ex.join(freq, "_g").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.xxhash64("_g").asc())
+        ),
+    )
+    sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
+    # prefix length = |A| - ceil(t*|A|) + 1
+    prefix = _hot(
+        ranked.join(sizes, id_col)
+        .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .select(F.col(id_col), F.col("_g")),
+        id_col,
+    )
+    a = prefix.join(sizes, id_col).select(
+        F.col(id_col).alias("doc_a"), F.col("_g"), F.col("_n").alias("_na")
+    )
+    b = prefix.join(sizes, id_col).select(
+        F.col(id_col).alias("doc_b"), F.col("_g"), F.col("_n").alias("_nb")
+    )
+    candidates = (
         a.join(b, "_g")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        # length filter: jaccard >= t implies t*|A| <= |B| <= |A|/t
+        .filter(
+            (F.col("_nb") >= F.lit(threshold) * F.col("_na"))
+            & (F.col("_nb") <= F.col("_na") / F.lit(threshold))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.col("_c").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_c")).cast("double"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, shingled, id_col, threshold)
 
 
 def ngram_jaccard_oracle_sql(
@@ -217,7 +272,7 @@ def minhash_lsh_pairs(
     whenever LSH recall holds (verified against the exact oracle in tests).
     """
     rows = num_perm // bands
-    shingled = with_shingles(df, text_col, n).select(id_col, "_shingles")
+    shingled = _hot(with_shingles(df, text_col, n).select(id_col, "_shingles"), id_col)
     sig = minhash_signatures(shingled, id_col, num_perm)
     # band hash = xxhash64 over the band's slice of the signature
     band_rows = sig.select(
@@ -236,6 +291,7 @@ def minhash_lsh_pairs(
             )
         ).alias("_b"),
     ).select(F.col(id_col), F.col("_b.band"), F.col("_b.bhash"))
+    band_rows = _hot(band_rows, id_col)
     a = band_rows.select(F.col(id_col).alias("doc_a"), "band", "bhash")
     b = band_rows.select(F.col(id_col).alias("doc_b"), "band", "bhash")
     candidates = (
@@ -291,7 +347,7 @@ def simhash_pairs(
 
     Output: doc_a, doc_b, jaccard.
     """
-    shingled = with_shingles(df, text_col, n).select(id_col, "_shingles")
+    shingled = _hot(with_shingles(df, text_col, n).select(id_col, "_shingles"), id_col)
     sims = simhash_bits(shingled, id_col)
     width = 64 // chunks
     chunk_rows = sims.select(
@@ -311,6 +367,7 @@ def simhash_pairs(
             )
         ).alias("_c"),
     ).select(F.col(id_col), F.col("_simhash"), F.col("_c.chunk"), F.col("_c.cval"))
+    chunk_rows = _hot(chunk_rows, id_col)
     a = chunk_rows.select(F.col(id_col).alias("doc_a"), F.col("_simhash").alias("_ha"), "chunk", "cval")
     b = chunk_rows.select(F.col(id_col).alias("doc_b"), F.col("_simhash").alias("_hb"), "chunk", "cval")
     candidates = (

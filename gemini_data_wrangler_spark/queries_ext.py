@@ -267,14 +267,28 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gemini_data_wrangler_spark.functions.vectors import cosine_similarity
+    from gemini_data_wrangler_spark.functions.vectors import l2_norm, vec_dot
 
     emb = _table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_vb"))
+    # Precompute the double-cast vector and its norm ONCE per vector (n rows)
+    # instead of once per pair (n² rows) — the dot product is the only
+    # per-pair work left. Repartition: the single-file parquet source would
+    # otherwise put the whole O(n²) loop on one core.
+    sc = spark.sparkContext
+    prepped = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
+            l2_norm(F.col("embedding")).alias("_norm"),
+        )
+        .repartition(sc.defaultParallelism, "vec_id")
+        .persist()
+    )
+    a = prepped.select(F.col("vec_id").alias("doc_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    b = prepped.select(F.col("vec_id").alias("doc_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("sim", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("sim", F.round(vec_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("sim") >= 0.45)
         .select("doc_a", "doc_b", "sim")
     )
