@@ -34,11 +34,15 @@ from gemini_data_wrangler_spark.plans.stage import Stage
 Resolver = Callable[[str], DataFrame]
 
 # DuckDB join keyword → Spark how-string (ui/src/sqlGenerator.ts:12-13).
+# SEMI/ANTI are engine extensions (the reference reaches them only through
+# CUSTOM SQL EXISTS/NOT EXISTS — SURVEY.md §2.4).
 _JOIN_HOW = {
     "INNER": "inner",
     "LEFT": "left",
     "RIGHT": "right",
     "FULL OUTER": "full",
+    "LEFT SEMI": "left_semi",
+    "LEFT ANTI": "left_anti",
 }
 
 
@@ -123,9 +127,11 @@ def compile_stage(
         return resolve(name)
 
     if t == "JOIN":
-        for req in ("leftTable", "rightTable", "leftKey", "rightKey"):
-            if not d.get(req):
-                raise ValueError("JOIN stage requires leftTable, rightTable, leftKey, and rightKey")
+        multi = bool(d.get("leftKeys") and d.get("rightKeys"))
+        if not multi:
+            for req in ("leftTable", "rightTable", "leftKey", "rightKey"):
+                if not d.get(req):
+                    raise ValueError("JOIN stage requires leftTable, rightTable, leftKey, and rightKey")
         left = resolve(d["leftTable"])
         right = resolve(d["rightTable"])
         how = _JOIN_HOW.get(d.get("joinType") or "INNER", "inner")
@@ -134,7 +140,23 @@ def compile_stage(
             left = F.broadcast(left)
         elif hint == "right":
             right = F.broadcast(right)
+        if multi:
+            # Engine extension: multi-key equi-join (the reference caps at one
+            # key pair — ui/src/types.ts:20-25; multi-key only via CUSTOM).
+            lks, rks = list(d["leftKeys"]), list(d["rightKeys"])
+            if len(lks) != len(rks):
+                raise ValueError("JOIN leftKeys and rightKeys must have equal length")
+            if lks == rks:
+                return left.join(right, on=lks, how=how)
+            cond = None
+            for lk_, rk_ in zip(lks, rks):
+                c = left[lk_] == right[rk_]
+                cond = c if cond is None else (cond & c)
+            return left.join(right, on=cond, how=how)
         lk, rk = d["leftKey"], d["rightKey"]
+        if how in ("left_semi", "left_anti"):
+            # Semi/anti output = left columns only; key-name case irrelevant.
+            return left.join(right, on=left[lk] == right[rk], how=how)
         if lk == rk:
             # USING(key) + EXCLUDE(r.key) path: ONE key column, the LEFT
             # side's values (ui/src/sqlGenerator.ts:20-21). NB: DuckDB's
@@ -224,6 +246,76 @@ def compile_stage(
         columns = d.get("columns") or []
         df = input_df()
         return df.select(*columns).distinct() if columns else df.distinct()
+
+    if t == "SETOP":
+        # {setopType: INTERSECT|INTERSECT ALL|EXCEPT|EXCEPT ALL, tables: [l, r]}
+        tables = d.get("tables") or []
+        if len(tables) != 2:
+            raise ValueError("SETOP stage requires exactly 2 tables")
+        left, right = resolve(tables[0]), resolve(tables[1])
+        op = (d.get("setopType") or "INTERSECT").upper()
+        if op == "INTERSECT":
+            return left.intersect(right)
+        if op == "INTERSECT ALL":
+            return left.intersectAll(right)
+        if op == "EXCEPT":
+            return left.subtract(right)
+        if op == "EXCEPT ALL":
+            return left.exceptAll(right)
+        raise ValueError(f"Unknown setopType: {op}")
+
+    if t == "GROUPING":
+        # {table, mode: rollup|cube, groupBy, aggregations} — multi-level
+        # aggregation in ONE shuffle pass (partial aggregation handles the
+        # grouping-set expansion), vs N scans for N manual GROUP stages.
+        group_by = d.get("groupBy") or []
+        if not group_by:
+            raise ValueError("GROUPING stage requires groupBy array")
+        df = input_df()
+        exprs = agg_exprs(stage)
+        mode = (d.get("mode") or "rollup").lower()
+        cols = [F.expr(g) for g in group_by]
+        grouped = df.cube(*cols) if mode == "cube" else df.rollup(*cols)
+        return grouped.agg(*exprs)
+
+    if t == "PIVOT":
+        # {table, groupBy, pivotColumn, pivotValues, aggregations}. Explicit
+        # pivotValues keeps the plan static (no extra distinct-scan job) and
+        # the output schema deterministic — required at scale.
+        group_by = d.get("groupBy") or []
+        pivot_col = d.get("pivotColumn")
+        if not group_by or not pivot_col:
+            raise ValueError("PIVOT stage requires groupBy and pivotColumn")
+        df = input_df()
+        exprs = agg_exprs(stage)
+        if not exprs:
+            raise ValueError("PIVOT stage requires aggregations array")
+        values = d.get("pivotValues")
+        pivoted = df.groupBy(*[F.expr(g) for g in group_by]).pivot(
+            pivot_col, values if values else None
+        )
+        return pivoted.agg(*exprs)
+
+    if t == "TOPK":
+        # {table, orderBy, n} — ORDER BY + LIMIT n. Catalyst compiles this to
+        # TakeOrderedAndProject: per-partition top-n heaps + a driver merge,
+        # never a full sort — THE way to top-k at 100 TB.
+        order_by = stage.order_by
+        n = int(d.get("n", 10))
+        if not order_by:
+            raise ValueError("TOPK stage requires orderBy array")
+        cols = [
+            F.expr(o.column).desc() if (o.direction or "ASC").upper() == "DESC" else F.expr(o.column).asc()
+            for o in order_by
+        ]
+        return input_df().orderBy(*cols).limit(n)
+
+    if t == "SAMPLE":
+        # {table, fraction, seed?} — Bernoulli sample, seeded for
+        # reproducibility. Per-partition independent draws: no shuffle.
+        fraction = float(d.get("fraction", 0.1))
+        seed = int(d.get("seed", 42))
+        return input_df().sample(fraction=fraction, seed=seed)
 
     if t == "WINDOW":
         from gemini_data_wrangler_spark.operators.window import compile_window_stage

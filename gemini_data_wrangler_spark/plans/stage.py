@@ -39,6 +39,11 @@ EXTENSION_STAGE_TYPES = (
     "SIMILARITY",
     "TEXT",
     "STREAM",
+    "SETOP",
+    "GROUPING",
+    "PIVOT",
+    "TOPK",
+    "SAMPLE",
 )
 STAGE_TYPES = CORE_STAGE_TYPES + EXTENSION_STAGE_TYPES
 
@@ -181,7 +186,9 @@ def validate_stage(stage: Stage) -> bool:
     d = stage.data
     t = stage.type
     if t == "JOIN":
-        return bool(d.get("leftTable") and d.get("rightTable") and d.get("leftKey") and d.get("rightKey"))
+        single = bool(d.get("leftKey") and d.get("rightKey"))
+        multi = bool(d.get("leftKeys") and d.get("rightKeys"))
+        return bool(d.get("leftTable") and d.get("rightTable") and (single or multi))
     if t == "UNION":
         return bool(isinstance(d.get("tables"), list) and len(d["tables"]) > 0)
     if t == "FILTER":

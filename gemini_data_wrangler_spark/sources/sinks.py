@@ -1,0 +1,58 @@
+"""Sinks — columnar/text writers for result tables.
+
+The reference exports only the stage-flow JSON and a PNG of the DAG
+(ui/src/App.tsx:2043-2056, 2077+); it has **no** table export at all
+(SURVEY.md §2.4). A Spark engine needs real sinks, so these are
+first-class here:
+
+* ``write_parquet`` — the scale path. Supports ``partition_by`` (hive-style
+  directory partitioning → partition pruning for downstream readers) and
+  ``max_records_per_file`` to bound file sizes at 100 TB.
+* ``write_csv`` / ``write_json`` — interchange formats, header on by
+  default to round-trip with the CSV LOAD path.
+* ``write_flow_json`` — the reference's own export format (plans.graph).
+
+All writers go through ``df.write`` (distributed, executor-side IO —
+never a driver collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from gemini_data_wrangler_spark.plans.graph import export_flow_json
+from gemini_data_wrangler_spark.plans.stage import Stage
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_flow_json(stages: list[Stage], path: str) -> None:
+    """Serialize a stage flow to the reference's export JSON format."""
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(export_flow_json(stages))

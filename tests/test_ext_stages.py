@@ -1,0 +1,173 @@
+"""Unit tests for the second-batch extension stages (SETOP / GROUPING /
+PIVOT / TOPK / SAMPLE) and the temporal join operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.operators.compiler import compile_stage
+from gemini_data_wrangler_spark.operators.temporal import asof_join, range_join_count
+from gemini_data_wrangler_spark.plans.stage import Stage
+
+
+@pytest.fixture()
+def tables(spark):
+    l = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (3, "c")], "k int, v string")
+    r = spark.createDataFrame([(2, "b"), (3, "c")], "k int, v string")
+    return {"l": l, "r": r}
+
+
+def _resolve(tables):
+    return lambda name: tables[name]
+
+
+def _setop(tables, op):
+    stage = Stage(type="SETOP", data={"setopType": op, "tables": ["l", "r"]})
+    return compile_stage(stage, _resolve(tables))
+
+
+def test_setop_intersect(spark, tables):
+    rows = {tuple(r) for r in _setop(tables, "INTERSECT").collect()}
+    assert rows == {(2, "b"), (3, "c")}
+
+
+def test_setop_except(spark, tables):
+    rows = {tuple(r) for r in _setop(tables, "EXCEPT").collect()}
+    assert rows == {(1, "a")}
+
+
+def test_setop_except_all_keeps_multiplicity(spark, tables):
+    rows = sorted(tuple(r) for r in _setop(tables, "EXCEPT ALL").collect())
+    assert rows == [(1, "a"), (3, "c")]  # one of the two (3,c) survives
+
+
+def test_grouping_rollup_levels(spark):
+    df = spark.createDataFrame(
+        [("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 3.0)], "a string, b string, v double"
+    )
+    stage = Stage(
+        type="GROUPING",
+        data={
+            "table": "t",
+            "mode": "rollup",
+            "groupBy": ["a", "b"],
+            "aggregations": [{"function": "SUM", "column": "v", "alias": "s"}],
+        },
+    )
+    out = compile_stage(stage, _resolve({"t": df}))
+    rows = {(r.a, r.b, r.s) for r in out.collect()}
+    # leaf + per-a subtotal + grand total
+    assert (None, None, 6.0) in rows
+    assert ("x", None, 3.0) in rows and ("y", None, 3.0) in rows
+    assert ("x", "p", 1.0) in rows
+    assert len(rows) == 3 + 2 + 1
+
+    stage.data["mode"] = "cube"
+    cube_rows = {(r.a, r.b, r.s) for r in compile_stage(stage, _resolve({"t": df})).collect()}
+    # cube adds the per-b slice
+    assert (None, "p", 4.0) in cube_rows and (None, "q", 2.0) in cube_rows
+
+
+def test_pivot_stage(spark):
+    df = spark.createDataFrame(
+        [("x", "F"), ("x", "F"), ("x", "O"), ("y", "O")], "seg string, st string"
+    )
+    stage = Stage(
+        type="PIVOT",
+        data={
+            "table": "t",
+            "groupBy": ["seg"],
+            "pivotColumn": "st",
+            "pivotValues": ["F", "O"],
+            "aggregations": [{"function": "COUNT", "column": "*"}],
+        },
+    )
+    out = compile_stage(stage, _resolve({"t": df}))
+    got = {r.seg: (r.F, r.O) for r in out.collect()}
+    assert got == {"x": (2, 1), "y": (None, 1)}  # empty cell is NULL (Spark)
+
+
+def test_topk_stage_is_take_ordered(spark):
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("m"))
+    stage = Stage(
+        type="TOPK",
+        data={"table": "t", "n": 5, "orderBy": [{"column": "id", "direction": "DESC"}]},
+    )
+    out = compile_stage(stage, _resolve({"t": df}))
+    assert [r.id for r in out.collect()] == [999, 998, 997, 996, 995]
+    # plan should be TakeOrderedAndProject, not a global Sort + CollectLimit
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_stage_deterministic(spark):
+    df = spark.range(0, 10000)
+    stage = Stage(type="SAMPLE", data={"table": "t", "fraction": 0.1, "seed": 7})
+    a = compile_stage(stage, _resolve({"t": df})).count()
+    b = compile_stage(stage, _resolve({"t": df})).count()
+    assert a == b
+    assert 700 < a < 1300
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins
+# ---------------------------------------------------------------------------
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:05", 100.0),
+            (1, "2024-01-01 10:00:00", 99.0),  # simultaneous quote visible
+            (2, "2024-01-01 09:00:00", 50.0),  # no prior quote -> NULLs
+        ],
+        "uid long, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    quotes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 98.5),
+            (1, "2024-01-01 10:00:03", 98.7),
+            (1, "2024-01-01 10:00:10", 99.9),  # in the future of both trades
+        ],
+        "uid long, ts string, q double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    out = asof_join(trades, quotes, on="uid", left_ts="ts", right_ts="ts")
+    got = {(r.uid, str(r.ts)): (r.q_right, str(r.ts_right)) for r in out.collect()}
+    assert got[(1, "2024-01-01 10:00:05")] == (98.7, "2024-01-01 10:00:03")
+    assert got[(1, "2024-01-01 10:00:00")] == (98.5, "2024-01-01 10:00:00")
+    assert got[(2, "2024-01-01 09:00:00")][0] is None or got[(2, "2024-01-01 09:00:00")] == (
+        None,
+        "None",
+    )
+    assert out.count() == 3  # left join: every trade survives
+
+
+def test_range_join_count_trailing_window(spark):
+    anchors = spark.createDataFrame(
+        [(10, 1, "2024-01-01 10:30:00")], "event_id long, uid long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:29:00", 1.0),  # inside 30 min
+            (1, "2024-01-01 10:01:00", 2.0),  # inside (exactly 29 min before)
+            (1, "2024-01-01 09:59:59", 4.0),  # outside
+            (1, "2024-01-01 10:30:00", 8.0),  # boundary: <= anchor -> inside
+            (2, "2024-01-01 10:29:00", 16.0),  # other user
+        ],
+        "uid long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    out = range_join_count(
+        anchors, events, on="uid", anchor_ts="ts", event_ts="ts",
+        interval_seconds=1800, agg_col="value",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_in_range == 3
+    assert out[0].sum_in_range == 11.0

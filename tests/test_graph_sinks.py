@@ -1,0 +1,77 @@
+"""Tests for stage-DAG derivation, flow JSON round-trip, and sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from gemini_data_wrangler_spark.plans.graph import (
+    build_stage_graph,
+    export_flow,
+    export_flow_json,
+    import_flow_json,
+    topological_levels,
+)
+from gemini_data_wrangler_spark.plans.stage import Stage
+from gemini_data_wrangler_spark.sources.sinks import write_csv, write_parquet
+
+
+def _stages():
+    return [
+        Stage(type="LOAD", id="s1", data={"tableName": "orders"}),
+        Stage(type="LOAD", id="s2", data={"tableName": "customers"}),
+        Stage(
+            type="JOIN",
+            id="s3",
+            data={"joinType": "INNER", "leftTable": "orders", "rightTable": "customers",
+                  "leftKey": "cid", "rightKey": "cid"},
+        ),
+        Stage(type="FILTER", id="s4", data={"table": "joined_orders_customers",
+                                            "column": "x", "operator": ">", "value": 1}),
+    ]
+
+
+def test_build_stage_graph_edges_and_levels():
+    nodes = build_stage_graph(_stages())
+    assert nodes["s3"].inputs == ["s1", "s2"]
+    assert nodes["s4"].inputs == ["s3"]  # via the joined_{l}_{r} synthetic name
+    assert [nodes[s].level for s in ("s1", "s2", "s3", "s4")] == [0, 0, 1, 2]
+    assert topological_levels(nodes) == [["s1", "s2"], ["s3"], ["s4"]]
+
+
+def test_flow_json_round_trip():
+    stages = _stages()
+    records = export_flow(stages)
+    # ids renumbered to displayed order (ui/src/App.tsx:2045-2051)
+    assert [r["id"] for r in records] == ["stage_1", "stage_2", "stage_3", "stage_4"]
+    text = export_flow_json(stages)
+    back = import_flow_json(text)
+    assert [s.type for s in back] == [s.type for s in stages]
+    assert back[2].data["leftTable"] == "orders"
+    # unknown types whitelist-default to CUSTOM
+    mutated = json.loads(text)
+    mutated[0]["type"] = "NONSense"
+    assert import_flow_json(json.dumps(mutated))[0].type == "CUSTOM"
+
+
+def test_write_parquet_partitioned_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], "id long, part string, v double"
+    )
+    out = str(tmp_path / "pq")
+    write_parquet(df, out, partition_by=["part"])
+    # hive-style partition dirs exist -> partition pruning is possible
+    assert sorted(d for d in os.listdir(out) if d.startswith("part=")) == ["part=a", "part=b"]
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    }
+
+
+def test_write_csv_round_trip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    out = str(tmp_path / "csv")
+    write_csv(df, out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert {(r.id, r.s) for r in back.collect()} == {(1, "x"), (2, "y")}
