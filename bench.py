@@ -50,6 +50,9 @@ def main() -> None:
         # Force full execution without collecting result rows to the driver.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop per-query persisted intermediates (dedup/similarity stage
+        # caches) so successive queries don't accumulate heap pressure.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -107,25 +107,51 @@ def cosine_topk_oracle_sql(
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
-def _hyperplane_sign(vec, table_idx: int, plane_idx: int, dim: int):
-    """Deterministic ±1 hyperplane weights from a hash of (table, plane,
-    dim index); the projection sign is one JVM aggregate over the vector."""
-    proj = F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, i: x.cast("double")
-            * (
-                F.when(
-                    F.pmod(F.xxhash64(F.concat_ws("-", F.lit(f"hp-{table_idx}-{plane_idx}"), i.cast("string"))), F.lit(2)) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+def _hyperplane_weights(table_idx: int, plane_idx: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane weights derived driver-side from sha256 of
+    (table, plane, dim index). Constants w.r.t. the data, so they are baked
+    into the plan as an array literal — the executor does ONE fused
+    multiply-accumulate pass per plane instead of re-hashing (table, plane,
+    i) for every element of every row."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.sha256(f"hp-{table_idx}-{plane_idx}-{i}".encode()).digest()[0] % 2 == 0 else -1.0
+        for i in range(dim)
+    ]
+
+
+def _bucket_udf(n_planes: int, n_tables: int, dim: int):
+    """Pandas UDF computing every table's bucket string for a vector batch
+    in ONE numpy matmul: (N×D) @ (D×(T·P)) → sign bits → per-table bit
+    strings. Signature computation is exactly the dense-linear-algebra shape
+    Arrow-batched numpy beats interpreted per-element expressions at (the
+    projection weights are deterministic constants, captured in the
+    closure)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.array(
+        [
+            _hyperplane_weights(t, p, dim)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    ).T  # D × (T·P)
+
+    def buckets(vecs):
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # N × D
+        bits = (m @ w >= 0).astype(np.uint8).reshape(len(m), n_tables, n_planes)
+        return pd.Series(
+            ["".join(chr(48 + b) for b in row[t]) for t in range(n_tables)]
+            for row in bits
+        )
+
+    # Explicit returnType (no type-hint inference: the module defers its
+    # pandas import, and PEP 563 string annotations would not resolve).
+    buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(buckets, returnType="array<string>")
 
 
 def lsh_topk(
@@ -135,28 +161,23 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 12,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures; a candidate must
     share at least one table's full ``n_planes``-bit bucket with the query,
     then exact cosine rerank. Output schema matches cosine_topk (ranks may
-    have < k rows when buckets are sparse — that's the ANN trade-off)."""
+    have < k rows when buckets are sparse — that's the ANN trade-off).
+
+    Defaults (4 planes × 12 tables) target ~0.7+ recall@10 on moderately
+    similar corpora (collision prob per table p^4 with p = 1 - θ/π); raise
+    n_planes for tighter buckets on strongly-similar data.
+    """
+    bucketer = _bucket_udf(n_planes, n_tables, dim)
 
     def bucketize(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    F.concat_ws(
-                        "", *[_hyperplane_sign(F.col(vc), t, p, dim).cast("string") for p in range(n_planes)]
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(F.col(idc), F.col(vc), F.explode(buckets).alias("_b")).select(
-            F.col(idc), F.col(vc), F.col("_b.tbl"), F.col("_b.bucket")
+        return df.select(
+            F.col(idc), F.col(vc), F.posexplode(bucketer(F.col(vc))).alias("tbl", "bucket")
         )
 
     cand = bucketize(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")), "vec_id", "_v")

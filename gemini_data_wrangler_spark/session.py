@@ -44,7 +44,7 @@ def get_spark(
         # Driver testdata uses TIMESTAMP(NANOS) parquet columns; read them
         # as timestamp_ntz instead of failing (see sources/readers.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -113,6 +113,81 @@ def read_events_stream(
     return stream
 
 
+def streaming_session_stats(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session statistics via
+    ``applyInPandasWithState`` (arbitrary state, not expressible with the
+    built-in window aggregations because the emitted record carries
+    last-event metadata and a computed duration).
+
+    State per user: (session_start, last_ts, n_events, total_value). An
+    incoming batch extends the open session or closes it when the gap
+    exceeds ``gap_seconds``; closed sessions are emitted, and state times
+    out via ``GroupStateTimeout.EventTimeTimeout`` so memory stays bounded
+    under the watermark — the 100 TB requirement for any stateful operator.
+
+    Output: user_id, session_start, session_end, n_events, total_value.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    state_schema = "session_start timestamp, last_ts timestamp, n_events long, total_value double"
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                s0, s1, n, v = state.get
+                rows.append((user_id, s0, s1, n, v))
+                state.remove()
+        else:
+            events = pd.concat(list(pdf_iter)).sort_values("ts")
+            if state.exists:
+                s0, s1, n, v = state.get
+            else:
+                s0 = s1 = None
+                n, v = 0, 0.0
+            for ts, value in zip(events["ts"], events["value"]):
+                ts = ts.to_pydatetime()
+                if s0 is None:
+                    s0, s1, n, v = ts, ts, 1, float(value)
+                elif (ts - s1).total_seconds() > gap_seconds:
+                    rows.append((user_id, s0, s1, n, v))
+                    s0, s1, n, v = ts, ts, 1, float(value)
+                else:
+                    s1, n, v = ts, n + 1, v + float(value)
+            state.update((s0, s1, n, v))
+            # Close the open session once the watermark passes the gap.
+            state.setTimeoutTimestamp(int(s1.timestamp() * 1000) + gap_seconds * 1000)
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_start", "session_end", "n_events", "total_value"]
+        )
+
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_tumbling_counts(
     stream: DataFrame,
     window: str = "1 hour",

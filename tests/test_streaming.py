@@ -114,3 +114,45 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # produced the two fresh windows.
     starts = {str(r.window_start) for r in rows}
     assert "2024-01-02 10:00:00" in starts and "2024-01-02 11:00:00" in starts
+
+
+def test_stateful_session_stats(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions separated by > gap
+    are emitted as state times out / closes."""
+    from gemini_data_wrangler_spark.streaming.events import streaming_session_stats
+
+    src = str(tmp_path / "stateful")
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.5, "{}"),
+            (2, "2024-01-01 10:10:00", 7, "click", 2.5, "{}"),
+            (3, "2024-01-01 12:00:00", 7, "click", 4.0, "{}"),  # new session (gap > 30m)
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # Later file advances the watermark so the first session times out.
+    batch2 = spark.createDataFrame(
+        [(4, "2024-01-01 18:00:00", 8, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    from gemini_data_wrangler_spark.streaming.events import read_events_stream
+
+    stream = read_events_stream(spark, src, batch1.schema, max_files_per_trigger=1)
+    sessions = streaming_session_stats(stream, gap_seconds=1800, watermark="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.user_id, str(r.session_start), r.n_events, r.total_value)
+            for r in spark.table("t_stateful").collect()}
+    # The first user-7 session (2 events, value 4.0) must have been emitted —
+    # either by the in-batch gap split or the event-time timeout.
+    assert (7, "2024-01-01 10:00:00", 2, 4.0) in rows
