@@ -176,9 +176,10 @@ def compile_stage(
         if len(tables) < 2:
             raise ValueError("UNION stage requires at least 2 tables")
         dfs = [resolve(name) for name in tables]
+        by_name = bool(d.get("byName"))  # engine extension; reference is positional-only
         out = dfs[0]
         for df in dfs[1:]:
-            out = out.union(df)  # positional, like SELECT * UNION SELECT *
+            out = out.unionByName(df, allowMissingColumns=True) if by_name else out.union(df)
         if (d.get("unionType") or "UNION") != "UNION ALL":
             out = out.distinct()
         return out
@@ -227,7 +228,11 @@ def compile_stage(
             raise ValueError("CUSTOM stage requires sql string")
         if spark is None:
             raise ValueError("CUSTOM stage requires a SparkSession")
-        return spark.sql(sql)
+        from gemini_data_wrangler_spark.plans.dialect import duckdb_to_spark_sql
+
+        # The reference's planner emits DuckDB SQL (server/index.js:269);
+        # rewrite its known dialect-isms so migrated flows run unchanged.
+        return spark.sql(duckdb_to_spark_sql(str(sql)))
 
     if t == "LOAD":
         # In the engine, LOAD resolves an already-registered table (the

@@ -258,15 +258,17 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 5,
     threshold: float = 0.8,
-    num_perm: int = 126,
-    bands: int = 21,
+    num_perm: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """Near-dup pairs via MinHash+LSH candidates + exact jaccard verify.
 
-    With num_perm=126, bands=21 (rows r=6): P(candidate | j) = 1-(1-j^6)^21
-    ≈ 1-4e-10 at j=0.93, ≈ 2% at j=0.31 — so recall at high jaccard is
-    effectively certain and the verification join stays small. Tune bands/r
-    to the corpus' similarity gap.
+    With num_perm=64, bands=16 (rows r=4): P(candidate | j) = 1-(1-j^4)^16
+    ≈ 0.9998 at j=0.8 and ≈ 14% at j=0.31 — recall at the 0.8 threshold is
+    effectively certain, and the extra low-similarity candidates are cheap
+    because verification intersects hashed-long arrays. Halving num_perm
+    (vs the textbook 128) halves the signature-aggregation cost, the
+    dominant term. Tune bands/r to the corpus' similarity gap.
 
     Output: doc_a, doc_b, jaccard — identical to ngram_jaccard_pairs
     whenever LSH recall holds (verified against the exact oracle in tests).

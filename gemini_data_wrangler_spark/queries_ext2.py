@@ -163,6 +163,25 @@ def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("o_orderkey", "o_totalprice", "n", "seg_total")
 
 
+@register(
+    "join_salted_skew",
+    """
+    SELECT l.l_orderkey, l.l_extendedprice, o.o_orderstatus, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Salting is semantically transparent: same result as the plain join,
+    # but a hot key spreads over `salt` reducers (the planned skew strategy;
+    # AQE skew-split is the runtime one).
+    from gemini_data_wrangler_spark.operators.skew import salted_join
+
+    t = load_sf_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice")
+    orders = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return salted_join(li, orders, "l_orderkey", "o_orderkey", salt=8)
+
+
 # ---------------------------------------------------------------------------
 # Multi-level aggregation (GROUPING stage: rollup / cube)
 # ---------------------------------------------------------------------------
