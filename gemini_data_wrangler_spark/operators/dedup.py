@@ -174,20 +174,27 @@ def ngram_jaccard_pairs(
         ),
     )
     sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
-    # prefix length = |A| - ceil(t*|A|) + 1
+    # prefix length = |A| - ceil(t*|A|) + 1; keep each token's rank for the
+    # positional filter below.
     prefix = _hot(
         ranked.join(sizes, id_col)
         .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
-        .select(F.col(id_col), F.col("_g")),
+        .select(F.col(id_col), F.col("_g"), F.col("_rk"), F.col("_n")),
         id_col,
     )
-    a = prefix.join(sizes, id_col).select(
-        F.col(id_col).alias("doc_a"), F.col("_g"), F.col("_n").alias("_na")
+    a = prefix.select(
+        F.col(id_col).alias("doc_a"), F.col("_g"), F.col("_rk").alias("_rka"), F.col("_n").alias("_na")
     )
-    b = prefix.join(sizes, id_col).select(
-        F.col(id_col).alias("doc_b"), F.col("_g"), F.col("_n").alias("_nb")
+    b = prefix.select(
+        F.col(id_col).alias("doc_b"), F.col("_g"), F.col("_rk").alias("_rkb"), F.col("_n").alias("_nb")
     )
-    candidates = (
+    # Positional filter (PPJoin): tokens sort by the same global order in
+    # every doc, so any common token NOT counted among the c prefix-prefix
+    # matches must rank after max(_rka) in A and after max(_rkb) in B. Hence
+    # overlap ≤ c + min(|A| - max_rka, |B| - max_rkb), while jaccard ≥ t
+    # needs overlap ≥ t/(1+t) · (|A|+|B|). Pairs failing the bound are
+    # pruned BEFORE the (comparatively expensive) set-intersection verify.
+    pair_stats = (
         a.join(b, "_g")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # length filter: jaccard >= t implies t*|A| <= |B| <= |A|/t
@@ -195,9 +202,18 @@ def ngram_jaccard_pairs(
             (F.col("_nb") >= F.lit(threshold) * F.col("_na"))
             & (F.col("_nb") <= F.col("_na") / F.lit(threshold))
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.max("_rka").alias("_mra"),
+            F.max("_rkb").alias("_mrb"),
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
+        )
     )
+    required = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb")))
+    ubound = F.col("_c") + F.least(F.col("_na") - F.col("_mra"), F.col("_nb") - F.col("_mrb"))
+    candidates = pair_stats.filter(ubound >= required).select("doc_a", "doc_b")
     return _verify_jaccard(candidates, shingled, id_col, threshold)
 
 

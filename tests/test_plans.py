@@ -1,0 +1,98 @@
+"""Physical-plan assertions — the scale contract.
+
+These tests pin the *plan shapes* that make the engine viable at 100 TB:
+filters and projections must reach the parquet scan, small dims must
+broadcast, top-k must never be a global sort. A refactor that silently
+regresses one of these still passes value-correctness tests, so the plans
+themselves are asserted here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.queries import registry
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    b, _ = registry()["tpch_q6_forecast_revenue"]
+    df = b(spark, SF_ORACLE)
+    plan = _plan(df)
+    # The shipdate/discount/quantity predicates must appear as pushed
+    # filters on the scan node, not only as a post-scan Filter.
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_projection_prunes_scan_columns(spark):
+    b, _ = registry()["select_projection"]
+    df = b(spark, SF_ORACLE)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_partkey" in read_schema and "p_name" in read_schema
+    # part has 6 columns; the scan must read only the 3 projected ones.
+    assert "p_brand" not in read_schema and "p_type" not in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    b, _ = registry()["join_inner_diff_keys"]
+    df = b(spark, SF_ORACLE)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    b, _ = registry()["topk_expensive_orders"]
+    df = b(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_aggregates_partially_before_shuffle(spark):
+    b, _ = registry()["flagship_segment_sales"]
+    df = b(spark, SF_ORACLE)
+    plan = _plan(df)
+    # Two HashAggregate nodes (partial + final) around the exchange =
+    # map-side combine; a single aggregate would shuffle raw rows.
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_stage_chain_fuses_into_one_plan(spark):
+    """FILTER→GROUP→SORT stage chains must NOT materialize between stages:
+    the optimized plan keeps the filter adjacent to the scan (fused), with
+    no intermediate exchange-per-stage."""
+    b, _ = registry()["tpch_q1_pricing_summary"]
+    df = b(spark, SF_ORACLE)
+    opt = _optimized(df)
+    # One relation scan; the filter fused into the same tree.
+    assert opt.count("Relation") == 1
+    assert "Filter" in opt or "PushedFilters" in _plan(df)
+
+
+def test_whole_stage_codegen_covers_core_query(spark):
+    b, _ = registry()["group_all_agg_functions"]
+    df = b(spark, SF_ORACLE)
+    # Codegen spans only appear in the FINAL adaptive plan — run it first.
+    # They print as `*(n)` operator prefixes (simpleString form).
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(1)" in plan  # at least one whole-stage-codegen span
+    # both aggregate halves are inside codegen spans
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+
+
+def test_custom_sql_broadcast_of_small_dims(spark):
+    # nation (25 rows) joined in CUSTOM SQL must auto-broadcast via AQE or
+    # static planning — never a shuffle-both-sides sort-merge join.
+    b, _ = registry()["tpch_q10_returned_items"]
+    df = b(spark, SF_ORACLE)
+    assert "BroadcastHashJoin" in _plan(df)
