@@ -332,4 +332,70 @@ def compile_stage(
 
         return compile_dedup_stage(stage, input_df())
 
+    if t == "TEXT":
+        # {table, textColumn, idColumn, operations: [tokens|bpe_tokens|
+        #  quality|language_id|fingerprint, ...]} — adds one output column
+        # per operation, all pure JVM expressions.
+        from gemini_data_wrangler_spark.functions import text as T
+
+        df = input_df()
+        text_col = F.col(d.get("textColumn", "text"))
+        ops = d.get("operations") or ["tokens"]
+        id_col = d.get("idColumn")
+        cols = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
+        for op in ops:
+            if op == "tokens":
+                cols.append(T.token_count(text_col).alias("n_tokens"))
+            elif op == "bpe_tokens":
+                cols.append(T.bpe_ish_token_count(text_col).alias("n_bpe_tokens"))
+            elif op == "quality":
+                feats = T.quality_features(text_col)
+                cols += [feats[k].alias(k) for k in ("punct_ratio", "stop_ratio", "quality_score")]
+            elif op == "language_id":
+                cols.append(T.language_id(text_col).alias("lang_pred"))
+            elif op == "fingerprint":
+                cols.append(T.doc_fingerprint(text_col).alias("fingerprint"))
+            else:
+                raise ValueError(f"Unknown TEXT operation: {op}")
+        return df.select(*cols)
+
+    if t == "SIMILARITY":
+        # {table (embeddings), method: brute|lsh|ivf, queryIds: [..], k?,
+        #  idColumn?, vectorColumn?}
+        from gemini_data_wrangler_spark.operators import similarity as S
+
+        df = input_df()
+        method = (d.get("method") or "brute").lower()
+        idc = d.get("idColumn", "vec_id")
+        vc = d.get("vectorColumn", "embedding")
+        k = int(d.get("k", 10))
+        queries = S.queries_from_ids(df, list(d.get("queryIds") or []), id_col=idc, vec_col=vc)
+        if method == "brute":
+            return S.cosine_topk(df, queries, k=k, id_col=idc, vec_col=vc)
+        if method == "lsh":
+            return S.lsh_topk(df, queries, k=k, id_col=idc, vec_col=vc)
+        if method == "ivf":
+            return S.ivf_topk(df, queries, k=k, id_col=idc, vec_col=vc)
+        raise ValueError(f"Unknown SIMILARITY method: {method}")
+
+    if t == "STREAM":
+        # {table (events), windowType: tumbling|sliding|session, window?,
+        #  slide?, gap?, tsColumn?} — batch mode of the streaming builders
+        # (identical semantics under Structured Streaming; see
+        # streaming/events.py).
+        from gemini_data_wrangler_spark.streaming import events as E
+
+        df = input_df()
+        wt = (d.get("windowType") or "tumbling").lower()
+        ts = d.get("tsColumn", "ts")
+        if wt == "tumbling":
+            return E.tumbling_window_agg(df, d.get("window", "1 hour"), ts_col=ts)
+        if wt == "sliding":
+            return E.sliding_window_agg(
+                df, d.get("window", "1 hour"), d.get("slide", "30 minutes"), ts_col=ts
+            )
+        if wt == "session":
+            return E.session_agg(df, d.get("gap", "30 minutes"), ts_col=ts)
+        raise ValueError(f"Unknown STREAM windowType: {wt}")
+
     raise ValueError(f"Unsupported stage type: {t}")

@@ -81,6 +81,9 @@ def compile_window_stage(stage: Stage, df: DataFrame) -> DataFrame:
             offset = int(fn.get("offset", 1))
             maker = F.lag if name == "LAG" else F.lead
             col = maker(F.expr(fn["column"]), offset).over(_window_spec(d, need_order=True, frame=None))
+        elif name == "NTILE":
+            n = int(fn.get("n", 4))
+            col = F.ntile(n).over(_window_spec(d, need_order=True, frame=None))
         elif name in _AGGS:
             col = _AGGS[name](F.expr(fn["column"])).over(_window_spec(d, need_order=False, frame=frame))
         else:

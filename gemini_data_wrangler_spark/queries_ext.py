@@ -138,6 +138,73 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("o_orderkey", "o_custkey", F.round("running_total", 2).alias("running_total"))
 
 
+@register(
+    "window_lag_lead",
+    """
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = run_stages(
+        spark,
+        sf_dir,
+        [
+            {
+                "id": "stage_0",
+                "type": "WINDOW",
+                "data": {
+                    "table": "orders",
+                    "partitionBy": ["o_custkey"],
+                    "orderBy": [
+                        {"column": "o_orderdate", "direction": "ASC"},
+                        {"column": "o_orderkey", "direction": "ASC"},
+                    ],
+                    "functions": [
+                        {"function": "LAG", "column": "o_totalprice", "alias": "prev_price"},
+                        {"function": "LEAD", "column": "o_totalprice", "alias": "next_price"},
+                    ],
+                },
+            }
+        ],
+    )
+    return df.select("o_orderkey", "o_custkey", "prev_price", "next_price")
+
+
+@register(
+    "window_ntile_quartiles",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+    FROM customer
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = run_stages(
+        spark,
+        sf_dir,
+        [
+            {
+                "id": "stage_0",
+                "type": "WINDOW",
+                "data": {
+                    "table": "customer",
+                    "partitionBy": [],
+                    "orderBy": [
+                        {"column": "c_acctbal", "direction": "ASC"},
+                        {"column": "c_custkey", "direction": "ASC"},
+                    ],
+                    "functions": [{"function": "NTILE", "n": 4, "alias": "quartile"}],
+                },
+            }
+        ],
+    )
+    return df.select("c_custkey", "quartile")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents table)
 # ---------------------------------------------------------------------------
@@ -157,6 +224,21 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
         F.length("text").alias("n_chars"),
     )
+
+
+@register(
+    "text_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemini_data_wrangler_spark.functions.text import bpe_ish_token_count
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
 _QUALITY_ORACLE = """
