@@ -134,6 +134,42 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
 
 
+def word_bigrams(tokens: Column) -> Column:
+    """Word-bigram array from a token array — the basis for repetition
+    statistics (Gopher-style top-n-gram fraction; Rae et al. 2021, §A1.1).
+    Pure JVM: sequence + transform over the token array.
+
+    SQL: [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)].
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(tokens, i), F.element_at(tokens, i + 1)),
+    )
+
+
+# PII patterns — deliberately simple, identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, quantifiers, \b, \d only.
+EMAIL_PATTERN = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PHONE_PATTERN = r"\b\d{3}-\d{4}\b"
+URL_PATTERN = r"https?://[a-z0-9.-]+[a-z0-9/._-]*"
+URL_DOMAIN_PATTERN = r"https?://([a-z0-9.-]+)"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails then phone numbers with typed placeholder tokens.
+    Spark ``regexp_replace`` is global by default (DuckDB needs the 'g'
+    flag — see the oracle SQL in queries_ext3)."""
+    scrubbed = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(scrubbed, PHONE_PATTERN, "[PHONE]")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0))),
+    }
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-gram set, as an array column — the shingle basis
     for jaccard/minhash dedup. Pure JVM: sequence + transform + distinct.

@@ -399,6 +399,80 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Connected-components clustering (pairs → canonical cluster ids)
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components and assign each member
+    the component's minimum doc id as ``cluster_id`` — the canonicalization
+    step after any pair-producing dedup (pick one representative per
+    cluster, drop the rest).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converged when no label
+    changes. Rounds needed = graph diameter ≤ O(log n) on typical dup
+    clusters (they are small and dense). Each round is one co-partitioned
+    shuffle join; ``localCheckpoint`` truncates the lineage so the plan does
+    not grow with iterations (at 1000-executor scale the alternating
+    large-star/small-star variant of Kiveris et al. bounds rounds at
+    O(log² n) with the same per-round join shape — the propagation below is
+    that algorithm without the degree-rebalancing step, which tiny dup
+    clusters don't need).
+
+    Output: doc_id, cluster_id.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    n = edges.sparkSession.sparkContext.defaultParallelism
+    edges = edges.repartition(n, "v").persist()
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels.select(F.col("id").alias("v"), F.col("label").alias("_nl")), "v"
+        ).select(F.col("u").alias("id"), F.col("_nl").alias("label"))
+        new_labels = (
+            labels.union(neighbor).groupBy("id").agg(F.min("label").alias("label")).localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels, ["id", "label"], "left_anti").limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE, then min reachable
+    id per vertex. Exponential-ish on giant components — fine at sf0.01
+    where dup clusters are tiny."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    """
+
+
+# ---------------------------------------------------------------------------
 # DEDUP stage adapter (closed-IR entry point)
 # ---------------------------------------------------------------------------
 def compile_dedup_stage(stage: Stage, df: DataFrame) -> DataFrame:
@@ -424,4 +498,9 @@ def compile_dedup_stage(stage: Stage, df: DataFrame) -> DataFrame:
             n=int(d.get("n", 5)),
             jaccard_threshold=float(d.get("threshold", 0.8)),
         )
+    if method == "cluster":
+        pairs = minhash_lsh_pairs(
+            df, d["idColumn"], d["textColumn"], n=int(d.get("n", 5)), threshold=float(d.get("threshold", 0.8))
+        )
+        return connected_components(pairs)
     raise ValueError(f"Unknown dedup method: {method}")

@@ -41,7 +41,12 @@ def register(name: str, oracle: Optional[str]):
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
     # Import side-effect registries for extension operators.
-    from gemini_data_wrangler_spark import queries_ext, queries_ext2, queries_tpch  # noqa: F401
+    from gemini_data_wrangler_spark import (  # noqa: F401
+        queries_ext,
+        queries_ext2,
+        queries_ext3,
+        queries_tpch,
+    )
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,300 @@
+"""Training-data pipeline operators, round 2 — repetition statistics,
+PII scrubbing, URL extraction, deterministic (content-hash) sampling,
+near-dup cluster canonicalization, corpus n-gram stats.
+
+All hot paths are built-in JVM expressions; every query carries an exact
+DuckDB oracle (the synthetic corpus has no PII/URLs, so those queries
+synthesize the target substrings from ``doc_id`` inside the query — the
+redaction/extraction path is fully exercised and still hash-checkable).
+No counterpart in the reference app (zero scalar functions in its stage
+algebra — SURVEY.md §2.4); north-star scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.functions.text import (
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    URL_DOMAIN_PATTERN,
+    pii_counts,
+    redact_pii,
+    word_bigrams,
+)
+from gemini_data_wrangler_spark.operators.dedup import (
+    connected_components,
+    connected_components_oracle_sql,
+    minhash_lsh_pairs,
+    ngram_jaccard_oracle_sql,
+)
+from gemini_data_wrangler_spark.queries import register
+from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_sf_tables(spark, sf_dir)[name]
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality signals; Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS w FROM t
+    ), tok_stats AS (
+      SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct FROM tok GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]) AS b
+      FROM t
+    ), bgc AS (
+      SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+    ), bgs AS (
+      SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams FROM bgc GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.n_distinct,
+           round(CAST(s.n_distinct AS DOUBLE) / greatest(s.n_tokens, 1), 6) AS distinct_ratio,
+           g.top_bigram_count,
+           round(CAST(g.top_bigram_count AS DOUBLE) / greatest(g.n_bigrams, 1), 6) AS top_bigram_frac
+    FROM tok_stats s JOIN bgs g ON s.doc_id = g.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: distinct-token ratio and most-common
+    word-bigram fraction — the standard "excessive repetition" filters for
+    LLM training corpora. Two explode→agg passes (tokens, bigrams) joined on
+    doc_id; at 100 TB both shuffles key on doc_id so AQE co-partitions the
+    final join."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    tok_stats = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_distinct"),
+        )
+    )
+    bg_stats = (
+        toks.select("doc_id", F.explode(word_bigrams(F.col("t"))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    return tok_stats.join(bg_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.col("n_distinct").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("distinct_ratio"),
+        "top_bigram_count",
+        F.round(
+            F.col("top_bigram_count").cast("double") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (emails/phones synthesized from doc_id — corpus has none)
+# ---------------------------------------------------------------------------
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id % 100 AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'"
+    " || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _aug_text() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com"),
+        F.lit(" or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    rf"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{EMAIL_PATTERN}')) AS n_emails,
+           len(regexp_extract_all(t, '{PHONE_PATTERN}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{EMAIL_PATTERN}', '[EMAIL]', 'g'),
+                              '{PHONE_PATTERN}', '[PHONE]', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails → [EMAIL], phones → [PHONE]) with per-doc
+    match counts and an md5 of the scrubbed text proving byte-identical
+    redaction against the oracle. One codegen'd projection — no shuffle, no
+    UDF; scales embarrassingly."""
+    docs = _table(spark, sf_dir, "documents").withColumn("_aug", _aug_text())
+    counts = pii_counts(F.col("_aug"))
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(redact_pii(F.col("_aug"))).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction
+# ---------------------------------------------------------------------------
+_URL_AUG_SQL = (
+    "text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@register(
+    "text_url_domains",
+    rf"""
+    WITH aug AS (SELECT doc_id, {_URL_AUG_SQL} AS t FROM documents)
+    SELECT regexp_extract(t, '{URL_DOMAIN_PATTERN}', 1) AS domain,
+           count(*) AS n_docs
+    FROM aug GROUP BY domain
+    """,
+)
+def text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain histogram over extracted URLs — the provenance/robots audit
+    every web-scale corpus needs. Projection + one partial-aggregated
+    shuffle on domain (low cardinality → tiny exchange)."""
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "_aug",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return (
+        docs.select(F.regexp_extract("_aug", URL_DOMAIN_PATTERN, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic content-hash sampling (md5 threshold — exactly reproducible
+# on any engine, unlike seeded RNG sampling)
+# ---------------------------------------------------------------------------
+@register(
+    "sample_deterministic_hash",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE md5(CAST(o_orderkey AS VARCHAR)) < '2a'
+    """,
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~16.4% deterministic sample: keep rows whose md5(key) falls below a
+    hex threshold. Content-addressed, so the SAME rows are kept on every
+    engine, every run, every cluster size — the reproducibility property
+    seeded sampling cannot give across engines. Pure filter: pushed to the
+    scan, no shuffle."""
+    orders = _table(spark, sf_dir, "orders")
+    return orders.filter(F.md5(F.col("o_orderkey").cast("string")) < "2a").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    """
+    SELECT o_orderpriority, count(*) AS n_sampled
+    FROM orders
+    WHERE md5(CAST(o_orderkey AS VARCHAR)) <
+          CASE o_orderpriority
+            WHEN '1-URGENT' THEN '80'
+            WHEN '2-HIGH' THEN '40'
+            ELSE '1a'
+          END
+    GROUP BY o_orderpriority
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum hash thresholds
+    (50% urgent, 25% high, ~10% rest) — the down-weight-by-source knob of
+    corpus mixing, reproducible across engines. Filter + one tiny
+    aggregation shuffle."""
+    orders = _table(spark, sf_dir, "orders")
+    threshold = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("80"))
+        .when(F.col("o_orderpriority") == "2-HIGH", F.lit("40"))
+        .otherwise(F.lit("1a"))
+    )
+    return (
+        orders.filter(F.md5(F.col("o_orderkey").cast("string")) < threshold)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster canonicalization (pairs → connected components)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    connected_components_oracle_sql(
+        ngram_jaccard_oracle_sql("documents", "doc_id", "text", n=5, threshold=0.8)
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair set: every
+    clustered doc gets its component's min doc_id as cluster_id (keep that
+    representative, drop the rest). LSH pair recall equals the exact pair
+    set on this corpus (verified in tests), so the exact-jaccard transitive
+    closure is a valid oracle."""
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level n-gram stats
+# ---------------------------------------------------------------------------
+@register(
+    "text_top_bigrams",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ), bg AS (
+      SELECT unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]) AS bigram
+      FROM t
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — contamination/boilerplate probe.
+    Explode → partial-aggregated shuffle → TakeOrderedAndProject (top-k
+    never materializes the full sort at scale). Total order (count desc,
+    bigram asc) makes the cut deterministic."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("t"))
+    return (
+        toks.select(F.explode(word_bigrams(F.col("t"))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )

@@ -65,3 +65,31 @@ def test_near_dup_detected_verbatim_edit(spark):
     pairs = _pairs(ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.7))
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from gemini_data_wrangler_spark.operators.dedup import connected_components
+
+    # Two components: a 4-chain {1,2,3,4} (transitive, needs propagation)
+    # and a pair {10, 11}. Vertex 7 appears only as doc_b.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (6, 7)], "doc_a int, doc_b int"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (6, 6), (7, 6)}
+
+
+def test_connected_components_star_and_cycle(spark):
+    from gemini_data_wrangler_spark.operators.dedup import connected_components
+
+    # Star around 100 plus a cycle 1-2-3-1; min label must win everywhere.
+    pairs = spark.createDataFrame(
+        [(100, 5), (100, 50), (100, 2), (1, 2), (2, 3), (3, 1)],
+        "doc_a int, doc_b int",
+    )
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    # 2 bridges the star and the cycle: everything is one component, min id 1.
+    assert got == {(v, 1) for v in (1, 2, 3, 5, 50, 100)}

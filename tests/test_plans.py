@@ -96,3 +96,43 @@ def test_custom_sql_broadcast_of_small_dims(spark):
     b, _ = registry()["tpch_q10_returned_items"]
     df = b(spark, SF_ORACLE)
     assert "BroadcastHashJoin" in _plan(df)
+
+
+# ---------------------------------------------------------------------------
+# Chart-config pass-through (plans/chart.py)
+# ---------------------------------------------------------------------------
+def test_chart_config_normalize_and_validate(spark):
+    from gemini_data_wrangler_spark.plans.chart import (
+        chart_payload,
+        normalize_chart_config,
+        validate_chart_config,
+    )
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id int, name string, score double")
+
+    cfg = normalize_chart_config({"chartType": "bar", "xAxis": "name", "yAxis": "score"})
+    assert cfg.type == "bar"
+    assert validate_chart_config(cfg, df) == []
+
+    # Unknown type degrades to none (best-effort, never fails the query).
+    assert normalize_chart_config({"chartType": "piechart"}).type == "none"
+    assert normalize_chart_config({}).type == "none"
+
+    # Missing column yields the reference's error string.
+    bad = normalize_chart_config({"type": "line", "xAxis": "nope", "yAxis": "score"})
+    errs = validate_chart_config(bad, df)
+    assert errs == ['Column "nope" not found in data']
+
+    # Case-insensitive resolution, like spark.sql.caseSensitive=false.
+    ci = normalize_chart_config({"type": "scatter", "xAxis": "NAME", "yAxis": "SCORE"})
+    assert validate_chart_config(ci, df) == []
+
+    # 3-D z-axis validated only for 3-D chart types.
+    three = normalize_chart_config(
+        {"type": "3d-scatter", "xAxis": "id", "yAxis": "score", "zAxis": "missing"}
+    )
+    assert validate_chart_config(three, df) != []
+
+    payload = chart_payload(cfg, df)
+    assert payload["errors"] == []
+    assert payload["rows"] == [{"name": "a", "score": 2.0}]
