@@ -298,3 +298,32 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (batch surface of the streaming builder — identical
+# plan semantics; the true streaming run is asserted equal in
+# tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+@register(
+    "stream_join_click_purchase",
+    """
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts, p.value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 60 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemini_data_wrangler_spark.streaming.events import streaming_click_purchase_join
+
+    events = _table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return streaming_click_purchase_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        max_delay_minutes=60,
+    )

@@ -188,6 +188,88 @@ def streaming_session_stats(
     )
 
 
+def streaming_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    same user's clicks in the preceding ``max_delay_minutes``. Both sides
+    carry watermarks plus the event-time range in the join condition, so
+    Spark bounds the buffered state on BOTH sides (without the range, a
+    stream-stream join keeps unbounded state — the classic 100 TB footgun).
+
+    Works identically on batch DataFrames (the batch run is the oracle
+    surface in tests).
+
+    Output: user_id, click_id, click_ts, purchase_id, purchase_ts, value.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["user_id"] == p["p_user_id"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {max_delay_minutes} MINUTES"))
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "value"
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state is evicted instead of growing forever —
+    the streaming counterpart of the batch ``exact_dedup`` operator. Batch
+    frames take the plain ``dropDuplicates`` path (same result set)."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(keys)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def foreach_batch_parquet_sink(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Exactly-once parquet sink via ``foreachBatch``: each micro-batch
+    writes to ``out_dir/epoch=<id>`` with dynamic overwrite, so a replayed
+    epoch (failure between write and commit) overwrites its own output
+    instead of appending duplicates — idempotence is the sink half of
+    exactly-once; the checkpoint (WAL + offsets) is the source half.
+
+    Returns the started ``StreamingQuery`` (availableNow trigger: drains
+    the source then stops, the batch-backfill pattern)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_tumbling_counts(
     stream: DataFrame,
     window: str = "1 hour",

@@ -156,3 +156,79 @@ def test_stateful_session_stats(spark, tmp_path):
     # The first user-7 session (2 events, value 4.0) must have been emitted —
     # either by the in-batch gap split or the event-time timeout.
     assert (7, "2024-01-01 10:00:00", 2, 4.0) in rows
+
+
+def test_stream_stream_join_equals_batch(spark, events_batch, tmp_path):
+    from gemini_data_wrangler_spark.streaming.events import streaming_click_purchase_join
+
+    src = str(tmp_path / "events_ssj")
+    events_batch.repartition(3).write.parquet(src)
+    stream = read_events_stream(spark, src, events_batch.schema, max_files_per_trigger=1)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purchases_s = stream.filter(F.col("event_type") == "purchase")
+    joined = streaming_click_purchase_join(clicks_s, purchases_s, watermark="40 days")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.table("t_ssj").collect()}
+
+    eb = events_batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = streaming_click_purchase_join(
+        eb.filter(F.col("event_type") == "click"),
+        eb.filter(F.col("event_type") == "purchase"),
+    )
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert streamed == batch_rows
+    assert len(batch_rows) > 0
+
+
+def test_streaming_dedup_drops_duplicates(spark, events_batch, tmp_path):
+    from gemini_data_wrangler_spark.streaming.events import streaming_dedup
+
+    # Duplicate every event across two files: the stream sees each event
+    # twice, in different micro-batches.
+    src = str(tmp_path / "events_dup")
+    events_batch.coalesce(1).write.parquet(src)
+    events_batch.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_events_stream(spark, src, events_batch.schema, max_files_per_trigger=1)
+    deduped = streaming_dedup(stream, ["event_id"], watermark="40 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_sdedup")
+    assert got.count() == events_batch.count()
+    assert got.select("event_id").distinct().count() == events_batch.count()
+
+
+def test_foreach_batch_sink_idempotent(spark, events_batch, tmp_path):
+    from gemini_data_wrangler_spark.streaming.events import foreach_batch_parquet_sink
+
+    src = str(tmp_path / "events_sink_src")
+    events_batch.repartition(3).write.parquet(src)
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    stream = read_events_stream(spark, src, events_batch.schema, max_files_per_trigger=1)
+    q = foreach_batch_parquet_sink(stream.filter(F.col("event_type") == "view"), out, ckpt)
+    q.awaitTermination(180)
+    first = spark.read.parquet(out).count()
+    expect = events_batch.filter(F.col("event_type") == "view").count()
+    assert first == expect
+
+    # Restart from the same checkpoint: source is drained, so nothing new is
+    # written and nothing is duplicated.
+    stream2 = read_events_stream(spark, src, events_batch.schema, max_files_per_trigger=1)
+    q2 = foreach_batch_parquet_sink(stream2.filter(F.col("event_type") == "view"), out, ckpt)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == expect
