@@ -136,3 +136,31 @@ def test_chart_config_normalize_and_validate(spark):
     payload = chart_payload(cfg, df)
     assert payload["errors"] == []
     assert payload["rows"] == [{"name": "a", "score": 2.0}]
+
+
+def test_corpus_topk_bigrams_is_take_ordered(spark):
+    b, _ = registry()["text_top_bigrams"]
+    df = b(spark, SF_ORACLE)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_hash_sample_is_shuffle_free(spark):
+    # Deterministic hash sampling is a pure filter + projection: the plan
+    # must contain NO exchange at all.
+    b, _ = registry()["sample_deterministic_hash"]
+    df = b(spark, SF_ORACLE)
+    assert "Exchange" not in _plan(df)
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    b, _ = registry()["text_pii_scrub"]
+    df = b(spark, SF_ORACLE)
+    assert "Exchange" not in _plan(df)
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    # The query side must broadcast: candidate scan stays shuffle-free until
+    # the ranking window.
+    b, _ = registry()["similarity_cosine_topk"]
+    df = b(spark, SF_ORACLE)
+    assert "BroadcastNestedLoopJoin" in _plan(df) or "BroadcastExchange" in _plan(df)
