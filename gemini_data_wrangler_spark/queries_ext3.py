@@ -327,3 +327,127 @@ def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type") == "purchase"),
         max_delay_minutes=60,
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregate bank (beyond the reference's 5-function whitelist)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_stats_functions",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_pop(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+           round(median(l_discount), 6) AS median_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates + exact median — single partial-aggregated
+    shuffle (median is the exception: exact percentile needs the group's
+    values together; Spark plans it as a sort-based aggregate per group)."""
+    li = _table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_qty_price"),
+        F.round(F.median("l_discount"), 6).alias("median_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function banks (dates / strings / math) — first-class here, only
+# reachable via CUSTOM SQL in the reference (SURVEY §2.4 "none declared")
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_date_functions",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@register(
+    "scalar_string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS up, lower(c_name) AS lo,
+           substr(c_name, 1, 5) AS pre,
+           length(c_name) AS len,
+           replace(c_name, '#', '-') AS repl,
+           reverse(c_name) AS rev,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           split_part(c_name, '#', 2) AS after_hash,
+           concat_ws('|', c_name, c_mktsegment) AS joined
+    FROM customer
+    WHERE c_custkey < 500
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_name").alias("lo"),
+        F.substring("c_name", 1, 5).alias("pre"),
+        F.length("c_name").alias("len"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("repl"),
+        F.reverse("c_name").alias("rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+    )
+
+
+@register(
+    "scalar_math_functions",
+    """
+    SELECT p_partkey,
+           abs(p_retailprice - 1000) AS dev,
+           round(sqrt(p_retailprice), 6) AS root,
+           CAST(ceil(p_retailprice) AS BIGINT) AS up_int,
+           CAST(floor(p_retailprice) AS BIGINT) AS down_int,
+           round(ln(p_retailprice), 6) AS log_e,
+           round(power(p_size, 2), 1) AS size_sq,
+           p_partkey % 7 AS bucket7,
+           greatest(p_size, 10) AS at_least_10,
+           least(p_size, 40) AS at_most_40
+    FROM part
+    WHERE p_partkey < 400
+    """,
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000).alias("dev"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("root"),
+        F.ceil("p_retailprice").alias("up_int"),
+        F.floor("p_retailprice").alias("down_int"),
+        F.round(F.ln("p_retailprice"), 6).alias("log_e"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        (F.col("p_partkey") % 7).alias("bucket7"),
+        F.greatest("p_size", F.lit(10)).alias("at_least_10"),
+        F.least("p_size", F.lit(40)).alias("at_most_40"),
+    )
