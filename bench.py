@@ -52,7 +52,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         # Drop per-query persisted intermediates (dedup/similarity stage
         # caches) so successive queries don't accumulate heap pressure.
+        # clearCache only covers the SQL cache manager — localCheckpoint
+        # blocks (connected components) are freed by the ContextCleaner,
+        # which needs the Python refs collected first; nudge both so each
+        # query starts from a clean block manager.
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
