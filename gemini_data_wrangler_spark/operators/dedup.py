@@ -427,14 +427,30 @@ def connected_components(
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    n = edges.sparkSession.sparkContext.defaultParallelism
-    edges = edges.repartition(n, "v").persist()
+    edges = edges.persist()
+    # Size the loop's parallelism to the edge count (one upfront job): dup
+    # graphs are usually a tiny fraction of the corpus, and running each
+    # propagation round at full cluster width pays fixed per-task overhead
+    # × iterations for near-empty partitions. ~50k edges per partition keeps
+    # a round sub-second at any width; capped at defaultParallelism.
+    n_edges = edges.count()
+    sc = edges.sparkSession.sparkContext
+    n = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
+    edges = edges.repartition(n, "v")
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+
+    # Convergence probe: labels only ever decrease, so the (exact, decimal)
+    # label sum strictly decreases until the fixpoint — one cheap aggregate
+    # per round instead of an anti-join.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor = edges.join(
             labels.select(F.col("id").alias("v"), F.col("label").alias("_nl")), "v"
@@ -442,12 +458,11 @@ def connected_components(
         new_labels = (
             labels.union(neighbor).groupBy("id").agg(F.min("label").alias("label")).localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels, ["id", "label"], "left_anti").limit(1).count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 

@@ -238,3 +238,69 @@ def ivf_topk(
     pairs = cand.join(F.broadcast(q), "cell").filter(F.col("vec_id") != F.col("query_id"))
     scored = pairs.withColumn("_sim", cosine_similarity(F.col("_q"), F.col("_v")))
     return _ranked_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) — DataFrame-native centroid training for IVF
+# ---------------------------------------------------------------------------
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    max_iter: int = 5,
+    init_stride: int = 50,
+) -> DataFrame:
+    """Lloyd's algorithm as pure DataFrame ops — the training step a real
+    IVF index needs (``ivf_topk``'s deterministic stride centroids are the
+    untrained starting point; this refines them).
+
+    Per iteration: (1) assign every vector to its nearest centroid via a
+    broadcast cross join + ranking window; (2) recompute centroids as
+    element-wise means (posexplode → per-(cell, dim) avg → array rebuild).
+    Deterministic: stride init, cosine ties broken by cell id. Iterations
+    are driver-orchestrated but every step is distributed; lineage is
+    truncated per round with localCheckpoint.
+
+    Output: cell_id, centroid (array<double>), n_members — the centroid
+    table ``ivf_topk`` probes.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    centroids = (
+        vecs.filter((F.col("_id") % init_stride) == 0)
+        .limit(k)
+        .select(F.monotonically_increasing_id().alias("cell_id"), F.col("_v").alias("_c"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+            "_sim", cosine_similarity(F.col("_v"), F.col("_c"))
+        )
+        w = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cell_id").asc())
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("cell_id", "_v")
+        )
+        dims = assigned.select(
+            "cell_id", F.posexplode("_v").alias("_pos", "_val")
+        )
+        means = (
+            dims.groupBy("cell_id", "_pos")
+            .agg(F.avg("_val").alias("_m"), F.count(F.lit(1)).alias("_n"))
+        )
+        centroids = (
+            means.groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("_c"),
+                F.first("_n").alias("n_members"),
+            )
+            .localCheckpoint()
+        )
+    return centroids.select("cell_id", F.col("_c").alias("centroid"), "n_members")

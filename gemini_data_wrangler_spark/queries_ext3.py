@@ -451,3 +451,15 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("p_size", F.lit(10)).alias("at_least_10"),
         F.least("p_size", F.lit(40)).alias("at_most_40"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means centroid training (iterative — rows-only check; determinism and
+# monotone inertia asserted in tests/test_ext_stages.py)
+# ---------------------------------------------------------------------------
+@register("embedding_kmeans", None)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemini_data_wrangler_spark.operators.similarity import kmeans_lloyd
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, max_iter=3)

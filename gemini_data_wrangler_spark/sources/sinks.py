@@ -56,3 +56,24 @@ def write_flow_json(stages: list[Stage], path: str) -> None:
     """Serialize a stage flow to the reference's export JSON format."""
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(export_flow_json(stages))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sort-within-bucket) managed
+    table. Two tables bucketed on the same key with the same bucket count
+    join WITHOUT any exchange — the shuffle is paid once at write time and
+    amortized over every subsequent join/aggregation on that key. This is
+    the 100 TB answer for fact tables that are repeatedly joined on the
+    same key (orders ⋈ lineitem on orderkey); the co-location is asserted
+    in tests/test_graph_sinks.py (no Exchange in the joined plan)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -171,3 +171,34 @@ def test_range_join_count_trailing_window(spark):
     assert len(out) == 1
     assert out[0].n_in_range == 3
     assert out[0].sum_in_range == 11.0
+
+
+def test_kmeans_deterministic_and_improves(spark):
+    from gemini_data_wrangler_spark.operators.similarity import (
+        cosine_similarity,
+        kmeans_lloyd,
+    )
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+    from tests.conftest import SF_ORACLE
+
+    emb = load_sf_tables(spark, SF_ORACLE)["embeddings"]
+
+    def inertia(centroids):
+        vecs = emb.select(
+            F.col("vec_id"), F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+        )
+        scored = vecs.crossJoin(F.broadcast(centroids.select("cell_id", F.col("centroid").alias("_c")))).withColumn(
+            "_sim", cosine_similarity(F.col("_v"), F.col("_c"))
+        )
+        return scored.groupBy("vec_id").agg(F.max("_sim").alias("best")).agg(F.sum("best")).collect()[0][0]
+
+    c1 = kmeans_lloyd(emb, k=8, max_iter=1)
+    c3 = kmeans_lloyd(emb, k=8, max_iter=3)
+    # More Lloyd rounds must not worsen the total best-assignment similarity.
+    assert inertia(c3) >= inertia(c1) - 1e-9
+
+    # Deterministic across runs.
+    a = {(r.cell_id, r.n_members) for r in kmeans_lloyd(emb, k=8, max_iter=2).collect()}
+    b = {(r.cell_id, r.n_members) for r in kmeans_lloyd(emb, k=8, max_iter=2).collect()}
+    assert a == b
+    assert len(a) == 8

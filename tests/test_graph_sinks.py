@@ -75,3 +75,42 @@ def test_write_csv_round_trip(spark, tmp_path):
     write_csv(df, out)
     back = spark.read.option("header", True).option("inferSchema", True).csv(out)
     assert {(r.id, r.s) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+    from gemini_data_wrangler_spark.sources.sinks import write_bucketed_table
+    from tests.conftest import SF_SMALL
+
+    tables = load_sf_tables(spark, SF_SMALL)
+    write_bucketed_table(
+        tables["orders"], "b_orders", ["o_custkey"], n_buckets=4, sort_cols=["o_custkey"]
+    )
+    write_bucketed_table(
+        tables["customer"], "b_customer", ["c_custkey"], n_buckets=4, sort_cols=["c_custkey"]
+    )
+    try:
+        o = spark.table("b_orders")
+        c = spark.table("b_customer")
+        # Disable broadcast so the co-location (not a broadcast) is what
+        # removes the shuffle.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = o.join(c, o["o_custkey"] == c["c_custkey"]).groupBy("c_mktsegment").count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # The join inputs must be exchange-free (bucket co-location);
+            # the post-join aggregation keys on a different column, so
+            # exactly ONE exchange (the agg's) may appear in the whole plan.
+            assert plan.count("Exchange") <= 1, plan
+            assert "SortMergeJoin" in plan
+            from pyspark.sql import functions as F
+
+            n = joined.agg(F.sum("count")).collect()[0][0]
+            assert n == tables["orders"].count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
