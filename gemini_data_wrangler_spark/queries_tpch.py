@@ -665,3 +665,258 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2-style: min-cost supplier per part — correlated MIN subquery → window
+# min-filter (one pass, no re-join of the aggregate)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+    )
+    SELECT c.l_partkey AS p_key, s_name, round(c.unit_cost, 6) AS unit_cost
+    FROM costs c JOIN supplier ON s_suppkey = c.l_suppkey
+    WHERE c.unit_cost = (SELECT min(unit_cost) FROM costs c2 WHERE c2.l_partkey = c.l_partkey)
+      AND c.l_partkey < 200
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated 'equal to the per-group minimum' subquery compiles to
+    a window MIN + filter — one shuffle on the correlation key instead of
+    computing the aggregate twice and re-joining."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        costs.withColumn("_min", F.min("unit_cost").over(w))
+        .filter((F.col("unit_cost") == F.col("_min")) & (F.col("l_partkey") < 200))
+        .drop("_min")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return best.join(supp, best["l_suppkey"] == supp["s_suppkey"]).select(
+        F.col("l_partkey").alias("p_key"), "s_name", F.round("unit_cost", 6).alias("unit_cost")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7-style: volume shipping between two nations by year
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("_nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"))
+        .filter(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9-style: product-line profit by nation and year
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q9_profit",
+    """
+    SELECT n_name AS nation, year(l_shipdate) AS o_year,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS profit
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-style: important stock — HAVING against a global scalar aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_key, round(value, 2) AS part_value
+    FROM pv
+    WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global scalar threshold = one-row aggregate cross-joined (broadcast);
+    the per-part aggregate is computed once and reused for both sides via
+    persist — not recomputed per branch."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        .persist()
+    )
+    thresh = pv.agg((F.sum("value") * 0.001).alias("_t"))
+    return (
+        pv.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("_t"))
+        .select(F.col("l_partkey").alias("p_key"), F.round("value", 2).alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15-style: top supplier — aggregate equal to the max of the aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(supp, F.col("supplier_no") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17-style: small-quantity revenue — correlated AVG subquery → groupwise
+# aggregate join
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q17_small_quantity",
+    """
+    SELECT round(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated AVG subquery becomes a per-part aggregate joined back
+    on the correlation key — AQE broadcasts the (small) aggregate side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("_limit")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(avg_qty, li["l_partkey"] == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20/Q21-style: suppliers with heavy shipments to active customers —
+# chained semi joins over aggregates
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q20_heavy_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 500
+    )
+    AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1996-01-01")
+    heavy = (
+        li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("_sq")).filter(F.col("_sq") > 500)
+    )
+    nations = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 3)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(heavy, supp["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(F.broadcast(nations), supp["s_nationkey"] == nations["n_nationkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
