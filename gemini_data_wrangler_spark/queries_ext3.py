@@ -463,3 +463,28 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=8, max_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches (datasketches) — the partial-aggregation scale
+# story: per-partition sketches union to the global answer without re-scan
+# ---------------------------------------------------------------------------
+@register("sketch_hll_mergeable", None)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority HLL sketches of the customer set, PLUS the global
+    estimate obtained by union-merging those sketches (never re-scanning
+    the fact table) — exactly how a 100 TB pipeline maintains distinct
+    counts across partitions/days: sketch once, merge cheaply. Error bound
+    (~1.6% at lgk=12) asserted against the exact counts in tests."""
+    orders = _table(spark, sf_dir, "orders")
+    per_seg = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg(F.col("o_custkey").cast("string")).alias("_sk")
+    )
+    seg_est = per_seg.select(
+        "o_orderpriority", F.hll_sketch_estimate("_sk").alias("est_distinct")
+    )
+    global_est = per_seg.agg(F.hll_union_agg("_sk").alias("_u")).select(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.hll_sketch_estimate("_u").alias("est_distinct"),
+    )
+    return seg_est.unionByName(global_est)

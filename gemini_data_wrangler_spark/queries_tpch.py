@@ -920,3 +920,131 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nations), supp["s_nationkey"] == nations["n_nationkey"], "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style: national market share — conditional-sum ratio over a 7-way join
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA' AND p_name LIKE '%a%'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (reference runs it via CUSTOM SQL): the market-share
+    ratio is a single grouped pass with a conditional sum — no second scan.
+    Dim tables (part-filtered, nation, region) broadcast; the only large
+    shuffles are lineitem⋈orders and orders⋈customer on their keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.select(F.col("n_nationkey").alias("_cnk"), F.col("n_regionkey").alias("_crk"))
+    n2 = nation.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation"))
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), cust["c_nationkey"] == F.col("_cnk"))
+        .join(F.broadcast(region), F.col("_crk") == region["r_regionkey"])
+        .join(F.broadcast(n2), supp["s_nationkey"] == F.col("_snk"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-style: suppliers who kept orders waiting — double-correlated
+# EXISTS / NOT EXISTS, rewritten as one per-order aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, 'late' adapted to this schema (no receipt/commit
+    dates): a line is late when it ships >60 days after the order date.
+
+    Both correlated subqueries correlate on l_orderkey, so instead of two
+    extra joins against lineitem (the textbook EXISTS→semi / NOT EXISTS→anti
+    plan, which scans the fact table three times) we compute ONE per-order
+    aggregate — distinct supplier count and distinct *late* supplier count —
+    and join it back: l1 qualifies iff it is late, the order has another
+    supplier, and l1's supplier is the only late one. One lineitem shuffle
+    on l_orderkey serves both predicates; at 100 TB that's the difference
+    between one wide shuffle and three."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = li.join(
+        orders.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey")
+    ).withColumn("_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late_supp"),
+    )
+    l1 = (
+        flagged.filter(F.col("_late"))
+        .join(per_order.withColumnRenamed("l_orderkey", "_ok"), F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        l1.join(supp, l1["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -202,3 +202,49 @@ def test_kmeans_deterministic_and_improves(spark):
     b = {(r.cell_id, r.n_members) for r in kmeans_lloyd(emb, k=8, max_iter=2).collect()}
     assert a == b
     assert len(a) == 8
+
+
+def test_lsh_topk_multiprobe_recall(spark):
+    from gemini_data_wrangler_spark import queries_ext
+    from gemini_data_wrangler_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+        queries_from_ids,
+    )
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+    from tests.conftest import SF_ORACLE
+
+    emb = load_sf_tables(spark, SF_ORACLE)["embeddings"]
+    q = queries_from_ids(emb, queries_ext._ANN_QUERY_IDS)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10).collect()}
+
+    multi = {(r.query_id, r.vec_id) for r in lsh_topk(emb, q, k=10).collect()}
+    single = {
+        (r.query_id, r.vec_id) for r in lsh_topk(emb, q, k=10, multi_probe=False).collect()
+    }
+    recall_multi = len(multi & exact) / len(exact)
+    recall_single = len(single & exact) / len(exact)
+    assert recall_multi >= 0.95
+    assert recall_multi >= recall_single
+
+
+def test_hll_mergeable_sketch_error_bound(spark):
+    from gemini_data_wrangler_spark.queries import registry
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+    from tests.conftest import SF_ORACLE
+
+    b, _ = registry()["sketch_hll_mergeable"]
+    est = {r.o_orderpriority: r.est_distinct for r in b(spark, SF_ORACLE).collect()}
+
+    orders = load_sf_tables(spark, SF_ORACLE)["orders"]
+    exact_global = orders.select("o_custkey").distinct().count()
+    # Union-merged global estimate within 3% of exact (lgk=12 → ~1.6% rse).
+    assert abs(est["ALL"] - exact_global) / exact_global < 0.03
+    exact_seg = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for seg, n in exact_seg.items():
+        assert abs(est[seg] - n) / n < 0.05
