@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gemini_data_wrangler_spark.functions.text import char_shingles
+from gemini_data_wrangler_spark.functions.text import char_shingle_hashes
 from gemini_data_wrangler_spark.plans.stage import Stage
 
 # Mersenne prime 2^31-1: modulus for the universal-hash family
@@ -79,7 +79,9 @@ def exact_dedup(
 # Shingle basis shared by jaccard / minhash / simhash
 # ---------------------------------------------------------------------------
 def with_shingles(df: DataFrame, text_col: str, n: int = 5) -> DataFrame:
-    return df.withColumn("_shingles", char_shingles(F.col(text_col), n))
+    """``_shingles`` is an ``array<bigint>`` of hashed n-grams — see
+    ``char_shingle_hashes`` for why strings never leave the scan stage."""
+    return df.withColumn("_shingles", char_shingle_hashes(F.col(text_col), n))
 
 
 def _hot(df: DataFrame, key: str) -> DataFrame:
@@ -102,29 +104,25 @@ def _verify_jaccard(
     id_col: str,
     threshold: float,
 ) -> DataFrame:
-    """Exact jaccard on candidate pairs via array_intersect on the shingle
-    sets.
-
-    Shingle strings are hashed to 64-bit longs once per document before the
-    pair join — candidate verification then intersects compact long arrays
-    instead of hauling string arrays through the shuffle (at millions of
-    candidate pairs the string copies dominate memory traffic). xxhash64
-    collisions across a ~250-element set are ~1e-15, and the sf0.01 oracle
-    hash-match confirms the pair set is unchanged.
+    """Exact jaccard on candidate pairs via array_intersect on the (hashed
+    long) shingle sets — candidates haul compact primitive arrays through
+    the shuffle, never shingle strings (at millions of candidate pairs the
+    string copies would dominate memory traffic). xxhash64 collisions
+    across a ~2k-element set are ~1e-13, and the sf0.01 oracle hash-match
+    confirms the pair set equals the exact string-based answer.
     """
-    hashed = shingled.select(
-        F.col(id_col), F.transform("_shingles", lambda s: F.xxhash64(s)).alias("_sh")
-    )
-    a = hashed.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
-    b = hashed.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    a = shingled.select(F.col(id_col).alias("doc_a"), F.col("_shingles").alias("_sh_a"))
+    b = shingled.select(F.col(id_col).alias("doc_b"), F.col("_shingles").alias("_sh_b"))
+    # Materialize the intersection size into its own column so the O(|A|+|B|)
+    # set intersection runs ONCE per pair — referencing the same expression in
+    # both numerator and denominator makes codegen evaluate it twice.
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b"))).cast("double")
-    union = F.size(F.col("_sh_a")) + F.size(F.col("_sh_b")) - F.size(
-        F.array_intersect(F.col("_sh_a"), F.col("_sh_b"))
-    )
+    union = F.size("_sh_a") + F.size("_sh_b") - F.col("_i")
     return (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("jaccard", inter / union.cast("double"))
+        .withColumn("_i", inter)
+        .withColumn("jaccard", F.col("_i") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -425,8 +423,22 @@ def connected_components(
 
     Output: doc_id, cluster_id.
     """
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # Emit both orientations with one explode instead of union(e, e-swapped):
+    # a union would reference the upstream pair-producing plan twice, and
+    # Spark executes self-referencing branches independently — for a
+    # MinHash/verify upstream that doubles the expensive part of the query.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .distinct()
+    )
     edges = edges.persist()
     # Size the loop's parallelism to the edge count (one upfront job): dup
     # graphs are usually a tiny fraction of the corpus, and running each
