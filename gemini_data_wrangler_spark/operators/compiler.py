@@ -43,6 +43,7 @@ _JOIN_HOW = {
     "FULL OUTER": "full",
     "LEFT SEMI": "left_semi",
     "LEFT ANTI": "left_anti",
+    "CROSS": "cross",
 }
 
 
@@ -127,6 +128,14 @@ def compile_stage(
         return resolve(name)
 
     if t == "JOIN":
+        if (d.get("joinType") or "").upper() == "CROSS":
+            # Engine extension: keyless Cartesian product. Catalyst plans a
+            # BroadcastNestedLoopJoin when one side fits the broadcast
+            # threshold — the only sane physical shape for it at scale.
+            for req in ("leftTable", "rightTable"):
+                if not d.get(req):
+                    raise ValueError("CROSS JOIN stage requires leftTable and rightTable")
+            return resolve(d["leftTable"]).crossJoin(resolve(d["rightTable"]))
         multi = bool(d.get("leftKeys") and d.get("rightKeys"))
         if not multi:
             for req in ("leftTable", "rightTable", "leftKey", "rightKey"):
@@ -280,7 +289,16 @@ def compile_stage(
         exprs = agg_exprs(stage)
         mode = (d.get("mode") or "rollup").lower()
         cols = [F.expr(g) for g in group_by]
-        grouped = df.cube(*cols) if mode == "cube" else df.rollup(*cols)
+        if mode == "sets":
+            # {groupingSets: [["a","b"], ["a"], []]} — arbitrary grouping
+            # sets, still ONE shuffle pass (Expand feeds a single partial
+            # aggregation, same physical shape as rollup/cube).
+            sets = d.get("groupingSets")
+            if sets is None:
+                raise ValueError("GROUPING mode=sets requires groupingSets array")
+            grouped = df.groupingSets([[F.expr(g) for g in s] for s in sets], *cols)
+        else:
+            grouped = df.cube(*cols) if mode == "cube" else df.rollup(*cols)
         return grouped.agg(*exprs)
 
     if t == "PIVOT":

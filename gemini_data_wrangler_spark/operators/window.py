@@ -62,6 +62,18 @@ def _window_spec(data: dict, need_order: bool, frame: str | None) -> WindowSpec:
         spec = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     elif frame == "range_unbounded":
         spec = spec.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    elif isinstance(frame, dict):
+        # Bounded sliding frame: {mode: rows|range, preceding: int|"unbounded",
+        # following: int|"current"} — e.g. a 7-day moving aggregate is
+        # {mode: "range", preceding: 6} over a day-index order key. RANGE
+        # frames require a single numeric order column (Spark restriction;
+        # date arithmetic is done in a prior SELECT stage).
+        mode = str(frame.get("mode", "rows")).lower()
+        prec = frame.get("preceding", "unbounded")
+        start = Window.unboundedPreceding if prec == "unbounded" else -int(prec)
+        foll = frame.get("following", "current")
+        end = Window.currentRow if foll == "current" else int(foll)
+        spec = spec.rangeBetween(start, end) if mode == "range" else spec.rowsBetween(start, end)
     return spec
 
 

@@ -45,6 +45,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext,
         queries_ext2,
         queries_ext3,
+        queries_ext4,
         queries_tpch,
     )
 

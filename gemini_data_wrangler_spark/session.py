@@ -45,21 +45,21 @@ def get_spark(
         # as timestamp_ntz instead of failing (see sources/readers.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # HotSpot never JIT-compiles methods over 8000 bytecodes, so a
-        # whole-stage-codegen method past that limit runs INTERPRETED at
-        # full data volume (Spark's default hugeMethodLimit of 65535 allows
-        # exactly that). Wide aggregates (the 64/126-column MinHash and
-        # SimHash plans) hit it; capping at the JIT limit makes Spark fall
-        # back to Volcano for those stages, which is far faster than
-        # interpreted codegen and removes multi-10s stalls.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # NOTE: spark.sql.codegen.hugeMethodLimit stays at its default.
+        # Capping it at HotSpot's 8000-bytecode JIT limit was A/B-tested and
+        # LOST (dedup tail 119s → 89s on removal at sf0.1): Spark splits
+        # generated code into sub-methods below the JIT limit on its own, so
+        # the cap only forces needless Volcano fallback on wide aggregates.
         # Heavy codegen churn across many distinct queries: give the JIT
         # enough code cache (the 240m default fills and disables
         # compilation) and enough compiler threads to drain the C2 queue
         # while 32 task threads are running.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m -XX:CICompilerCount=8",
+            os.environ.get(
+                "SPARK_GRAFT_JVM_OPTS",
+                "-XX:ReservedCodeCacheSize=512m -XX:CICompilerCount=8",
+            ),
         )
         .config("spark.ui.enabled", "false")
     )

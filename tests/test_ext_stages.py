@@ -248,3 +248,74 @@ def test_hll_mergeable_sketch_error_bound(spark):
     }
     for seg, n in exact_seg.items():
         assert abs(est[seg] - n) / n < 0.05
+
+
+def test_grouping_sets_arbitrary(spark):
+    df = spark.createDataFrame(
+        [("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 3.0)], "a string, b string, v double"
+    )
+    stage = Stage(
+        type="GROUPING",
+        data={
+            "table": "t",
+            "mode": "sets",
+            "groupBy": ["a", "b"],
+            "groupingSets": [["a", "b"], ["b"], []],
+            "aggregations": [{"function": "SUM", "column": "v", "alias": "s"}],
+        },
+    )
+    rows = {(r.a, r.b, r.s) for r in compile_stage(stage, _resolve({"t": df})).collect()}
+    assert ("x", "p", 1.0) in rows          # (a,b) set
+    assert (None, "p", 4.0) in rows         # (b) set
+    assert (None, None, 6.0) in rows        # () grand total
+    assert ("x", None, 3.0) not in rows     # (a) set NOT requested (≠ cube)
+
+
+def test_grouping_sets_requires_sets(spark):
+    stage = Stage(type="GROUPING", data={"table": "t", "mode": "sets", "groupBy": ["a"]})
+    df = spark.createDataFrame([("x", 1.0)], "a string, v double")
+    with pytest.raises(ValueError, match="groupingSets"):
+        compile_stage(stage, _resolve({"t": df}))
+
+
+def test_cross_join(spark, tables):
+    stage = Stage(
+        type="JOIN", data={"joinType": "CROSS", "leftTable": "l", "rightTable": "r"}
+    )
+    out = compile_stage(stage, _resolve(tables))
+    assert out.count() == 4 * 2
+    # Physical plan: nested-loop with a broadcast side, never a shuffled Cartesian.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+
+
+def test_cross_join_requires_tables(spark, tables):
+    stage = Stage(type="JOIN", data={"joinType": "CROSS", "leftTable": "l"})
+    with pytest.raises(ValueError, match="CROSS JOIN"):
+        compile_stage(stage, _resolve(tables))
+
+
+def test_window_bounded_rows_frame(spark):
+    from gemini_data_wrangler_spark.operators.window import compile_window_stage
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)],
+        "g string, i int, v double",
+    )
+    stage = Stage(
+        type="WINDOW",
+        data={
+            "partitionBy": ["g"],
+            "orderBy": [{"column": "i", "direction": "ASC"}],
+            "functions": [
+                {
+                    "function": "SUM",
+                    "column": "v",
+                    "alias": "mv2",
+                    "frame": {"mode": "rows", "preceding": 1},
+                }
+            ],
+        },
+    )
+    rows = {(r.g, r.i, r.mv2) for r in compile_window_stage(stage, df).collect()}
+    assert rows == {("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 50.0), ("b", 1, 5.0)}
