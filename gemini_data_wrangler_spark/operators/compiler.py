@@ -135,7 +135,16 @@ def compile_stage(
             for req in ("leftTable", "rightTable"):
                 if not d.get(req):
                     raise ValueError("CROSS JOIN stage requires leftTable and rightTable")
-            return resolve(d["leftTable"]).crossJoin(resolve(d["rightTable"]))
+            cl, cr = resolve(d["leftTable"]), resolve(d["rightTable"])
+            # Without a hint Spark plans CartesianProductExec (a full
+            # shuffle-side pairing); broadcasting one side yields
+            # BroadcastNestedLoopJoin — stream the big side, loop the small.
+            hint = d.get("broadcast")
+            if hint == "left":
+                cl = F.broadcast(cl)
+            elif hint == "right":
+                cr = F.broadcast(cr)
+            return cl.crossJoin(cr)
         multi = bool(d.get("leftKeys") and d.get("rightKeys"))
         if not multi:
             for req in ("leftTable", "rightTable", "leftKey", "rightKey"):

@@ -319,3 +319,68 @@ def kmeans_lloyd(
             .localCheckpoint()
         )
     return centroids.select("cell_id", F.col("_c").alias("centroid"), "n_members")
+
+
+# ---------------------------------------------------------------------------
+# Brute-force all-pairs candidates (numpy block-matmul kernel)
+# ---------------------------------------------------------------------------
+def cosine_pair_candidates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    margin: float = 1e-3,
+) -> DataFrame:
+    """All-pairs cosine CANDIDATES above ``threshold - margin``, via the
+    standard dense brute-force kernel: broadcast the (normalized) full
+    matrix, stream the table through ``mapInPandas``, and let each Arrow
+    batch do one numpy block × matrix matmul. A 128-dim dot product per
+    pair through interpreted higher-order expressions costs ~1 µs; through
+    a blocked BLAS matmul it costs ~1 ns — this is the faiss-style baseline
+    shape for exact similarity.
+
+    The guaranteed-superset contract (margin >> float reassociation error,
+    which is ~1e-12 for 128-dim sums) lets an exact, oracle-matching
+    verification pass re-derive the similarity on candidates only — numpy
+    never decides the final answer, it only prunes the n² space.
+
+    Scale posture: the broadcast side is n·d·8 bytes — fine to ~10⁷ vectors
+    per executor; beyond that use ``lsh_topk``/``ivf_topk`` blocking (this
+    function is the small-n exact baseline, like ``cosine_topk``).
+
+    Output: doc_a, doc_b (doc_a < doc_b) — candidates only, NOT verified.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    pdf_all = embeddings.select(id_col, vec_col).toPandas()
+    ids_all = pdf_all[id_col].to_numpy(dtype=np.int64)
+    m = np.vstack(pdf_all[vec_col].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids_all, m))
+    cutoff = threshold - margin
+
+    def gen(batches):
+        ids_b, mat = b.value
+        order = np.argsort(ids_b, kind="stable")
+        ids_sorted, mat_sorted = ids_b[order], mat[order]
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ mat_sorted.T  # |batch| × n
+            # doc_a < doc_b dedup: only emit partners with a larger id.
+            larger = ids_sorted[None, :] > q_ids[:, None]
+            hit_q, hit_c = np.nonzero((sims >= cutoff) & larger)
+            if len(hit_q):
+                yield pd.DataFrame(
+                    {"doc_a": q_ids[hit_q], "doc_b": ids_sorted[hit_c]}
+                )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        embeddings.select(id_col, vec_col)
+        .repartition(n_parts, id_col)
+        .mapInPandas(gen, schema="doc_a bigint, doc_b bigint")
+    )

@@ -350,12 +350,17 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemini_data_wrangler_spark.functions.vectors import l2_norm, vec_dot
+    from gemini_data_wrangler_spark.operators.similarity import cosine_pair_candidates
 
     emb = _table(spark, sf_dir, "embeddings")
-    # Precompute the double-cast vector and its norm ONCE per vector (n rows)
-    # instead of once per pair (n² rows) — the dot product is the only
-    # per-pair work left. Repartition: the single-file parquet source would
-    # otherwise put the whole O(n²) loop on one core.
+    # Two-phase exact all-pairs: (1) numpy block-matmul candidates at
+    # threshold − 1e-3 (guaranteed superset: float reassociation error is
+    # ~1e-12), then (2) exact verification with the SAME left-to-right
+    # double reduction DuckDB uses — so the final pair set and sims are
+    # oracle-identical, but the O(n²·d) work runs in BLAS instead of the
+    # interpreted higher-order-function evaluator (which is ~1000× slower
+    # per dot product and NOT whole-stage-codegen'd).
+    cand = cosine_pair_candidates(emb, "vec_id", "embedding", threshold=0.45)
     sc = spark.sparkContext
     prepped = (
         emb.select(
@@ -369,7 +374,8 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = prepped.select(F.col("vec_id").alias("doc_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
     b = prepped.select(F.col("vec_id").alias("doc_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn("sim", F.round(vec_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("sim") >= 0.45)
         .select("doc_a", "doc_b", "sim")

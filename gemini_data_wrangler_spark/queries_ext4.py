@@ -86,7 +86,12 @@ def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "id": "stage_0",
                 "type": "JOIN",
-                "data": {"joinType": "CROSS", "leftTable": "region", "rightTable": "nation"},
+                "data": {
+                    "joinType": "CROSS",
+                    "leftTable": "nation",
+                    "rightTable": "region",
+                    "broadcast": "right",
+                },
             }
         ],
     )
@@ -237,8 +242,12 @@ def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "_nk")
         .filter(F.col("cust_a") < F.col("cust_b"))
-        .withColumn("dist", F.levenshtein("_na", "_nb"))
-        .filter(F.col("dist") <= 2)
+        # Banded DP: with a threshold Spark computes only the ±2 diagonal
+        # band (O(k·n) per pair, early-exit) and returns -1 past it —
+        # exact distance for every pair that survives, ~4× less work for
+        # the overwhelming majority that don't.
+        .withColumn("dist", F.levenshtein("_na", "_nb", 2))
+        .filter(F.col("dist") >= 0)
         .select("cust_a", "cust_b", "dist")
     )
 

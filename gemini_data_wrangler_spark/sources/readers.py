@@ -98,6 +98,26 @@ def read_csv(
     )
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-lines ingest (one object per line — the splittable layout; a
+    single multi-line JSON document cannot be partitioned across workers).
+
+    Pass an explicit ``schema`` DDL string in production: schema inference
+    costs a FULL extra pass over the data before the real read — fine at
+    test scale, a double-read of the lake at 100 TB. No counterpart in the
+    reference (its only file source is CSV — ui/src/App.tsx:1779-1786);
+    JSONL is table stakes for training-data interchange.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def dataframe_from_rows(
     spark: SparkSession,
     columns: list[dict[str, str]] | list[str],

@@ -284,9 +284,18 @@ def test_cross_join(spark, tables):
     )
     out = compile_stage(stage, _resolve(tables))
     assert out.count() == 4 * 2
-    # Physical plan: nested-loop with a broadcast side, never a shuffled Cartesian.
+
+
+def test_cross_join_broadcast_hint_plans_nested_loop(spark, tables):
+    stage = Stage(
+        type="JOIN",
+        data={"joinType": "CROSS", "leftTable": "l", "rightTable": "r", "broadcast": "right"},
+    )
+    out = compile_stage(stage, _resolve(tables))
+    assert out.count() == 4 * 2
+    # The hint turns the shuffled Cartesian into stream-big/loop-small.
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_cross_join_requires_tables(spark, tables):

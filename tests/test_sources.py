@@ -75,3 +75,28 @@ def test_ns_timestamp_normalized_to_timestamp_ntz(spark):
     # microsecond precision survives the ns→µs integer conversion
     row = events.orderBy("event_id").limit(1).collect()[0]
     assert row.ts.microsecond != 0
+
+
+def test_jsonl_roundtrip_explicit_schema(spark, tmp_path):
+    from gemini_data_wrangler_spark.sources.readers import read_jsonl
+    from gemini_data_wrangler_spark.sources.sinks import write_json
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id bigint, name string, score double"
+    )
+    path = str(tmp_path / "jl")
+    write_json(df, path)
+    # Explicit schema: no inference pass, stable types (incl. the all-null
+    # score column, which inference would type as string-or-drop).
+    back = read_jsonl(spark, path, schema="id bigint, name string, score double")
+    assert back.schema == df.schema
+    assert {tuple(r) for r in back.collect()} == {(1, "a", 1.5), (2, "b", None)}
+
+
+def test_jsonl_inferred(spark, tmp_path):
+    from gemini_data_wrangler_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"k": 1, "v": "x"}\n{"k": 2, "v": "y"}\n')
+    back = read_jsonl(spark, str(p))
+    assert {tuple(r) for r in back.select("k", "v").collect()} == {(1, "x"), (2, "y")}
