@@ -46,6 +46,8 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext2,
         queries_ext3,
         queries_ext4,
+        queries_ext5,
+        queries_ext6,
         queries_tpch,
     )
 

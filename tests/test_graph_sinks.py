@@ -5,6 +5,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from gemini_data_wrangler_spark.plans.graph import (
     build_stage_graph,
     export_flow,
@@ -114,3 +116,20 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """An equality filter on the partition column must become a
+    PartitionFilter (directory pruning) — the scan never opens the other
+    partitions' files. This is THE mechanism that turns a 100 TB date-range
+    query into a read of only the touched days."""
+    df = spark.createDataFrame(
+        [(i, f"d{i % 5}") for i in range(100)], "id bigint, day string"
+    )
+    out = str(tmp_path / "part")
+    write_parquet(df, out, partition_by=["day"])
+    scan = spark.read.parquet(out).filter(F.col("day") == "d3")
+    assert scan.count() == 20
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # FileSourceScan reports pruned partition filters + a 1/5 selection.
+    assert "PartitionFilters: [" in plan and "d3" in plan

@@ -164,3 +164,31 @@ def test_cosine_topk_broadcasts_queries(spark):
     b, _ = registry()["similarity_cosine_topk"]
     df = b(spark, SF_ORACLE)
     assert "BroadcastNestedLoopJoin" in _plan(df) or "BroadcastExchange" in _plan(df)
+
+
+def test_decontam_eval_side_broadcasts(spark):
+    # The eval n-gram set is tiny (benchmarks are KBs vs a TB corpus); the
+    # probe against the train side must be a broadcast hash join, never a
+    # shuffle of the full corpus n-gram explosion on the join key.
+    b, _ = registry()["decontam_ngram_overlap"]
+    df = b(spark, SF_ORACLE)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_pack_sequences_has_no_global_data_window(spark):
+    # The prefix sum must be two-level: per-bucket windows over the data,
+    # and a global window ONLY over the one-row-per-bucket totals. A plan
+    # whose data-side window has an empty partition spec would serialize
+    # 100 TB onto one task.
+    b, _ = registry()["pack_sequences"]
+    df = b(spark, SF_ORACLE)
+    plan = _plan(df)
+    # The per-doc cumsum window (over n_tokens) must carry a bucket
+    # partition spec; only the bucket-totals window (over bucket_total,
+    # one row per bucket) may be unpartitioned.
+    data_windows = [
+        ln for ln in plan.splitlines() if "Window [sum(n_tokens" in ln
+    ]
+    assert data_windows, plan
+    for ln in data_windows:
+        assert "windowspecdefinition(bucket" in ln, ln
