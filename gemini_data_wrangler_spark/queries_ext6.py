@@ -112,6 +112,77 @@ PACK_BUDGET = 512
 _PACK_BUCKET = 1000  # docs per prefix-sum bucket
 
 
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (content-addressed, engine-portable)
+# ---------------------------------------------------------------------------
+@register(
+    "split_train_val_test",
+    r"""
+    SELECT source,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+                WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~80/10/10 train/val/test split by md5(doc_id) hex threshold —
+    content-addressed, so every engine, run, and cluster size assigns each
+    doc to the SAME split (seeded randomSplit cannot promise that across
+    engines). Pure projection + one tiny (source × split) aggregation."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.select(
+            "source",
+            F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias("split"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("_nt"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_nt").alias("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (mergeable frequency sketches)
+# ---------------------------------------------------------------------------
+CMS_EPS, CMS_CONF, CMS_SEED = 0.001, 0.99, 42
+
+
+@register("sketch_count_min_heavy_hitters", None)
+def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source count-min sketches of the word stream, union-merged into
+    corpus-wide frequency estimates — the mergeable-sketch pattern that
+    lets a 100 TB pipeline keep per-shard/day frequency state and answer
+    global heavy-hitter queries without re-scanning (one sketch is a few
+    KB regardless of input size). Only the kilobyte sketches and the
+    candidate vocabulary ever reach the driver; candidates here are the
+    full distinct vocabulary (tiny word-soup corpus), in production a
+    sampled/top-k candidate set. Deterministic (fixed seed); estimates are
+    upper bounds within eps·N — asserted against exact counts in tests."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    per_source = (
+        docs.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("source")
+        .agg(F.count_min_sketch("w", CMS_EPS, CMS_CONF, CMS_SEED).alias("_sk"))
+    )
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for row in per_source.collect():  # one row per source — sketches are KBs
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row["_sk"]))
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    cands = [r["w"] for r in words.distinct().collect()]
+    rows = [(w, int(merged.estimateCount(w))) for w in sorted(cands)]
+    return spark.createDataFrame(rows, "word string, est_count bigint")
+
+
 @register(
     "pack_sequences",
     rf"""

@@ -118,6 +118,27 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingest — same vectorized columnar path as parquet (predicate
+    pushdown, column pruning, splittable stripes); common in Hive-era
+    lakes. No counterpart in the reference (CSV-only —
+    ui/src/App.tsx:1779-1786)."""
+    return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+) -> DataFrame:
+    """Raw-text ingest: one row per line (``value`` string), or one row
+    per FILE when ``whole_file`` — the raw-corpus entry point before any
+    schema exists. Line mode is splittable; whole-file mode is not (each
+    file is one record — fine for document corpora of many small files,
+    wrong for a few huge ones)."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
 def dataframe_from_rows(
     spark: SparkSession,
     columns: list[dict[str, str]] | list[str],

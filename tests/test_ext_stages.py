@@ -328,3 +328,41 @@ def test_window_bounded_rows_frame(spark):
     )
     rows = {(r.g, r.i, r.mv2) for r in compile_window_stage(stage, df).collect()}
     assert rows == {("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 50.0), ("b", 1, 5.0)}
+
+
+def test_count_min_estimates_bounded(spark):
+    """CMS estimates are (a) never below the exact count, (b) within
+    eps * stream-length above it (with prob >= confidence; deterministic
+    here under the fixed seed)."""
+    from pyspark.sql import functions as F
+
+    from gemini_data_wrangler_spark.queries import registry
+    from gemini_data_wrangler_spark.queries_ext6 import CMS_EPS
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+    from tests.conftest import SF_ORACLE
+
+    b, _ = registry()["sketch_count_min_heavy_hitters"]
+    est = {r.word: r.est_count for r in b(spark, SF_ORACLE).collect()}
+    docs = load_sf_tables(spark, SF_ORACLE)["documents"]
+    words = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    exact = {r.w: r.c for r in words.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()}
+    total = sum(exact.values())
+    assert set(est) == set(exact)
+    for w, e in est.items():
+        assert e >= exact[w], (w, e, exact[w])
+        assert e - exact[w] <= CMS_EPS * total + 1, (w, e, exact[w], total)
+
+
+def test_split_fractions_roughly_80_10_10(spark):
+    from gemini_data_wrangler_spark.queries import registry
+    from tests.conftest import SF_ORACLE
+
+    b, _ = registry()["split_train_val_test"]
+    rows = b(spark, SF_ORACLE).collect()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    n = sum(by_split.values())
+    assert 0.7 <= by_split["train"] / n <= 0.9
+    assert 0.04 <= by_split["val"] / n <= 0.16
+    assert 0.04 <= by_split["test"] / n <= 0.16

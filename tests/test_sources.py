@@ -100,3 +100,38 @@ def test_jsonl_inferred(spark, tmp_path):
     p.write_text('{"k": 1, "v": "x"}\n{"k": 2, "v": "y"}\n')
     back = read_jsonl(spark, str(p))
     assert {tuple(r) for r in back.select("k", "v").collect()} == {(1, "x"), (2, "y")}
+
+
+def test_orc_roundtrip_with_partitioning(spark, tmp_path):
+    from gemini_data_wrangler_spark.sources.readers import read_orc
+    from gemini_data_wrangler_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)], "id bigint, g string, v double"
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, partition_by=["g"])
+    back = read_orc(spark, path)
+    assert back.count() == 30
+    # Partition-column filter prunes directories, same contract as parquet.
+    from pyspark.sql import functions as F
+
+    scan = back.filter(F.col("g") == "g1")
+    assert scan.count() == 10
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "g1" in plan
+
+
+def test_text_source_line_and_wholefile(spark, tmp_path):
+    from gemini_data_wrangler_spark.sources.readers import read_text
+
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.txt").write_text("only line\n")
+    lines = read_text(spark, str(tmp_path))
+    assert lines.columns == ["value"]
+    assert sorted(r.value for r in lines.collect()) == [
+        "line one", "line two", "only line",
+    ]
+    whole = read_text(spark, str(tmp_path), whole_file=True)
+    vals = sorted(r.value for r in whole.collect())
+    assert vals == ["line one\nline two\n", "only line\n"]
