@@ -162,10 +162,23 @@ def ngram_jaccard_pairs(
 
     shingled = _hot(with_shingles(df, text_col, n).select(id_col, "_shingles"), id_col)
     ex = shingled.select(F.col(id_col), F.explode("_shingles").alias("_g"))
-    # Global document frequency per shingle — one cheap agg; broadcast back
-    # via shuffle join on the shingle key.
-    freq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = ex.join(freq, "_g").withColumn(
+    # Global document frequency per shingle — one cheap agg. Its row count
+    # is the DISTINCT SHINGLE VOCABULARY, typically orders of magnitude
+    # below the exploded (doc, shingle) stream; when it fits the broadcast
+    # budget, broadcasting it (a) turns the rank join map-side, so the 10M+
+    # exploded rows never shuffle on the shingle key, and (b) preserves the
+    # doc-keyed partitioning from `_hot` through explode+join, so the
+    # rank window needs NO exchange either — two full-stream shuffles
+    # removed. AQE would make this call itself but cannot re-plan inside a
+    # cached subtree, so the engine measures: freq is persisted, counted
+    # (one aggregate over cached shingles), and joined broadcast iff small.
+    freq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).persist()
+    ranked_src = (
+        ex.join(F.broadcast(freq), "_g")
+        if freq.count() <= 5_000_000  # ~80 MB of (long, long) — well in budget
+        else ex.join(freq, "_g")
+    )
+    ranked = ranked_src.withColumn(
         "_rk",
         F.row_number().over(
             Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.xxhash64("_g").asc())

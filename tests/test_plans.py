@@ -192,3 +192,24 @@ def test_pack_sequences_has_no_global_data_window(spark):
     assert data_windows, plan
     for ln in data_windows:
         assert "windowspecdefinition(bucket" in ln, ln
+
+
+def test_ngram_rank_window_needs_no_exchange(spark):
+    # With the shingle-frequency table broadcast, the doc-keyed partitioning
+    # from the persisted shingle frame survives explode + join, so the
+    # prefix-rank window must sit on a local Sort directly over the
+    # BroadcastHashJoin — no Exchange between them. This removes the two
+    # full-stream shuffles that would dominate at corpus scale.
+    b, _ = registry()["dedup_ngram_jaccard"]
+    df = b(spark, SF_ORACLE)
+    lines = _plan(df).splitlines()
+    seen = 0
+    for i, ln in enumerate(lines):
+        if "Window [row_number" not in ln:
+            continue
+        seen += 1
+        for nxt in lines[i + 1 :]:
+            if "BroadcastHashJoin" in nxt:
+                break
+            assert "Exchange" not in nxt, nxt
+    assert seen >= 1
