@@ -147,6 +147,68 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary build + document encoding (tokenize → id sequences)
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_encode_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest([{'pos': i, 'w': t[i]} for i in generate_series(1, len(t))],
+                    recursive := true)
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents)
+    ), freq AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), vocab AS (
+      SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS wid FROM freq
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           string_agg(CAST(v.wid AS VARCHAR), ',' ORDER BY t.pos) AS ids_str
+    FROM tok t JOIN vocab v USING (w)
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a frequency-ranked vocabulary (id 1 = most frequent word,
+    ties by word) and encode every document as its id sequence — the
+    tokenize-and-encode step of a training pipeline, output as a
+    comma-joined string so the full sequence is value-hash checkable.
+
+    Scale: the corpus never shuffles on words — the vocabulary (distinct
+    words + counts, vastly smaller than the token stream) is built with one
+    partial-aggregated exchange, ranked, and broadcast back; encoding is
+    then map-side + one doc_id-keyed aggregation. The rank window is a
+    single task over the VOCABULARY only; a billion-entry vocabulary would
+    use the same two-level prefix-rank trick as ``pack_sequences``."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = freq.withColumn(
+        "wid", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+    ).select("w", "wid")
+    return (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "wid"))),
+                    lambda s: s["wid"].cast("string"),
+                ),
+            ).alias("ids_str"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-min-sketch heavy hitters (mergeable frequency sketches)
 # ---------------------------------------------------------------------------
 CMS_EPS, CMS_CONF, CMS_SEED = 0.001, 0.99, 42

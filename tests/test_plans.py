@@ -213,3 +213,12 @@ def test_ngram_rank_window_needs_no_exchange(spark):
                 break
             assert "Exchange" not in nxt, nxt
     assert seen >= 1
+
+
+def test_vocab_encode_broadcasts_vocabulary(spark):
+    # The token stream must never shuffle on the word key: the ranked
+    # vocabulary broadcasts back, so the only data exchange is the final
+    # doc_id aggregation.
+    b, _ = registry()["vocab_encode_docs"]
+    df = b(spark, SF_ORACLE)
+    assert "BroadcastHashJoin" in _plan(df)
