@@ -1,0 +1,93 @@
+"""Iterative graph analytics on DataFrames — PageRank.
+
+Complements ``dedup.connected_components`` (min-label propagation) and
+``similarity.kmeans_lloyd`` (Lloyd iterations) as the third iterative
+DataFrame algorithm family: each round is one co-partitioned shuffle join
+plus an aggregation, with ``localCheckpoint`` truncating lineage so the
+plan never grows with iteration count. No counterpart in the reference
+(its stage algebra has no iteration at all — SURVEY.md §2); north-star
+scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Semantics (mirrored exactly by the numpy reference in tests):
+    ``r' = (1-d)/N + d * (sum of in-neighbor r/outdeg + dangling_mass/N)``
+    where dangling mass is the total rank held by nodes with no out-edges,
+    redistributed uniformly.
+
+    Scale shape: per iteration, ONE join of the edge list with the
+    node-sized rank table (both hash-partitioned on the source key — the
+    partitioning is reused every round) and one dst-keyed aggregation with
+    map-side partial sums. Rank state is one row per node; the edge list is
+    scanned from cache each round. Dangling mass is a scalar aggregate —
+    computed per round only when dangling nodes exist at all (detected
+    once upfront), so symmetric graphs pay nothing.
+
+    Output: ``node`` (bigint), ``rank`` (double), summing to ~1.
+    """
+    sc = edges.sparkSession.sparkContext
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    n_edges = e.count()
+    par = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
+    e = e.repartition(par, "_s").persist()
+
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .repartition(par, "node")
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = (
+        e.groupBy(F.col("_s").alias("node")).agg(F.count(F.lit(1)).alias("_deg")).persist()
+    )
+    has_dangling = nodes.join(outdeg, "node", "left_anti").limit(1).count() > 0
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        dangling_mass = 0.0
+        if has_dangling:
+            dangling_mass = (
+                ranks.join(outdeg, "node", "left_anti")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+        contribs = (
+            e.join(
+                ranks.join(outdeg, "node").withColumnRenamed("node", "_s"),
+                "_s",
+            )
+            .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling_mass / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

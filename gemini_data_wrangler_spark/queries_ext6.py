@@ -147,6 +147,38 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the supplier↔part bipartite graph (iterative showcase)
+# ---------------------------------------------------------------------------
+@register("graph_pagerank_parts", None)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the supplier↔part graph induced by lineitem (both
+    directions, so no dangling nodes), top 50 nodes by rank. Iterative
+    DataFrame algorithm: per round one cached-edge join against the
+    node-sized rank state + one aggregation; exact semantics are pinned
+    against a numpy power-iteration reference in tests (rows-only here —
+    floating-point sums are not bit-stable across engines)."""
+    from gemini_data_wrangler_spark.operators.graphs import pagerank
+
+    li = (
+        load_sf_tables(spark, sf_dir)["lineitem"]
+        # One ship-year keeps the bench-scale graph modest; the iteration
+        # cost is linear in edges either way (pushed-down scan filter).
+        .filter(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = li.union(li.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return (
+        pagerank(edges, iterations=5)
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary build + document encoding (tokenize → id sequences)
 # ---------------------------------------------------------------------------
 @register(

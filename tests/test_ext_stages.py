@@ -366,3 +366,34 @@ def test_split_fractions_roughly_80_10_10(spark):
     assert 0.7 <= by_split["train"] / n <= 0.9
     assert 0.04 <= by_split["val"] / n <= 0.16
     assert 0.04 <= by_split["test"] / n <= 0.16
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Engine PageRank vs a dense numpy power iteration implementing the
+    identical semantics (uniform init, damping, dangling-mass
+    redistribution), on a graph WITH a dangling node."""
+    import numpy as np
+
+    from gemini_data_wrangler_spark.operators.graphs import pagerank
+
+    # 0→1, 0→2, 1→2, 2→0, 3→2; node 4 is dangling (in-edge only: 2→4).
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=12).collect()}
+
+    n, d = 5, 0.85
+    out = {}
+    for s, t in edge_list:
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[v] for v in range(n) if v not in out)
+        nxt += d * dangling / n
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += d * r[s] / len(ts)
+        r = nxt
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
