@@ -1,4 +1,4 @@
-"""Iterative graph analytics on DataFrames — PageRank.
+"""Iterative graph analytics on DataFrames — PageRank, triangle counting.
 
 Complements ``dedup.connected_components`` (min-label propagation) and
 ``similarity.kmeans_lloyd`` (Lloyd iterations) as the third iterative
@@ -91,3 +91,77 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected graph given as an edge list (direction and duplicates are
+    ignored; self-loops dropped).
+
+    Algorithm: degree-ordered orientation (Chiba–Nishizeki / the standard
+    MapReduce triangle scheme). Every edge is oriented from its lower
+    endpoint to its higher endpoint in the total order (degree, node), so
+    each triangle has exactly ONE node with two out-edges — enumerate its
+    out-neighbor pairs (wedges) and close them with a single semi join
+    against the canonical edge set. Orientation bounds every out-degree by
+    O(sqrt(m)), which bounds the wedge join's intermediate at m^1.5
+    regardless of hub skew — the reason this survives power-law graphs
+    where a naive neighbor self-join explodes on the hottest vertex.
+
+    Output (single row): n_nodes, n_edges, n_wedges, n_triangles (all
+    bigint), clustering = 3*triangles/wedges (double, NaN-free: 0.0 when
+    the graph has no wedge).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .persist()
+    )
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("_deg").alias("_da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("_deg").alias("_db")), "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .persist()
+    )
+    # Each triangle's unique 2-out-degree node generates its one wedge;
+    # x < y keeps one of the two symmetric join rows.
+    wedge_pairs = (
+        oriented.select("u", F.col("v").alias("x"))
+        .join(oriented.select("u", F.col("v").alias("y")), "u")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("a"), F.col("y").alias("b"))
+    )
+    tri = wedge_pairs.join(e, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("_deg") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("_deg") * (F.col("_deg") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges"))
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

@@ -48,6 +48,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext4,
         queries_ext5,
         queries_ext6,
+        queries_ext7,
         queries_tpch,
     )
 
