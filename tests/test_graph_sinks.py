@@ -133,3 +133,45 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     # FileSourceScan reports pruned partition filters + a 1/5 selection.
     assert "PartitionFilters: [" in plan and "d3" in plan
+
+
+def test_zorder_layout_clusters_every_dimension(spark, tmp_path):
+    """Z-ordered files must be clustered in BOTH dimensions (per-file
+    min/max span well under the global span), where a linear sort leaves
+    the non-leading dimension unclustered (~full span per file)."""
+    from pyspark.sql import functions as F
+
+    from gemini_data_wrangler_spark.sources.sinks import write_zorder
+    from tests.conftest import SF_SMALL
+
+    o = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", F.unix_timestamp("o_orderdate").cast("double").alias("od"))
+    )
+    g = o.agg(
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("g1"),
+        (F.max("od") - F.min("od")).alias("g2"),
+    ).collect()[0]
+
+    def file_spans(df):
+        return (
+            df.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("o_totalprice") - F.min("o_totalprice")).alias("s1"),
+                (F.max("od") - F.min("od")).alias("s2"),
+            )
+            .agg(F.avg("s1").alias("a1"), F.avg("s2").alias("a2"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+
+    write_zorder(o, str(tmp_path / "z"), ["o_totalprice", "od"], n_files=16)
+    z = file_spans(spark.read.parquet(str(tmp_path / "z")))
+    o.repartitionByRange(16, "o_totalprice").sortWithinPartitions(
+        "o_totalprice"
+    ).write.parquet(str(tmp_path / "lin"))
+    lin = file_spans(spark.read.parquet(str(tmp_path / "lin")))
+
+    assert z.n >= 8
+    assert z.a1 / g.g1 < 0.6  # leading dim clustered
+    assert z.a2 / g.g2 < 0.6  # second dim ALSO clustered
+    assert z.a2 < lin.a2 * 0.75  # linear sort leaves dim 2 unclustered
