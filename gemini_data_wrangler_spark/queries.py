@@ -49,6 +49,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext5,
         queries_ext6,
         queries_ext7,
+        queries_ext8,
         queries_tpch,
     )
 

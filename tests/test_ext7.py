@@ -116,3 +116,46 @@ def test_bloom_prefilter_equals_plain_join(spark):
         (r.p_brand, r.n_items) for r in join_bloom_prefilter(spark, SF_SMALL).collect()
     }
     assert got == plain and len(got) > 0
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """Two-level prefix-min skyline must equal the quadratic NOT-EXISTS
+    dominance definition (including ties on either dimension)."""
+    from gemini_data_wrangler_spark.queries_ext8 import skyline_price_date
+
+    pts = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .select(F.col("o_totalprice").alias("p"), F.col("o_orderdate").alias("d"))
+        .distinct()
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dominated = a.join(
+        b,
+        (F.col("b.p") >= F.col("a.p"))
+        & (F.col("b.d") <= F.col("a.d"))
+        & ((F.col("b.p") > F.col("a.p")) | (F.col("b.d") < F.col("a.d"))),
+        "left_semi",
+    )
+    brute = {(r.p, r.d) for r in pts.exceptAll(dominated).collect()}
+    got = {
+        (r.o_totalprice, r.o_orderdate)
+        for r in skyline_price_date(spark, SF_SMALL).collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_weighted_sample_overrepresents_heavy_rows(spark):
+    """A-ES with weight = o_totalprice: the sampled mean totalprice must
+    exceed the population mean (size-biased sampling), and the sample is
+    exactly k distinct orders."""
+    from gemini_data_wrangler_spark.queries_ext8 import _WRS_K, sample_weighted_reservoir
+
+    s = sample_weighted_reservoir(spark, SF_SMALL).collect()
+    assert len(s) == len({r.o_orderkey for r in s}) == _WRS_K
+    pop_mean = (
+        spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .agg(F.avg("o_totalprice"))
+        .collect()[0][0]
+    )
+    samp_mean = sum(r.o_totalprice for r in s) / len(s)
+    assert samp_mean > pop_mean * 1.1
