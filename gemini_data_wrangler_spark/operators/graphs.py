@@ -165,3 +165,54 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) with deterministic tie-breaking: each round every node adopts
+    the most frequent label among its neighbors (ties → smallest label),
+    labels initialized to node ids.
+
+    Deterministic by construction (no random visit order), so results are
+    reproducible across engines and cluster sizes. Per round: one
+    edge⋈label join co-partitioned on the node key + one two-key
+    aggregation (neighbor-label counts) + one per-node argmax — all
+    map-side-combinable shuffles; ``localCheckpoint`` truncates lineage
+    per round like :func:`pagerank`.
+
+    Output: ``node``, ``label`` (community id = smallest node id that won
+    locally). Not a fixed-point guarantee — fixed iteration count, the
+    streaming-friendly variant.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    und = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))).filter(
+        F.col("_s") != F.col("_d")
+    ).distinct().persist()
+    labels = (
+        und.select(F.col("_s").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(iterations):
+        neigh = (
+            und.join(labels.withColumnRenamed("node", "_d"), "_d")
+            .groupBy(F.col("_s").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        from pyspark.sql import Window as _W
+
+        best = (
+            neigh.withColumn(
+                "_rk",
+                F.row_number().over(
+                    _W.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label").asc())
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .select("node", "label")
+        )
+        labels = best.localCheckpoint()
+    return labels

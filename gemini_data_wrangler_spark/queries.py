@@ -50,6 +50,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext6,
         queries_ext7,
         queries_ext8,
+        queries_ext9,
         queries_tpch,
     )
 

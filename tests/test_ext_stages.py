@@ -397,3 +397,19 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for v in range(n):
         assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_label_propagation_separates_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: LPA must assign each
+    clique its own community (labeled by its smallest node), and repeated
+    runs are identical (deterministic tie-breaks)."""
+    from gemini_data_wrangler_spark.operators.graphs import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a, b in c1]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src bigint, dst bigint")
+    got = {r.node: r.label for r in label_propagation(edges, iterations=6).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n + 10] for n in range(4)} == {10}
+    again = {r.node: r.label for r in label_propagation(edges, iterations=6).collect()}
+    assert got == again
