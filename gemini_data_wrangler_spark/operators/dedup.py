@@ -498,6 +498,86 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the scale-robust upgrade over plain min-label
+    propagation: propagation needs diameter-many rounds (a pathological
+    chain of length L costs L rounds), star contraction converges in
+    O(log² n) rounds on ANY topology because every round re-points whole
+    neighborhoods at their local minimum.
+
+    Per round both operators are one groupBy-min plus one co-keyed join —
+    the same shuffle shape as a propagation hop, so the per-round cost is
+    identical and only the round COUNT improves. Lineage is truncated per
+    round with ``localCheckpoint``; convergence is detected by an
+    order-insensitive edge-set fingerprint (count + xxhash sum), one cheap
+    aggregate per round.
+
+    Output: doc_id, cluster_id (component minimum), same contract as
+    :func:`connected_components`.
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            both.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        directed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        relinked = directed.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_links = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            relinked.union(self_links)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def fingerprint(edges: DataFrame):
+        return tuple(
+            edges.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+
+    prev = fingerprint(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint()
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return both.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("cluster_id")
+    ).select(F.col("u").alias("doc_id"), "cluster_id")
+
+
 def connected_components_oracle_sql(pairs_sql: str) -> str:
     """DuckDB oracle: transitive closure by recursive CTE, then min reachable
     id per vertex. Exponential-ish on giant components — fine at sf0.01

@@ -9,30 +9,38 @@ Design (north-star scope; the reference app is text/CSV-only):
 * Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — the
   only sane shape at 100 TB: batches stream through Python with bounded
   memory, schema declared up front, decode parallelism = partition count.
-* The actual image/audio codecs are NOT in this container, so ``_decode``
-  is stubbed with a deterministic fake (hash-derived dimensions); the
-  Spark-side plumbing — schema, batch iteration, partitioning — is real and
-  tested. Swap ``_decode_stub`` for PIL/ffmpeg in production.
+* The container has no media libraries and the testdata has no real binary
+  assets, so ``synthesize_assets`` manufactures REAL container bytes
+  (PNG / RIFF-WAVE / GIF89a, stdlib struct+zlib only) with parameters
+  derived deterministically from the row id — and ``decode_assets`` then
+  genuinely PARSES those formats (signatures, chunk walks, block walks).
+  Swapping in Pillow/ffmpeg for full-content decode changes only the
+  per-format parser bodies; every Spark-side shape stays identical.
 """
 
 from __future__ import annotations
 
-import hashlib
-from typing import Iterator
+import struct
+import zlib
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
-    "asset_id bigint, modality string, n_bytes bigint, width int, height int, "
+    "asset_id bigint, modality string, width int, height int, "
     "n_frames int, sample_rate int, ok boolean"
 )
+
+# Payloads are corrupted (truncated) for ids on this stride — exercising
+# the decoder's error path and the ok=false contract.
+CORRUPT_STRIDE = 97
 
 
 def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Build a multimodal asset table from any source column (here: utf-8
-    bytes standing in for an image payload — deterministic and testable).
+    bytes standing in for an opaque payload — deterministic and testable).
 
     Output: asset_id, modality, payload (binary), n_bytes, content_hash.
     """
@@ -48,50 +56,230 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """Deterministic stand-in for an image/audio decoder. Real deployments
-    replace this with PIL / libvips / ffmpeg; everything around it is
-    production plumbing."""
-    h = hashlib.sha256(payload).digest()
+# ---------------------------------------------------------------------------
+# Real-format synthesis (deterministic params from the asset id)
+# ---------------------------------------------------------------------------
+def _png_bytes(w: int, h: int) -> bytes:
+    """Minimal valid RGB PNG (8-bit, no interlace), stdlib only."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes([y % 256, 0, 255 - y % 256] * w) for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(sample_rate: int, n_samples: int) -> bytes:
+    """Minimal valid RIFF/WAVE, 16-bit mono PCM silence."""
+    data = b"\x00\x00" * n_samples
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# LZW stream for a single palette-index-0 pixel at min code size 2:
+# clear(4), 0, EOI(5) packed LSB-first = 0x44 0x01.
+_GIF_PIXEL_FRAME = (
+    b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"  # image descriptor
+    + b"\x02" + b"\x02\x44\x01" + b"\x00"  # LZW min size + data sub-block
+)
+
+
+def _gif_bytes(w: int, h: int, n_frames: int) -> bytes:
+    """Minimal valid multi-frame GIF89a (each frame one 1×1 image block) —
+    the frame count is real container structure the decoder must walk."""
+    header = (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80, 0, 0])  # global color table flag, 2 entries
+        + b"\x00\x00\x00\xff\xff\xff"
+    )
+    return header + _GIF_PIXEL_FRAME * n_frames + b"\x3b"
+
+
+def synth_params(asset_id: int) -> dict:
+    """The deterministic parameter schedule shared with the SQL oracle."""
+    m = asset_id % 3
+    if m == 0:
+        return {
+            "modality": "image",
+            "width": 1 + asset_id % 64,
+            "height": 1 + (asset_id // 64) % 64,
+        }
+    if m == 1:
+        return {
+            "modality": "audio",
+            "sample_rate": 8000 * (1 + asset_id % 5),
+            "n_samples": 50 + asset_id % 50,
+        }
     return {
-        "width": 64 + h[0] % 192,
-        "height": 64 + h[1] % 192,
-        "n_frames": 1 + h[2] % 32,
-        "sample_rate": 8000 + (h[3] % 5) * 8000,
-        "ok": True,
+        "modality": "video",
+        "width": 1 + asset_id % 32,
+        "height": 1 + (asset_id // 32) % 32,
+        "n_frames": 1 + asset_id % 24,
     }
 
 
-def decode_assets(assets: DataFrame) -> DataFrame:
-    """Arrow-batched decode: mapInPandas over (asset_id, modality, payload).
+def _synth_payload(asset_id: int) -> bytes:
+    p = synth_params(asset_id)
+    if p["modality"] == "image":
+        b = _png_bytes(p["width"], p["height"])
+    elif p["modality"] == "audio":
+        b = _wav_bytes(p["sample_rate"], p["n_samples"])
+    else:
+        b = _gif_bytes(p["width"], p["height"], p["n_frames"])
+    if asset_id % CORRUPT_STRIDE == 0:
+        b = b[:5]  # truncated payload: decoder must flag, not crash
+    return b
 
-    The UDF sees pandas batches (zero-copy via Arrow for binary), emits a
-    typed metadata frame; downstream is ordinary relational processing.
+
+def synthesize_assets(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture an asset table with REAL container-format payloads.
+
+    Runs as Arrow-batched ``mapInPandas`` — synthesis is embarrassingly
+    parallel and stays executor-side; at 100 TB the same shape wraps an
+    object-store fetch instead of a generator.
+
+    Output: asset_id, modality, payload (binary).
     """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids.values,
+                    "modality": [synth_params(i)["modality"] for i in ids],
+                    "payload": [_synth_payload(i) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="asset_id bigint, modality string, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-format parsing
+# ---------------------------------------------------------------------------
+def _parse_png(b: bytes) -> Optional[dict]:
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    return {"width": w, "height": h, "n_frames": 1}
+
+
+def _parse_wav(b: bytes) -> Optional[dict]:
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(b):  # chunk walk
+        tag, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if tag == b"fmt " and pos + 8 + 8 <= len(b):
+            return {"sample_rate": struct.unpack("<I", b[pos + 12 : pos + 16])[0]}
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def _parse_gif(b: bytes) -> Optional[dict]:
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))  # global color table
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(b) and b[p] != 0:
+            p += 1 + b[p]
+        return p + 1
+
+    frames = 0
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            idesc_packed = b[pos + 9]
+            pos += 10
+            if idesc_packed & 0x80:
+                pos += 3 * (2 << (idesc_packed & 0x07))  # local color table
+            pos += 1  # LZW min code size
+            pos = skip_subblocks(pos)
+            frames += 1
+        elif marker == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        else:
+            return None
+    if frames == 0:
+        return None
+    return {"width": w, "height": h, "n_frames": frames}
+
+
+_PARSERS = {"image": _parse_png, "audio": _parse_wav, "video": _parse_gif}
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (asset_id, modality, payload),
+    dispatching a real header/structure parser per modality (PNG IHDR, WAVE
+    chunk walk, GIF block walk). Corrupt payloads yield ok=false + nulls —
+    the decoder never throws on bad bytes, the 100 TB contract."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [_decode_stub(p) for p in pdf["payload"]]
-            out = pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"].values,
-                    "modality": pdf["modality"].values,
-                    "n_bytes": pdf["payload"].map(len).values,
-                    "width": [m["width"] for m in meta],
-                    "height": [m["height"] for m in meta],
-                    "n_frames": [m["n_frames"] for m in meta],
-                    "sample_rate": [m["sample_rate"] for m in meta],
-                    "ok": [m["ok"] for m in meta],
-                }
-            )
-            yield out
+            rows = []
+            for asset_id, modality, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                parser = _PARSERS.get(modality)
+                meta = parser(bytes(payload)) if parser and payload is not None else None
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "modality": modality,
+                        "width": (meta or {}).get("width"),
+                        "height": (meta or {}).get("height"),
+                        "n_frames": (meta or {}).get("n_frames"),
+                        "sample_rate": (meta or {}).get("sample_rate"),
+                        "ok": meta is not None,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
 
-    return assets.select("asset_id", "modality", "payload").mapInPandas(decode_batches, DECODED_SCHEMA)
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        decode_batches, DECODED_SCHEMA
+    )
 
 
 def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
-    index — pure JVM (sequence + explode), no Python in the loop.
+    index — pure JVM (sequence + explode), no Python in the loop; rows with
+    null n_frames (failed decode) contribute nothing.
 
     Output: asset_id, frame_idx.
     """

@@ -322,34 +322,29 @@ def kmeans_lloyd(
 
 
 # ---------------------------------------------------------------------------
-# Brute-force all-pairs candidates (numpy block-matmul kernel)
+# All-pairs candidates: tiered broadcast / tiled / LSH-bucketed kernels
 # ---------------------------------------------------------------------------
-def cosine_pair_candidates(
-    embeddings: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.45,
-    margin: float = 1e-3,
+# Auto-routing thresholds (row counts). Broadcast: the normalized matrix is
+# n·d·8 bytes on every executor (and, definitionally for a broadcast, once
+# on the driver) — capped where that stays tens of MB. Tiled: exact O(n²·d)
+# compute with NO full-table materialization anywhere — capped where the
+# quadratic FLOPs stop being worth exactness. Beyond: LSH bucketing, the
+# only shape that survives 100 TB (linear in docs + candidates, approximate
+# recall governed by n_tables × n_planes).
+BROADCAST_MAX_ROWS = 150_000
+TILED_MAX_ROWS = 3_000_000
+
+
+def _broadcast_candidates(
+    embeddings: DataFrame, id_col: str, vec_col: str, cutoff: float
 ) -> DataFrame:
-    """All-pairs cosine CANDIDATES above ``threshold - margin``, via the
-    standard dense brute-force kernel: broadcast the (normalized) full
-    matrix, stream the table through ``mapInPandas``, and let each Arrow
-    batch do one numpy block × matrix matmul. A 128-dim dot product per
-    pair through interpreted higher-order expressions costs ~1 µs; through
-    a blocked BLAS matmul it costs ~1 ns — this is the faiss-style baseline
-    shape for exact similarity.
-
-    The guaranteed-superset contract (margin >> float reassociation error,
-    which is ~1e-12 for 128-dim sums) lets an exact, oracle-matching
-    verification pass re-derive the similarity on candidates only — numpy
-    never decides the final answer, it only prunes the n² space.
-
-    Scale posture: the broadcast side is n·d·8 bytes — fine to ~10⁷ vectors
-    per executor; beyond that use ``lsh_topk``/``ivf_topk`` blocking (this
-    function is the small-n exact baseline, like ``cosine_topk``).
-
-    Output: doc_a, doc_b (doc_a < doc_b) — candidates only, NOT verified.
-    """
+    """Small-n kernel: broadcast the (normalized) full matrix, stream the
+    table through ``mapInPandas``, one numpy block × matrix matmul per
+    Arrow batch. A 128-dim dot product per pair through interpreted
+    higher-order expressions costs ~1 µs; through a blocked BLAS matmul it
+    costs ~1 ns — the faiss-style baseline shape for exact similarity.
+    Driver materialization here is what "broadcast" means; the auto-router
+    only takes this path under ``BROADCAST_MAX_ROWS``."""
     import numpy as np
     import pandas as pd
 
@@ -359,7 +354,6 @@ def cosine_pair_candidates(
     m = np.vstack(pdf_all[vec_col].to_numpy()).astype(np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     b = spark.sparkContext.broadcast((ids_all, m))
-    cutoff = threshold - margin
 
     def gen(batches):
         ids_b, mat = b.value
@@ -384,3 +378,126 @@ def cosine_pair_candidates(
         .repartition(n_parts, id_col)
         .mapInPandas(gen, schema="doc_a bigint, doc_b bigint")
     )
+
+
+def _tiled_candidates(
+    embeddings: DataFrame, id_col: str, vec_col: str, cutoff: float, n_blocks: int
+) -> DataFrame:
+    """Distributed exact kernel: hash every vector into one of ``n_blocks``
+    blocks, materialize each block-pair tile (i ≤ j) via a cogrouped
+    ``applyInPandas``, and run one numpy matmul per tile. Nothing is ever
+    collected to the driver and no executor holds more than two blocks —
+    the standard blocked all-pairs shape (each side is replicated
+    ~n_blocks/2 times through the shuffle; tiles are independent tasks).
+    Diagonal tiles dedup by id<id inside the tile; off-diagonal tiles hold
+    each unordered pair exactly once and emit it as (min, max)."""
+    import numpy as np
+    import pandas as pd
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), blk.alias("_b")
+    )
+    left = base.select(
+        "_id", "_v", F.col("_b").alias("_bi"),
+        F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1))).alias("_bj"),
+    )
+    right = base.select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("_bi"),
+        F.col("_b").alias("_bj"),
+    )
+
+    def tile(key, l, r):
+        if l.empty or r.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        ids_l = l["_id"].to_numpy(dtype=np.int64)
+        ids_r = r["_id"].to_numpy(dtype=np.int64)
+        ml = np.vstack(l["_v"].to_numpy()).astype(np.float64)
+        mr = np.vstack(r["_v"].to_numpy()).astype(np.float64)
+        ml /= np.linalg.norm(ml, axis=1, keepdims=True)
+        mr /= np.linalg.norm(mr, axis=1, keepdims=True)
+        hits = ml @ mr.T >= cutoff
+        if key[0] == key[1]:  # diagonal: same set on both sides
+            hits &= ids_l[:, None] < ids_r[None, :]
+        hi, hj = np.nonzero(hits)
+        a, b = ids_l[hi], ids_r[hj]
+        return pd.DataFrame(
+            {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b)}
+        )
+
+    return (
+        left.groupBy("_bi", "_bj")
+        .cogroup(right.groupBy("_bi", "_bj"))
+        .applyInPandas(tile, schema="doc_a bigint, doc_b bigint")
+    )
+
+
+def _lsh_candidates(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 12,
+) -> DataFrame:
+    """100 TB tier: random-hyperplane bucketing (same signature machinery
+    as :func:`lsh_topk`) — a pair is a candidate iff it shares one table's
+    bucket. Linear in docs + candidates, never all-pairs; APPROXIMATE (a
+    pair hashed apart in every table is missed — recall is tuned by
+    n_tables/n_planes, the trade every at-scale dedup pipeline makes)."""
+    bucketer = _bucket_udf(n_planes, n_tables, dim)
+    b = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).select(
+        "_id", F.posexplode(bucketer(F.col("_v"))).alias("tbl", "bucket")
+    )
+    l = b.select(F.col("_id").alias("doc_a"), "tbl", "bucket")
+    r = b.select(F.col("_id").alias("doc_b"), "tbl", "bucket")
+    return (
+        l.join(r, ["tbl", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def cosine_pair_candidates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    margin: float = 1e-3,
+    route: str = "auto",
+    block_rows: int = 100_000,
+    dim: int = 64,
+) -> DataFrame:
+    """All-pairs cosine CANDIDATES above ``threshold - margin``, routed by
+    input size: broadcast matmul (small), tiled distributed matmul (mid,
+    still exact, no driver/full-table materialization), LSH bucketing
+    (beyond exact feasibility — approximate, linear). ``route`` forces a
+    tier ("broadcast" | "tiled" | "lsh") for testing or when the caller
+    knows better.
+
+    The guaranteed-superset contract for the exact tiers (margin >> float
+    reassociation error, ~1e-12 for 128-dim sums) lets an exact,
+    oracle-matching verification pass re-derive the similarity on
+    candidates only — numpy never decides the final answer, it only prunes
+    the n² space.
+
+    Output: doc_a, doc_b (doc_a < doc_b) — candidates only, NOT verified.
+    """
+    cutoff = threshold - margin
+    if route == "auto":
+        n = embeddings.count()  # scalar aggregate: cheap routing probe
+        route = (
+            "broadcast"
+            if n <= BROADCAST_MAX_ROWS
+            else ("tiled" if n <= TILED_MAX_ROWS else "lsh")
+        )
+    if route == "broadcast":
+        return _broadcast_candidates(embeddings, id_col, vec_col, cutoff)
+    if route == "tiled":
+        n_blocks = max(2, -(-embeddings.count() // block_rows))
+        return _tiled_candidates(embeddings, id_col, vec_col, cutoff, n_blocks)
+    if route == "lsh":
+        return _lsh_candidates(embeddings, id_col, vec_col, dim)
+    raise ValueError(f"unknown route: {route!r}")

@@ -3,20 +3,33 @@
 The reference instructs its planner to "Write valid DuckDB SQL"
 (server/index.js:269) and its own JOIN compiler emits DuckDB-specific
 syntax (``EXCLUDE`` — ui/src/sqlGenerator.ts:20-21; ``read_csv_auto`` —
-ui/src/App.tsx:362-375). A user migrating stage flows must be able to run
-that SQL on Spark, so CUSTOM stages pass through this textual shim first.
+ui/src/App.tsx:362-375). The CUSTOM escape hatch therefore makes the whole
+DuckDB surface reachable from a migrated flow, so this shim covers the
+DuckDB-isms real flows carry, not just what the reference itself emits.
 
 Deliberately *surface-level*: each rule is a well-defined token rewrite of
-a DuckDB-ism onto its exact Spark equivalent. Anything beyond this list is
-already ANSI-shared between the engines and passes through untouched.
+a DuckDB-ism onto its exact Spark equivalent, applied outside string
+literals. Anything beyond this list is already ANSI-shared between the
+engines and passes through untouched.
 
 | DuckDB | Spark |
 |---|---|
 | ``SELECT * EXCLUDE (a, b)``        | ``SELECT * EXCEPT (a, b)`` |
 | ``read_csv_auto('p', ...)``        | csv temp view (pipeline pre-registers) |
 | ``read_parquet('p')``              | ``parquet.`p``` |
+| ``... QUALIFY <pred>``             | wrapper subquery + WHERE on a computed ``__qualify`` column |
+| ``FROM generate_series(a,b[,s])``  | ``FROM (SELECT explode(sequence(a,b[,s])) AS generate_series)`` |
+| ``FROM range(a,b)``                | same, end-exclusive (``sequence(a,(b)-1)``) |
+| ``generate_series(a,b)`` (scalar)  | ``sequence(a,b)`` |
+| ``regexp_split_to_array(s, re)``   | ``split(s, re)`` |
+| ``array_to_string(l, sep)``        | ``array_join(l, sep)`` |
+| ``list_transform`` / ``list_filter`` | ``transform`` / ``filter`` |
+| ``list_sum(l)``                    | ``aggregate(l, 0.0d, (acc,x) -> acc + x)`` |
+| ``unnest(l)`` (select list)        | ``explode(l)`` (``recursive :=`` unsupported → error) |
+| ``[expr FOR x IN l [IF c]]``       | ``transform(filter(l, x -> c), x -> expr)`` |
+| ``[a, b, c]`` literal              | ``array(a, b, c)`` |
+| ``LIST_VALUE(...)``                | ``array(...)`` |
 | ``t1 POSITIONAL JOIN t2``          | unsupported → explicit error |
-| ``LIST_VALUE(...)`` / ``[x, y]``   | ``array(...)`` (bracket lists kept: Spark accepts ``array()`` only) |
 | ``str[i:j]`` slicing               | unsupported → explicit error |
 """
 
@@ -30,6 +43,302 @@ _READ_CSV_RE = re.compile(r"read_csv_auto\s*\(\s*'([^']+)'[^)]*\)", re.IGNORECAS
 _READ_PARQUET_RE = re.compile(r"read_parquet\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE)
 _LIST_VALUE_RE = re.compile(r"\bLIST_VALUE\s*\(", re.IGNORECASE)
 _POSITIONAL_RE = re.compile(r"\bPOSITIONAL\s+JOIN\b", re.IGNORECASE)
+_RECURSIVE_UNNEST_RE = re.compile(r"\bunnest\s*\([^()]*recursive\s*:=", re.IGNORECASE)
+
+_STR_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_strings(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals with indexed placeholders so token rewrites
+    can't touch quoted content."""
+    literals: list[str] = []
+
+    def keep(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    return _STR_RE.sub(keep, sql), literals
+
+
+def _unmask_strings(sql: str, literals: list[str]) -> str:
+    """Restore literals, doubling backslashes: DuckDB string literals are
+    escape-free (``'\\s+'`` is backslash-s-plus) while Spark's parser
+    processes C-style escapes — an unescaped ``\\s`` would silently become
+    ``s`` and corrupt every migrated regex."""
+    return re.sub(
+        r"\x00(\d+)\x00",
+        lambda m: literals[int(m.group(1))].replace("\\", "\\\\"),
+        sql,
+    )
+
+
+def _find_matching(sql: str, start: int, open_ch: str, close_ch: str) -> int:
+    """Index of the bracket matching ``sql[start]`` (which must be
+    ``open_ch``), or -1."""
+    depth = 0
+    for i in range(start, len(sql)):
+        if sql[i] == open_ch:
+            depth += 1
+        elif sql[i] == close_ch:
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on a separator at bracket depth 0."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY
+# ---------------------------------------------------------------------------
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_TRAILER_RE = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+
+
+def _top_level_matches(sql: str, pattern: re.Pattern) -> list[re.Match]:
+    out = []
+    for m in pattern.finditer(sql):
+        depth = sql.count("(", 0, m.start()) - sql.count(")", 0, m.start())
+        if depth == 0:
+            out.append(m)
+    return out
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """``SELECT ... QUALIFY pred [ORDER BY ...] [LIMIT n]`` →
+
+    ``SELECT * EXCEPT (__qualify) FROM (SELECT ..., (pred) AS __qualify)
+    WHERE __qualify [ORDER BY ...] [LIMIT n]``
+
+    Window functions in ``pred`` evaluate over the inner SELECT's result —
+    exactly DuckDB's QUALIFY semantics. Limitation (documented): ``pred``
+    must reference columns present in the SELECT's output (true for the
+    standard ``QUALIFY row_number() OVER (...) <= n`` shape).
+    """
+    matches = _top_level_matches(sql, _QUALIFY_RE)
+    if not matches:
+        return sql
+    m = matches[-1]
+    head, rest = sql[: m.start()].rstrip(), sql[m.end() :]
+    trailer = ""
+    t_matches = _top_level_matches(rest, _TRAILER_RE)
+    if t_matches:
+        trailer = rest[t_matches[0].start() :].rstrip()
+        rest = rest[: t_matches[0].start()]
+    pred = rest.strip().rstrip(";")
+    # Inject the predicate as a computed column over the original query:
+    # wrap head, add (pred) AS __qualify via a SELECT *-extension.
+    return (
+        f"SELECT * EXCEPT (__qualify) FROM "
+        f"(SELECT *, ({pred}) AS __qualify FROM ({head})) WHERE __qualify"
+        + (f" {trailer}" if trailer else "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# generate_series / range as FROM-position table functions
+# ---------------------------------------------------------------------------
+_FROM_SERIES_RE = re.compile(
+    r"\b(FROM|JOIN)\s+(generate_series|range)\s*\(", re.IGNORECASE
+)
+_SERIES_ALIAS_RE = re.compile(
+    r"^\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*(\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?",
+    re.IGNORECASE,
+)
+_KEYWORD_STOP = {
+    "where", "group", "order", "limit", "qualify", "having", "union", "inner",
+    "left", "right", "full", "cross", "join", "on", "using", "as", "select",
+}
+
+
+def _rewrite_from_series(sql: str) -> str:
+    while True:
+        m = _FROM_SERIES_RE.search(sql)
+        if not m:
+            return sql
+        kw, fn = m.group(1), m.group(2).lower()
+        open_idx = sql.index("(", m.end(2))
+        close_idx = _find_matching(sql, open_idx, "(", ")")
+        if close_idx < 0:
+            return sql
+        args = _split_top_level(sql[open_idx + 1 : close_idx])
+        if fn == "range":  # DuckDB range is end-exclusive; sequence inclusive
+            args = [args[0], f"({args[1].strip()}) - 1"] + args[2:]
+        seq = f"sequence({', '.join(a.strip() for a in args)})"
+        # Optional alias (with optional column rename): t, AS t, t(i), AS t(i)
+        tail = sql[close_idx + 1 :]
+        col, alias_sql, consumed = fn, "", 0
+        am = _SERIES_ALIAS_RE.match(tail)
+        if am and am.group(1).lower() not in _KEYWORD_STOP:
+            alias_sql = f" {am.group(1)}"
+            if am.group(3):
+                col = am.group(3)
+            consumed = am.end()
+        replacement = f"{kw} (SELECT explode({seq}) AS {col}){alias_sql}"
+        sql = sql[: m.start()] + replacement + tail[consumed:]
+
+
+# ---------------------------------------------------------------------------
+# List comprehensions and bracket list literals
+# ---------------------------------------------------------------------------
+_COMPREHENSION_RE = re.compile(
+    r"^\s*(?P<expr>.+?)\s+for\s+(?P<var>[A-Za-z_][A-Za-z0-9_]*)\s+in\s+"
+    r"(?P<src>.+?)(?:\s+if\s+(?P<cond>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _is_subscript(sql: str, idx: int) -> bool:
+    """A ``[`` directly after an identifier / ``)`` / ``]`` is a subscript,
+    not a list literal."""
+    j = idx - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    return j >= 0 and (sql[j].isalnum() or sql[j] in "_)]\x00")
+
+
+def _comprehension_split(body: str):
+    """Match ``expr for var in src [if cond]`` with the ``for``/``in``/``if``
+    keywords at bracket depth 0."""
+    lowered = body.lower()
+    depth = 0
+    marks = {}
+    i = 0
+    while i < len(lowered):
+        ch = lowered[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and (i == 0 or not (lowered[i - 1].isalnum() or lowered[i - 1] == "_")):
+            for kw in ("for", "in", "if"):
+                end = i + len(kw)
+                if (
+                    lowered.startswith(kw, i)
+                    and (end >= len(lowered) or not (lowered[end].isalnum() or lowered[end] == "_"))
+                ):
+                    if kw == "for" and "for" not in marks:
+                        marks["for"] = i
+                    elif kw == "in" and "for" in marks and "in" not in marks:
+                        marks["in"] = i
+                    elif kw == "if" and "in" in marks and "if" not in marks:
+                        marks["if"] = i
+        i += 1
+    if "for" not in marks or "in" not in marks:
+        return None
+    expr = body[: marks["for"]].strip()
+    var = body[marks["for"] + 3 : marks["in"]].strip()
+    src_end = marks.get("if", len(body))
+    src = body[marks["in"] + 2 : src_end].strip()
+    cond = body[marks["if"] + 2 :].strip() if "if" in marks else None
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", var):
+        return None
+    return expr, var, src, cond
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """Innermost-first rewrite of ``[...]`` groups: comprehension →
+    transform/filter; plain literal → array(...); subscripts untouched."""
+    while True:
+        # Find an innermost bracket group that isn't a subscript.
+        target = -1
+        for i, ch in enumerate(sql):
+            if ch == "[" and not _is_subscript(sql, i):
+                close = _find_matching(sql, i, "[", "]")
+                if close < 0:
+                    return sql
+                if "[" in sql[i + 1 : close]:
+                    inner = sql.index("[", i + 1)
+                    if not _is_subscript(sql, inner):
+                        continue  # recurse via scan order: skip to inner pass
+                target = i
+                break
+        if target < 0:
+            return sql
+        close = _find_matching(sql, target, "[", "]")
+        body = sql[target + 1 : close]
+        comp = _comprehension_split(body)
+        if comp:
+            expr, var, src, cond = comp
+            if cond:
+                repl = f"transform(filter({src}, {var} -> {cond}), {var} -> {expr})"
+            else:
+                repl = f"transform({src}, {var} -> {expr})"
+        else:
+            repl = f"array({body})"
+        sql = sql[:target] + repl + sql[close + 1 :]
+
+
+# ---------------------------------------------------------------------------
+# Simple function-name mappings
+# ---------------------------------------------------------------------------
+_FN_RENAMES = [
+    (re.compile(r"\bregexp_split_to_array\s*\(", re.IGNORECASE), "split("),
+    (re.compile(r"\barray_to_string\s*\(", re.IGNORECASE), "array_join("),
+    (re.compile(r"\blist_transform\s*\(", re.IGNORECASE), "transform("),
+    (re.compile(r"\blist_filter\s*\(", re.IGNORECASE), "filter("),
+    (re.compile(r"\bunnest\s*\(", re.IGNORECASE), "explode("),
+]
+_LIST_SUM_RE = re.compile(r"\blist_sum\s*\(", re.IGNORECASE)
+_SCALAR_SERIES_RE = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+
+
+def _has_slice(masked: str) -> bool:
+    """True when a subscript bracket group (``x[...]``) contains a
+    top-level ``:`` that is not part of a ``::`` cast — DuckDB slicing."""
+    for i, ch in enumerate(masked):
+        if ch != "[" or not _is_subscript(masked, i):
+            continue
+        close = _find_matching(masked, i, "[", "]")
+        if close < 0:
+            continue
+        body = masked[i + 1 : close]
+        depth = 0
+        for j, c in enumerate(body):
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif (
+                c == ":"
+                and depth == 0
+                and (j == 0 or body[j - 1] != ":")
+                and (j + 1 >= len(body) or body[j + 1] != ":")
+            ):
+                return True
+    return False
+
+
+def _rewrite_list_sum(sql: str) -> str:
+    while True:
+        m = _LIST_SUM_RE.search(sql)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.start())
+        close_idx = _find_matching(sql, open_idx, "(", ")")
+        if close_idx < 0:
+            return sql
+        arg = sql[open_idx + 1 : close_idx].strip()
+        sql = (
+            sql[: m.start()]
+            + f"aggregate({arg}, cast(0.0 as double), (acc, x) -> acc + x)"
+            + sql[close_idx + 1 :]
+        )
 
 
 def duckdb_to_spark_sql(sql: str) -> str:
@@ -40,12 +349,30 @@ def duckdb_to_spark_sql(sql: str) -> str:
             "POSITIONAL JOIN has no Spark equivalent; zip frames with a "
             "row_number window + equi-join instead"
         )
-    out = _EXCLUDE_RE.sub(lambda m: f"{m.group(1)}EXCEPT{m.group(2)}", sql)
+    if _RECURSIVE_UNNEST_RE.search(sql):
+        raise ValueError(
+            "unnest(..., recursive := true) has no Spark equivalent; "
+            "explode struct fields explicitly instead"
+        )
+    masked, literals = _mask_strings(sql)
+    if _has_slice(masked):
+        raise ValueError(
+            "[i:j] slicing has no Spark equivalent; use substring()/slice()"
+        )
+    out = _rewrite_qualify(masked)
+    out = _EXCLUDE_RE.sub(lambda m: f"{m.group(1)}EXCEPT{m.group(2)}", out)
+    out = _rewrite_from_series(out)
+    out = _rewrite_brackets(out)
+    out = _LIST_VALUE_RE.sub("array(", out)
+    for pat, repl in _FN_RENAMES:
+        out = pat.sub(repl, out)
+    out = _rewrite_list_sum(out)
+    out = _SCALAR_SERIES_RE.sub("sequence(", out)
+    out = _unmask_strings(out, literals)
     # read_csv_auto('path', header=true, ...) → Spark csv file-format table.
     # Spark's `csv.`path`` reader has no header/inference options inline, so
     # route through read_files-style SELECT; header inference matches the
     # reference's auto_detect path closely enough for migration use.
     out = _READ_CSV_RE.sub(lambda m: f"csv.`{m.group(1)}`", out)
     out = _READ_PARQUET_RE.sub(lambda m: f"parquet.`{m.group(1)}`", out)
-    out = _LIST_VALUE_RE.sub("array(", out)
     return out

@@ -32,6 +32,7 @@ from gemini_data_wrangler_spark.operators.multimodal import (
     attach_binary_payload,
     decode_assets,
     frame_sample,
+    synthesize_assets,
 )
 from gemini_data_wrangler_spark.operators.similarity import (
     cosine_topk,
@@ -409,6 +410,51 @@ def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
 
 
+def _ann_recall_check(spark: SparkSession, sf_dir: str, approx_fn, floor: float) -> DataFrame:
+    """Per-query recall@10 of an ANN method vs the exact brute-force top-k,
+    reduced to an oracle-checkable bound: ``recall_ok`` must be TRUE for
+    every query id. The oracle pins TRUE (it cannot reproduce the ANN
+    candidates), so a recall regression below ``floor`` becomes a driver
+    hash MISMATCH instead of a self-attested rows-only pass."""
+    emb = _table(spark, sf_dir, "embeddings")
+    q = queries_from_ids(emb, _ANN_QUERY_IDS)
+    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    approx = approx_fn(emb, q, k=10).select("query_id", "vec_id")
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    n_hit = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            ((F.coalesce("_h", F.lit(0)) / F.col("_n")) >= floor).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_RECALL_ORACLE = (
+    "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id IN ({ids})"
+).format(ids=", ".join(str(i) for i in _ANN_QUERY_IDS))
+
+
+@register("similarity_lsh_recall", _ANN_RECALL_ORACLE)
+def similarity_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_check(spark, sf_dir, lsh_topk, floor=0.8)
+
+
+@register("similarity_ivf_recall", _ANN_RECALL_ORACLE)
+def similarity_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nprobe 5/10 cells: untrained stride centroids measure recall@10
+    # ≥ 0.7 on the driver corpus; floor at 0.6 leaves regression margin.
+    def ivf5(emb, q, k):
+        return ivf_topk(emb, q, k=k, nprobe=5)
+
+    return _ann_recall_check(spark, sf_dir, ivf5, floor=0.6)
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (events table; batch mode of the streaming builders)
 # ---------------------------------------------------------------------------
@@ -465,13 +511,44 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode", None)  # stubbed decoder: rows-only check
+# The decode oracle re-derives the synthesis parameter schedule
+# (operators/multimodal.py::synth_params) in SQL: the Spark side must
+# recover the same numbers by PARSING the real PNG/WAV/GIF container bytes.
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 1 + CAST(doc_id % 64 AS INT)
+                WHEN doc_id % 3 = 2 THEN 1 + CAST(doc_id % 32 AS INT) END AS width,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 1 + CAST((doc_id // 64) % 64 AS INT)
+                WHEN doc_id % 3 = 2 THEN 1 + CAST((doc_id // 32) % 32 AS INT) END AS height,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 1
+                WHEN doc_id % 3 = 2 THEN 1 + CAST(doc_id % 24 AS INT) END AS n_frames,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                WHEN doc_id % 3 = 1 THEN 8000 * (1 + CAST(doc_id % 5 AS INT)) END AS sample_rate,
+           doc_id % 97 <> 0 AS ok
+    FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
-    return decode_assets(attach_binary_payload(docs, "doc_id", "text"))
+    return decode_assets(synthesize_assets(docs, "doc_id"))
 
 
-@register("multimodal_frame_sample", None)  # stubbed decoder: rows-only check
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id, 1 + CAST(doc_id % 24 AS INT) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2 AND doc_id % 97 <> 0
+    )
+    SELECT doc_id AS asset_id, unnest(range(0, n_frames, 8)) AS frame_idx FROM v
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
-    return frame_sample(decode_assets(attach_binary_payload(docs, "doc_id", "text")))
+    return frame_sample(decode_assets(synthesize_assets(docs, "doc_id")))

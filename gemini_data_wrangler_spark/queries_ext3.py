@@ -266,6 +266,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register(
+    "dedup_clusters_star",
+    connected_components_oracle_sql(
+        ngram_jaccard_oracle_sql("documents", "doc_id", "text", n=5, threshold=0.8)
+    ),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as ``dedup_clusters`` but via alternating large-star/
+    small-star contraction (Kiveris et al. 2014) — O(log² n) rounds on any
+    topology vs diameter-many for propagation; the variant a 100 TB corpus
+    with adversarial chain-shaped dup clusters needs. Shares the exact
+    transitive-closure oracle."""
+    from gemini_data_wrangler_spark.operators.dedup import connected_components_star
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    return connected_components_star(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level n-gram stats
 # ---------------------------------------------------------------------------

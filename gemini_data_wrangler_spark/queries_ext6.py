@@ -149,14 +149,59 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # PageRank over the supplier↔part bipartite graph (iterative showcase)
 # ---------------------------------------------------------------------------
-@register("graph_pagerank_parts", None)
+_PR_ITERATIONS = 5
+
+
+def _pagerank_oracle_sql(iterations: int) -> str:
+    """Fixed-iteration PageRank unrolled into chained CTEs (one per power-
+    iteration round) — DuckDB-runnable, no recursive CTE needed. The graph
+    is symmetric (both directions), so there is no dangling mass and each
+    round is exactly: r' = 0.15/N + 0.85 · Σ_in r/outdeg. Ranks are rounded
+    to 9 decimals on BOTH sides (sum order differs between engines at the
+    ~1e-16 level; the rounding absorbs it)."""
+    head = """
+    WITH li AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
+    ),
+    e AS (SELECT src, dst FROM li UNION SELECT dst AS src, src AS dst FROM li),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)"""
+    rounds = "".join(
+        f""",
+    r{i} AS (
+      SELECT nodes.node,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE) * coalesce(s.inr, CAST(0 AS DOUBLE)) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / deg.deg) AS inr
+        FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg ON e.src = deg.node
+        GROUP BY e.dst
+      ) s ON nodes.node = s.node
+    )"""
+        for i in range(1, iterations + 1)
+    )
+    return (
+        head
+        + rounds
+        + f"""
+    SELECT node, round(rank, 9) AS rank FROM r{iterations}
+    ORDER BY round(rank, 9) DESC, node LIMIT 50
+    """
+    )
+
+
+@register("graph_pagerank_parts", _pagerank_oracle_sql(_PR_ITERATIONS))
 def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank on the supplier↔part graph induced by lineitem (both
     directions, so no dangling nodes), top 50 nodes by rank. Iterative
     DataFrame algorithm: per round one cached-edge join against the
-    node-sized rank state + one aggregation; exact semantics are pinned
-    against a numpy power-iteration reference in tests (rows-only here —
-    floating-point sums are not bit-stable across engines)."""
+    node-sized rank state + one aggregation; semantics are pinned both
+    against a numpy power-iteration reference in tests AND against a
+    DuckDB oracle (the fixed iteration count unrolls into chained CTEs;
+    ranks rounded to 9 decimals to absorb engine-order float noise)."""
     from gemini_data_wrangler_spark.operators.graphs import pagerank
 
     li = (
@@ -171,11 +216,10 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = li.union(li.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return (
-        pagerank(edges, iterations=5)
-        .orderBy(F.col("rank").desc(), F.col("node"))
-        .limit(50)
+    ranked = pagerank(edges, iterations=_PR_ITERATIONS).select(
+        "node", F.round("rank", 9).alias("rank")
     )
+    return ranked.orderBy(F.col("rank").desc(), F.col("node")).limit(50)
 
 
 # ---------------------------------------------------------------------------
@@ -243,38 +287,117 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Count-min-sketch heavy hitters (mergeable frequency sketches)
 # ---------------------------------------------------------------------------
-CMS_EPS, CMS_CONF, CMS_SEED = 0.001, 0.99, 42
+# width = ceil(e / eps) with eps = 0.001 → 2719; depth = 5 → error-bound
+# failure prob per query ≤ e^-5 ≈ 0.7% (Cormode & Muthukrishnan 2005).
+CMS_DEPTH, CMS_WIDTH = 5, 2719
+CMS_EPS = 2.718281828 / CMS_WIDTH
+HH_K = 200
+
+
+def _cms_buckets(col: str) -> F.Column:
+    """The CMS hash row: bucket index per depth via seeded xxhash64 —
+    a pure JVM expression, identical on every executor."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(CMS_WIDTH)).cast("int")
+            for i in range(CMS_DEPTH)
+        ]
+    )
+
+
+def _cms_counters(words: DataFrame) -> DataFrame:
+    """Per-source CMS counter tables, union-merged into the corpus sketch.
+
+    The sketch IS a (row, bucket, cnt) DataFrame of at most depth × width
+    rows (~14 k) regardless of input size — the mergeable-sketch pattern: a
+    100 TB pipeline keeps one such table per shard/day (map-side partial
+    aggregation makes each a single tiny exchange) and merging is a
+    groupBy-sum. Nothing here ever touches the driver."""
+    per_source = (
+        words.select("source", F.posexplode(_cms_buckets("w")).alias("row", "bucket"))
+        .groupBy("source", "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_source.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def _cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``HH_K`` candidate words with exact and CMS-estimated counts.
+
+    Fully distributed: candidates come from a map-side-combined word count
+    + TakeOrderedAndProject top-k (deterministic: count desc, word asc);
+    the merged counter table (≤ depth·width rows) is broadcast back and
+    each candidate takes the min over its depth buckets — the driver never
+    sees the vocabulary."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    counters = _cms_counters(words)
+    cand = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("w").asc())
+        .limit(HH_K)
+    )
+    return (
+        cand.select("w", "exact_count", F.posexplode(_cms_buckets("w")).alias("row", "bucket"))
+        .join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy("w", "exact_count")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
 
 
 @register("sketch_count_min_heavy_hitters", None)
 def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source count-min sketches of the word stream, union-merged into
-    corpus-wide frequency estimates — the mergeable-sketch pattern that
-    lets a 100 TB pipeline keep per-shard/day frequency state and answer
-    global heavy-hitter queries without re-scanning (one sketch is a few
-    KB regardless of input size). Only the kilobyte sketches and the
-    candidate vocabulary ever reach the driver; candidates here are the
-    full distinct vocabulary (tiny word-soup corpus), in production a
-    sampled/top-k candidate set. Deterministic (fixed seed); estimates are
-    upper bounds within eps·N — asserted against exact counts in tests."""
-    docs = _docs(spark, sf_dir)
-    words = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
-    per_source = (
-        docs.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
-        .groupBy("source")
-        .agg(F.count_min_sketch("w", CMS_EPS, CMS_CONF, CMS_SEED).alias("_sk"))
+    """Corpus-wide heavy-hitter frequency estimates from per-source
+    count-min counter tables (see ``_cms_counters`` for the mergeable-
+    sketch scale story). Estimates are upper bounds within eps·N with
+    probability ≥ 1 − e^-depth per query; the bound is asserted exactly by
+    ``sketch_count_min_bound_check`` and in tests. Rows-only here (the
+    estimate depends on xxhash64 bucket collisions, which no other engine
+    reproduces); deterministic under the fixed seeds."""
+    return _cms_estimates(spark, sf_dir).select("w", "est_count").withColumnRenamed(
+        "w", "word"
     )
-    jvm = spark.sparkContext._jvm
-    merged = None
-    for row in per_source.collect():  # one row per source — sketches are KBs
-        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row["_sk"]))
-        if merged is None:
-            merged = sk
-        else:
-            merged.mergeInPlace(sk)
-    cands = [r["w"] for r in words.distinct().collect()]
-    rows = [(w, int(merged.estimateCount(w))) for w in sorted(cands)]
-    return spark.createDataFrame(rows, "word string, est_count bigint")
+
+
+@register(
+    "sketch_count_min_bound_check",
+    rf"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+    ), cand AS (
+      SELECT w AS word, count(*) AS exact_count
+      FROM words GROUP BY w
+      ORDER BY exact_count DESC, w ASC LIMIT {HH_K}
+    )
+    SELECT word, exact_count, TRUE AS bound_ok FROM cand
+    """,
+)
+def sketch_count_min_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable CMS guarantee: for the exact top-k words, the
+    sketch estimate must satisfy exact ≤ est ≤ exact + eps·N. The oracle
+    recomputes the candidate set and exact counts in DuckDB and pins
+    ``bound_ok`` to TRUE — a hash mismatch means the sketch math broke.
+    (The estimates themselves stay rows-only in the sibling query; this
+    row makes the *guarantee* engine-checkable instead of self-attested.)"""
+    docs = _docs(spark, sf_dir)
+    n_words = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n")
+    )
+    est = _cms_estimates(spark, sf_dir)
+    return (
+        est.crossJoin(F.broadcast(n_words))
+        .select(
+            F.col("w").alias("word"),
+            "exact_count",
+            (
+                (F.col("est_count") >= F.col("exact_count"))
+                & (F.col("est_count") <= F.col("exact_count") + F.ceil(F.lit(CMS_EPS) * F.col("n")))
+            ).alias("bound_ok"),
+        )
+    )
 
 
 @register(

@@ -192,15 +192,60 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Community detection (label propagation) — rows-only (iterative, non-SQL)
+# Community detection (label propagation)
 # ---------------------------------------------------------------------------
-@register("graph_label_propagation", None)
+_LP_ITERATIONS = 4
+
+
+def _label_prop_oracle_sql(iterations: int) -> str:
+    """Deterministic synchronous label propagation unrolled into one CTE
+    per round (all-integer state → exactly hash-comparable, unlike float
+    ranks). Each round: every node adopts its neighbors' most frequent
+    label, ties broken by smallest label — identical tie rule to
+    ``operators/graphs.py::label_propagation``."""
+    head = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+      SELECT src AS s, dst AS d FROM e0 UNION SELECT dst AS s, src AS d FROM e0
+    ),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM und)"""
+    rounds = "".join(
+        f""",
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT und.s AS node, l.label,
+               row_number() OVER (PARTITION BY und.s
+                                  ORDER BY count(*) DESC, l.label ASC) AS rk
+        FROM und JOIN l{i - 1} l ON und.d = l.node
+        GROUP BY und.s, l.label
+      ) WHERE rk = 1
+    )"""
+        for i in range(1, iterations + 1)
+    )
+    return (
+        head
+        + rounds
+        + f"""
+    SELECT label, count(*) AS community_size FROM l{iterations}
+    GROUP BY label
+    """
+    )
+
+
+@register("graph_label_propagation", _label_prop_oracle_sql(_LP_ITERATIONS))
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community sizes from deterministic label propagation on the SPARSE
     part co-order graph (parts co-ordered with high quantity — many small
-    components, so communities are non-trivial). Rows-only check:
-    iterative, not SQL-expressible; determinism + clique-separation pinned
-    in tests."""
+    components, so communities are non-trivial). Oracle: the fixed
+    iteration count unrolls into chained CTEs with the same integer
+    argmax tie rule; determinism + clique-separation also pinned in
+    tests."""
     from gemini_data_wrangler_spark.operators.graphs import label_propagation
 
     li = (
@@ -217,7 +262,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        label_propagation(edges, iterations=4)
+        label_propagation(edges, iterations=_LP_ITERATIONS)
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("community_size"))
         .orderBy(F.col("community_size").desc(), "label")

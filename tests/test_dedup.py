@@ -93,3 +93,52 @@ def test_connected_components_star_and_cycle(spark):
     got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
     # 2 bridges the star and the cycle: everything is one component, min id 1.
     assert got == {(v, 1) for v in (1, 2, 3, 5, 50, 100)}
+
+
+def test_pair_candidate_tiers_agree(spark):
+    """The tiled distributed kernel and the broadcast kernel must produce
+    the IDENTICAL candidate set (both exact); the LSH tier must be a subset
+    of it (approximate-by-contract) that still catches the real dups."""
+    from gemini_data_wrangler_spark.operators.similarity import cosine_pair_candidates
+
+    emb = load_sf_tables(spark, SF_ORACLE)["embeddings"]
+    bcast = _pairs(cosine_pair_candidates(emb, route="broadcast", threshold=0.45))
+    tiled = _pairs(
+        cosine_pair_candidates(emb, route="tiled", threshold=0.45, block_rows=200)
+    )
+    assert len(bcast) > 0
+    assert tiled == bcast
+    lsh = _pairs(cosine_pair_candidates(emb, route="lsh", threshold=0.45))
+    # Hyperplane buckets at the default (4 planes × 12 tables) catch every
+    # >=0.45 pair on the driver corpus; at minimum they must catch most.
+    assert len(lsh & bcast) >= 0.9 * len(bcast)
+
+
+def test_star_contraction_matches_propagation(spark):
+    from gemini_data_wrangler_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (6, 7), (100, 5), (100, 50), (3, 1)],
+        "doc_a int, doc_b int",
+    )
+    prop = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    star = {(r.doc_id, r.cluster_id) for r in connected_components_star(pairs).collect()}
+    assert star == prop
+
+
+def test_star_contraction_long_chain_bounded_rounds(spark):
+    """Adversarial diameter: a 400-vertex chain needs ~400 propagation hops
+    but must collapse within O(log^2 n) star rounds — 12 is generous."""
+    from gemini_data_wrangler_spark.operators.dedup import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_a int, doc_b int"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(chain, max_iter=12).collect()
+    }
+    assert got == {(i, 0) for i in range(401)}

@@ -1,0 +1,128 @@
+"""Migrated-flow bank: DuckDB-idiom CUSTOM SQL must run on Spark through
+the dialect shim and produce the SAME result DuckDB produces for the raw
+SQL. This is the reference's escape hatch surface — its planner is told to
+"write valid DuckDB SQL" (server/index.js:269), so a migrated flow's
+CUSTOM stages carry arbitrary DuckDB idioms (QUALIFY, generate_series,
+list comprehensions, regexp_split_to_array, ...).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gemini_data_wrangler_spark.plans.dialect import duckdb_to_spark_sql
+from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+from tests.conftest import SF_ORACLE
+from tests.parity import compare
+
+# Each entry: (name, duckdb_sql). The same text is shimmed and run on Spark.
+BANK = [
+    (
+        "qualify_rownum_per_key",
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey < 200
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) = 1
+        """,
+    ),
+    (
+        "qualify_with_trailer",
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY rank() OVER (ORDER BY o_totalprice DESC) <= 10
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 5
+        """,
+    ),
+    (
+        "generate_series_from_alias",
+        """
+        SELECT g.i AS bucket, count(*) AS n
+        FROM generate_series(1, 7) AS g(i)
+        JOIN orders ON (o_orderkey % 7) + 1 = g.i
+        GROUP BY g.i
+        """,
+    ),
+    (
+        "range_table_function",
+        "SELECT r AS v FROM range(0, 5) t(r)",
+    ),
+    (
+        "scalar_series_comprehension",
+        """
+        SELECT doc_id,
+               [CAST(x * 2 AS STRING) for x in generate_series(1, CAST(doc_id % 3 AS INT) + 1)] AS doubled
+        FROM documents WHERE doc_id < 20
+        """,
+    ),
+    (
+        "comprehension_with_filter",
+        r"""
+        SELECT doc_id,
+               [w for w in regexp_split_to_array(trim(text), '\s+') if length(w) > 6] AS long_words
+        FROM documents WHERE doc_id < 50
+        """,
+    ),
+    (
+        "list_sum_lengths",
+        r"""
+        SELECT doc_id,
+               list_sum([CAST(length(w) AS DOUBLE) for w in regexp_split_to_array(trim(text), '\s+')]) AS total_chars
+        FROM documents WHERE doc_id < 50
+        """,
+    ),
+    (
+        "unnest_select_list",
+        r"""
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE doc_id < 5
+        """,
+    ),
+    (
+        "bracket_literal_and_join",
+        """
+        SELECT n_name, array_to_string([CAST(n_nationkey AS STRING), n_name], ':') AS tagged
+        FROM nation WHERE n_regionkey = 1
+        """,
+    ),
+    (
+        "exclude_plus_qualify",
+        """
+        SELECT * EXCLUDE (o_orderstatus)
+        FROM orders
+        WHERE o_custkey < 50
+        QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+        """,
+    ),
+]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register_views(spark):
+    for name, df in load_sf_tables(spark, SF_ORACLE).items():
+        df.createOrReplaceTempView(name)
+
+
+@pytest.mark.parametrize("name,sql", BANK, ids=[b[0] for b in BANK])
+def test_duckdb_idiom_matches(spark, duck, name, sql):
+    spark_df = spark.sql(duckdb_to_spark_sql(sql))
+    diag = compare(spark_df, duck, sql)
+    assert diag["ok"], f"{name}: {diag}"
+
+
+def test_unsupported_constructs_raise():
+    with pytest.raises(ValueError, match="POSITIONAL"):
+        duckdb_to_spark_sql("SELECT * FROM a POSITIONAL JOIN b")
+    with pytest.raises(ValueError, match="slicing"):
+        duckdb_to_spark_sql("SELECT s[2:4] FROM t")
+    with pytest.raises(ValueError, match="recursive"):
+        duckdb_to_spark_sql("SELECT unnest(x, recursive := true) FROM t")
+
+
+def test_strings_and_subscripts_untouched():
+    out = duckdb_to_spark_sql("SELECT 'a [x for y] EXCLUDE (b)' AS s, arr[1] FROM t")
+    assert "'a [x for y] EXCLUDE (b)'" in out
+    assert "arr[1]" in out

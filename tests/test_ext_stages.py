@@ -341,16 +341,25 @@ def test_count_min_estimates_bounded(spark):
     from gemini_data_wrangler_spark.sources.readers import load_sf_tables
     from tests.conftest import SF_ORACLE
 
+    from gemini_data_wrangler_spark.queries_ext6 import HH_K
+
     b, _ = registry()["sketch_count_min_heavy_hitters"]
     est = {r.word: r.est_count for r in b(spark, SF_ORACLE).collect()}
     docs = load_sf_tables(spark, SF_ORACLE)["documents"]
     words = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
     exact = {r.w: r.c for r in words.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()}
     total = sum(exact.values())
-    assert set(est) == set(exact)
+    # Candidates are the exact top-k by (count desc, word asc).
+    topk = {w for w, _ in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:HH_K]}
+    assert set(est) == topk
     for w, e in est.items():
         assert e >= exact[w], (w, e, exact[w])
         assert e - exact[w] <= CMS_EPS * total + 1, (w, e, exact[w], total)
+    # The oracle-backed bound-check row must report all-TRUE.
+    bc, _ = registry()["sketch_count_min_bound_check"]
+    rows = bc(spark, SF_ORACLE).collect()
+    assert len(rows) == min(HH_K, len(exact))
+    assert all(r.bound_ok for r in rows)
 
 
 def test_split_fractions_roughly_80_10_10(spark):
@@ -413,3 +422,29 @@ def test_label_propagation_separates_cliques(spark):
     assert {got[n + 10] for n in range(4)} == {10}
     again = {r.node: r.label for r in label_propagation(edges, iterations=6).collect()}
     assert got == again
+
+
+def test_multimodal_format_roundtrip():
+    """The synthesized container bytes must be parseable by the real-format
+    parsers with the exact synthesis parameters, and truncation must be
+    flagged (None), never raised."""
+    from gemini_data_wrangler_spark.operators.multimodal import (
+        _gif_bytes,
+        _parse_gif,
+        _parse_png,
+        _parse_wav,
+        _png_bytes,
+        _wav_bytes,
+    )
+
+    assert _parse_png(_png_bytes(17, 43)) == {"width": 17, "height": 43, "n_frames": 1}
+    assert _parse_wav(_wav_bytes(16000, 77)) == {"sample_rate": 16000}
+    assert _parse_gif(_gif_bytes(9, 5, 13)) == {"width": 9, "height": 5, "n_frames": 13}
+    for blob in (_png_bytes(8, 8), _wav_bytes(8000, 10), _gif_bytes(4, 4, 3)):
+        assert _parse_png(blob[:5]) is None
+        assert _parse_wav(blob[:5]) is None
+        assert _parse_gif(blob[:5]) is None
+    # Cross-format: each parser rejects the other formats outright.
+    assert _parse_png(_wav_bytes(8000, 10)) is None
+    assert _parse_gif(_png_bytes(8, 8)) is None
+    assert _parse_wav(_gif_bytes(4, 4, 2)) is None
