@@ -528,18 +528,26 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # Size per-round parallelism to the (usually tiny) dup graph, like
+    # connected_components: full-width rounds pay fixed task overhead ×
+    # rounds × stages for near-empty partitions.
+    sc = e.sparkSession.sparkContext
+    n_parts = max(1, min(sc.defaultParallelism, e.count() // 50_000 + 1))
+    e = e.repartition(n_parts, "u").localCheckpoint()
 
     def large_star(edges: DataFrame) -> DataFrame:
         both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = both.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # No distinct here: duplicates are semantically harmless (small_star
+        # dedups at the end of the round) and dropping it removes one
+        # exchange per round.
         return (
             both.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(edges: DataFrame) -> DataFrame:
@@ -567,7 +575,7 @@ def connected_components_star(
 
     prev = fingerprint(e)
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
+        e = small_star(large_star(e)).repartition(n_parts, "u").localCheckpoint()
         cur = fingerprint(e)
         if cur == prev:
             break

@@ -51,6 +51,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext7,
         queries_ext8,
         queries_ext9,
+        queries_ext10,
         queries_tpch,
     )
 

@@ -1,0 +1,381 @@
+"""Round-2 extensions: (a) hash-gated bound checks that convert the
+remaining approximate/rows-only surfaces into driver-verifiable rows, and
+(b) new training-data operators (tf-idf terms, unigram-LM scoring, capped
+per-source sampling, cluster representative selection).
+
+The bound-check pattern (established by ``sketch_count_min_bound_check``):
+the engine computes BOTH the approximate answer and its exact reference
+plus a boolean guarantee column; the DuckDB oracle recomputes the exact
+side and pins the boolean to TRUE. An approximation regression (estimator
+drift, wrong merge, broken determinism) then becomes a driver value-hash
+MISMATCH instead of a self-attested rows-only pass. Every estimator here
+is deterministic (fixed seeds/sketch params), so the gates are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.queries import register
+from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_sf_tables(spark, sf_dir)[name]
+
+
+# ---------------------------------------------------------------------------
+# Bound gates for the approximate estimators
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_bound_check",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_exact,
+           TRUE AS bound_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_distinct_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ estimate (rsd=0.02) vs exact per group, gated at 3·rsd. The
+    estimate itself stays in the rows-only sibling (`count_distinct_approx`
+    — sketch values are engine-specific); the GUARANTEE is hash-checked."""
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_apx"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_exact",
+            (
+                F.abs(F.col("_apx") - F.col("n_exact"))
+                <= F.lit(0.06) * F.col("n_exact")
+            ).alias("bound_ok"),
+        )
+    )
+
+
+@register(
+    "percentile_approx_bound_check",
+    """
+    SELECT o_orderpriority, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_approx_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approx percentiles bracketed by exact interpolated
+    percentiles at ±0.01 rank — the GK rank-error guarantee (eps = 1/acc =
+    1e-4 here) made hash-checkable."""
+    orders = _table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)").alias("_apx"),
+        F.expr("percentile(o_totalprice, array(0.49, 0.51, 0.94, 0.96))").alias("_ex"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("_apx")[0].between(F.col("_ex")[0], F.col("_ex")[1]).alias("p50_ok"),
+        F.col("_apx")[1].between(F.col("_ex")[2], F.col("_ex")[3]).alias("p95_ok"),
+    )
+
+
+@register(
+    "hll_merge_bound_check",
+    """
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact, TRUE AS bound_ok
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT o_custkey), TRUE FROM orders
+    """,
+)
+def hll_merge_bound_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches-HLL per-group estimates AND their union-merge, each
+    within 5% of the exact distinct count — the mergeable-sketch guarantee
+    (sketch once per shard, merge without re-scanning) hash-gated."""
+    orders = _table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg(F.col("o_custkey").cast("string")).alias("_sk"),
+        F.count_distinct("o_custkey").alias("n_exact"),
+    )
+    seg = per.select(
+        "o_orderpriority",
+        "n_exact",
+        F.hll_sketch_estimate("_sk").alias("_est"),
+    )
+    glob = (
+        per.agg(F.hll_union_agg("_sk").alias("_u"))
+        .crossJoin(orders.agg(F.count_distinct("o_custkey").alias("n_exact")))
+        .select(
+            F.lit("ALL").alias("o_orderpriority"),
+            "n_exact",
+            F.hll_sketch_estimate("_u").alias("_est"),
+        )
+    )
+    return seg.unionByName(glob).select(
+        "o_orderpriority",
+        "n_exact",
+        (F.abs(F.col("_est") - F.col("n_exact")) <= F.lit(0.05) * F.col("n_exact")).alias(
+            "bound_ok"
+        ),
+    )
+
+
+@register(
+    "sample_bernoulli_check",
+    "SELECT TRUE AS n_in_bounds, TRUE AS subset_ok",
+)
+def sample_bernoulli_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (the SAMPLE stage, fraction=0.1 seed=42)
+    gated on its two contracts: the sampled size sits within ±5σ of
+    fraction·N (binomial), and every sampled row exists in the source.
+    The sampled ROWS stay rows-only (`sample_orders` — RNG streams are
+    engine-specific); the contract is hash-checked."""
+    orders = _table(spark, sf_dir, "orders")
+    sampled = orders.sample(fraction=0.1, seed=42).persist()
+    n_total = orders.count()
+    n = sampled.count()
+    import math
+
+    sigma = math.sqrt(n_total * 0.1 * 0.9)
+    n_ok = abs(n - 0.1 * n_total) <= 5 * sigma
+    leak = sampled.join(orders, ["o_orderkey"], "left_anti").count()
+    sampled.unpersist()
+    return spark.createDataFrame(
+        [(bool(n_ok), leak == 0)], "n_in_bounds boolean, subset_ok boolean"
+    )
+
+
+@register(
+    "kmeans_state_check",
+    "SELECT TRUE AS members_ok, TRUE AS cells_ok, TRUE AS dims_ok",
+)
+def kmeans_state_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-iteration invariants hash-gated: every vector is assigned to
+    exactly one cell (membership counts sum to the corpus), the cell count
+    stays within k, and every centroid keeps the embedding dimensionality.
+    (The centroid VALUES stay rows-only in `embedding_kmeans` — float
+    iteration output; these invariants are what merging must preserve.)"""
+    from gemini_data_wrangler_spark.operators.similarity import kmeans_lloyd
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(emb, k=8, max_iter=2)
+    n_vecs = emb.count()
+    stats = cents.agg(
+        F.sum("n_members").alias("_m"),
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.size("centroid")).alias("_dmin"),
+        F.max(F.size("centroid")).alias("_dmax"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                stats["_m"] == n_vecs,
+                1 <= stats["_c"] <= 8,
+                stats["_dmin"] == 64 and stats["_dmax"] == 64,
+            )
+        ],
+        "members_ok boolean, cells_ok boolean, dims_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+@register(
+    "text_tfidf_top_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (w)
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf·idf (idf = ln(N/df)) — the standard
+    keyword-extraction / topic-probe step. Scale shape: tf is one
+    (doc, word)-keyed partial-agg shuffle; df (vocabulary-sized, far
+    smaller than the token stream) is broadcast back; ranking windows
+    partition by doc. Scores rounded to 6 decimals on both sides (single
+    multiply+log per value — no sum reassociation; rounding absorbs
+    libm-vs-JVM ulp differences)."""
+    docs = _table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tok.distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        F.col("w").alias("term"),
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM document scoring (model-based quality filtering)
+# ---------------------------------------------------------------------------
+@register(
+    "text_unigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), total AS (
+      SELECT CAST(count(*) AS DOUBLE) AS t FROM tok
+    )
+    SELECT tok.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln((SELECT t FROM total) / freq.c)), 6) AS avg_nll
+    FROM tok JOIN freq USING (w)
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus
+    unigram LM (p(w) = count(w)/total) — the classic model-based quality
+    score (low = boilerplate/repetitive, high = rare-token soup). The LM
+    is the vocabulary-sized frequency table broadcast back over the token
+    stream: one corpus aggregation + one map-side join + one doc-keyed
+    aggregation; no shuffle keyed on words for the big side. Rounded to 6
+    (the per-doc mean sums ~100 doubles; reassociation noise is ~1e-13)."""
+    docs = _table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.lit(float(total)) / F.col("c"))), 6).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capped per-source sampling (content-addressed)
+# ---------------------------------------------------------------------------
+_SOURCE_CAP = 50
+
+
+@register(
+    "sample_capped_per_source",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_SOURCE_CAP}
+    """,
+)
+def sample_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample dominant sources to a fixed cap, keeping a
+    content-addressed (md5-ordered) subset — the domain-rebalancing step
+    every web-scale corpus needs, deterministic across engines and cluster
+    sizes (seeded RNG is not). One window per source; at 100 TB the
+    hot-source partitions are bounded by AQE skew splitting, or pre-salt
+    on a hash prefix and take per-salt caps first (documented here as the
+    2-level variant — same trick as the packing prefix sum)."""
+    docs = _table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SOURCE_CAP)
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representative selection (dedup keep-best)
+# ---------------------------------------------------------------------------
+def _keep_best_oracle() -> str:
+    from gemini_data_wrangler_spark.operators.dedup import (
+        connected_components_oracle_sql,
+        ngram_jaccard_oracle_sql,
+    )
+
+    closure = connected_components_oracle_sql(
+        ngram_jaccard_oracle_sql("documents", "doc_id", "text", n=5, threshold=0.8)
+    )
+    return rf"""
+    WITH comp AS (
+      SELECT * FROM ({closure})
+    ), q AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS quality
+      FROM documents
+    )
+    SELECT c.doc_id, c.cluster_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS keep
+    FROM comp c JOIN q USING (doc_id)
+    """
+
+
+@register("dedup_keep_best", _keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering: inside every near-dup cluster keep the
+    highest-quality member (here: token count, ties → smallest id) and
+    mark the rest for dropping. Pipeline = MinHash pairs → connected
+    components → one broadcast-joined quality ranking window; the oracle
+    recomputes the whole chain exactly (character-shingle jaccard ≥ 0.8 +
+    recursive-CTE closure + the same argmax)."""
+    from gemini_data_wrangler_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    comp = connected_components(pairs)
+    quality = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )
