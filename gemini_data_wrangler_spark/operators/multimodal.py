@@ -296,13 +296,26 @@ def resize_plan(decoded: DataFrame, max_side: int = 224) -> DataFrame:
     """Resize planning: compute target dims JVM-side; the pixel work would
     ride the same mapInPandas shape as decode_assets.
 
+    Longest side capped at ``max_side``, aspect preserved. The scale is
+    applied in INTEGER arithmetic — ``(side · max_side) div longest`` —
+    because ``floor(side × double_scale)`` lands an ulp below a whole
+    number on one engine and on it on another (floor(48.0000…1) vs
+    floor(47.9999…9)); integer division is exactly reproducible anywhere.
+
     Output: asset_id, width, height, target_w, target_h.
     """
-    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"))
+    longest = F.greatest(F.col("width"), F.col("height"))
+    needs = longest > max_side
+
+    def tgt(side: str) -> F.Column:
+        return F.when(
+            needs, F.expr(f"div({side} * {max_side}, greatest(width, height))")
+        ).otherwise(F.col(side)).cast("int")
+
     return decoded.select(
         "asset_id",
         "width",
         "height",
-        F.floor(F.col("width") * scale).cast("int").alias("target_w"),
-        F.floor(F.col("height") * scale).cast("int").alias("target_h"),
+        tgt("width").alias("target_w"),
+        tgt("height").alias("target_h"),
     )

@@ -29,6 +29,11 @@ engines and passes through untouched.
 | ``[expr FOR x IN l [IF c]]``       | ``transform(filter(l, x -> c), x -> expr)`` |
 | ``[a, b, c]`` literal              | ``array(a, b, c)`` |
 | ``LIST_VALUE(...)``                | ``array(...)`` |
+| ``a // b``                         | ``a div b`` |
+| ``strftime(ts, '%Y-%m-%d')``       | ``date_format(ts, 'yyyy-MM-dd')`` (either arg order) |
+| ``list_contains/distinct/sort``    | ``array_contains/distinct/sort`` |
+| ``GROUP BY ALL`` / ``ILIKE``       | pass through (Spark-native) |
+| ``a ^ b`` (DuckDB POWER)           | refused → explicit error (Spark ``^`` is XOR) |
 | ``t1 POSITIONAL JOIN t2``          | unsupported → explicit error |
 | ``str[i:j]`` slicing               | unsupported → explicit error |
 """
@@ -292,10 +297,70 @@ _FN_RENAMES = [
     (re.compile(r"\barray_to_string\s*\(", re.IGNORECASE), "array_join("),
     (re.compile(r"\blist_transform\s*\(", re.IGNORECASE), "transform("),
     (re.compile(r"\blist_filter\s*\(", re.IGNORECASE), "filter("),
+    (re.compile(r"\blist_contains\s*\(", re.IGNORECASE), "array_contains("),
+    (re.compile(r"\blist_distinct\s*\(", re.IGNORECASE), "array_distinct("),
+    (re.compile(r"\blist_sort\s*\(", re.IGNORECASE), "array_sort("),
     (re.compile(r"\bunnest\s*\(", re.IGNORECASE), "explode("),
 ]
+# DuckDB `//` is integer division; Spark's infix equivalent is `div`.
+_INTDIV_RE = re.compile(r"//")
+# In DuckDB SQL `^` is POWER (xor is the xor() function); Spark `^` is
+# bitwise XOR — a silent semantic flip, so refuse instead of mistranslate.
+_CARET_RE = re.compile(r"\^")
+# strftime(ts, 'fmt') → date_format(ts, 'translated fmt')
+_STRFTIME_RE = re.compile(r"\bstrftime\s*\(", re.IGNORECASE)
+_STRFTIME_MAP = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%f", "SSSSSS"),
+    ("%j", "DDD"), ("%a", "EEE"), ("%A", "EEEE"), ("%b", "MMM"),
+    ("%B", "MMMM"), ("%%", "%"),
+]
+
+
+def _translate_strftime_format(lit: str) -> str:
+    """Translate a %-style strftime pattern literal to Spark's
+    SimpleDateFormat-style pattern."""
+    out = lit
+    for duck, spark in _STRFTIME_MAP:
+        out = out.replace(duck, spark)
+    return out
 _LIST_SUM_RE = re.compile(r"\blist_sum\s*\(", re.IGNORECASE)
 _SCALAR_SERIES_RE = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+
+
+def _rewrite_strftime(masked: str, literals: list[str]) -> str:
+    """``strftime(ts, '%Y-%m-%d')`` (either argument order) →
+    ``date_format(ts, 'yyyy-MM-dd')``. Runs on the masked text: the format
+    literal is a placeholder, so the translation edits the literals table
+    and commas inside strings can't confuse the arg split."""
+    pos = 0
+    while True:
+        m = _STRFTIME_RE.search(masked, pos)
+        if not m:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close = _find_matching(masked, open_idx, "(", ")")
+        if close < 0:
+            return masked
+        args = [a.strip() for a in _split_top_level(masked[open_idx + 1 : close])]
+        if len(args) != 2:
+            pos = m.end()
+            continue
+        ph = re.fullmatch(r"\x00(\d+)\x00", args[1])
+        ts_arg, fmt_arg = args[0], args[1]
+        if not ph:
+            ph = re.fullmatch(r"\x00(\d+)\x00", args[0])
+            ts_arg, fmt_arg = args[1], args[0]
+        if not ph:
+            pos = m.end()
+            continue
+        idx = int(ph.group(1))
+        literals[idx] = "'" + _translate_strftime_format(literals[idx].strip("'")) + "'"
+        masked = (
+            masked[: m.start()]
+            + f"date_format({ts_arg}, {fmt_arg})"
+            + masked[close + 1 :]
+        )
 
 
 def _has_slice(masked: str) -> bool:
@@ -359,6 +424,13 @@ def duckdb_to_spark_sql(sql: str) -> str:
         raise ValueError(
             "[i:j] slicing has no Spark equivalent; use substring()/slice()"
         )
+    if _CARET_RE.search(masked):
+        raise ValueError(
+            "'^' is POWER in DuckDB but bitwise XOR in Spark — a silent "
+            "semantic flip; write power(a, b) explicitly"
+        )
+    masked = _INTDIV_RE.sub(" div ", masked)
+    masked = _rewrite_strftime(masked, literals)
     out = _rewrite_qualify(masked)
     out = _EXCLUDE_RE.sub(lambda m: f"{m.group(1)}EXCEPT{m.group(2)}", out)
     out = _rewrite_from_series(out)

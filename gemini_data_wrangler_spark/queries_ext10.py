@@ -379,3 +379,87 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) == 1).alias("keep"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Language-balanced resampling (documents.lang)
+# ---------------------------------------------------------------------------
+@register(
+    "sample_language_balanced",
+    """
+    WITH target AS (
+      SELECT min(c) AS t FROM (SELECT lang, count(*) AS c FROM documents GROUP BY lang)
+    )
+    SELECT lang, count(*) AS n_docs FROM (
+      SELECT lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= (SELECT t FROM target)
+    GROUP BY lang
+    """,
+)
+def sample_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalize language proportions by down-sampling every language to
+    the smallest language's count, selecting a content-addressed
+    (md5-ordered) subset — the rebalancing step multilingual corpora run
+    before training. Deterministic across engines/cluster sizes. One tiny
+    per-lang aggregation broadcast back + one per-lang ranking window."""
+    docs = _table(spark, sf_dir, "documents")
+    target = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.min("c").alias("t")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("rk") <= F.col("t"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resize planning over decoded assets (integer-exact scaling)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_resize_plan",
+    """
+    WITH dims AS (
+      SELECT doc_id AS asset_id,
+             CASE WHEN doc_id % 3 = 0 THEN 1 + CAST(doc_id % 64 AS INT)
+                  ELSE 1 + CAST(doc_id % 32 AS INT) END AS width,
+             CASE WHEN doc_id % 3 = 0 THEN 1 + CAST((doc_id // 64) % 64 AS INT)
+                  ELSE 1 + CAST((doc_id // 32) % 32 AS INT) END AS height
+      FROM documents
+      WHERE doc_id % 3 IN (0, 2) AND doc_id % 97 <> 0
+    )
+    SELECT asset_id, width, height,
+           CASE WHEN greatest(width, height) > 48
+                THEN CAST(width * 48 // greatest(width, height) AS INT)
+                ELSE width END AS target_w,
+           CASE WHEN greatest(width, height) > 48
+                THEN CAST(height * 48 // greatest(width, height) AS INT)
+                ELSE height END AS target_h
+    FROM dims
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for every successfully decoded visual asset
+    (images + videos): longest side capped at 48 px, aspect preserved,
+    integer-exact scaling (see ``resize_plan``). The oracle re-derives
+    dimensions from the synthesis schedule; the engine recovers them by
+    parsing the container bytes first."""
+    from gemini_data_wrangler_spark.operators.multimodal import (
+        decode_assets,
+        resize_plan,
+        synthesize_assets,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    decoded = decode_assets(synthesize_assets(docs, "doc_id")).filter(
+        F.col("ok") & F.col("width").isNotNull()
+    )
+    return resize_plan(decoded, max_side=48)

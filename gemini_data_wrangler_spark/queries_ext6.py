@@ -287,65 +287,43 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Count-min-sketch heavy hitters (mergeable frequency sketches)
 # ---------------------------------------------------------------------------
-# width = ceil(e / eps) with eps = 0.001 → 2719; depth = 5 → error-bound
-# failure prob per query ≤ e^-5 ≈ 0.7% (Cormode & Muthukrishnan 2005).
-CMS_DEPTH, CMS_WIDTH = 5, 2719
-CMS_EPS = 2.718281828 / CMS_WIDTH
+from gemini_data_wrangler_spark.operators.sketches import (  # noqa: E402
+    CMS_EPS,
+    cms_buckets,
+    cms_estimate,
+    cms_merge,
+)
+
 HH_K = 200
-
-
-def _cms_buckets(col: str) -> F.Column:
-    """The CMS hash row: bucket index per depth via seeded xxhash64 —
-    a pure JVM expression, identical on every executor."""
-    return F.array(
-        *[
-            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(CMS_WIDTH)).cast("int")
-            for i in range(CMS_DEPTH)
-        ]
-    )
-
-
-def _cms_counters(words: DataFrame) -> DataFrame:
-    """Per-source CMS counter tables, union-merged into the corpus sketch.
-
-    The sketch IS a (row, bucket, cnt) DataFrame of at most depth × width
-    rows (~14 k) regardless of input size — the mergeable-sketch pattern: a
-    100 TB pipeline keeps one such table per shard/day (map-side partial
-    aggregation makes each a single tiny exchange) and merging is a
-    groupBy-sum. Nothing here ever touches the driver."""
-    per_source = (
-        words.select("source", F.posexplode(_cms_buckets("w")).alias("row", "bucket"))
-        .groupBy("source", "row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return per_source.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def _cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``HH_K`` candidate words with exact and CMS-estimated counts.
 
-    Fully distributed: candidates come from a map-side-combined word count
-    + TakeOrderedAndProject top-k (deterministic: count desc, word asc);
-    the merged counter table (≤ depth·width rows) is broadcast back and
-    each candidate takes the min over its depth buckets — the driver never
+    Fully distributed (see ``operators/sketches.py`` for the mergeable-
+    sketch scale story): one tiny counter table per source, union-merged
+    via groupBy-sum; candidates come from a map-side-combined word count +
+    TakeOrderedAndProject top-k (deterministic: count desc, word asc); the
+    merged counter table (≤ depth·width rows) is broadcast back and each
+    candidate takes the min over its depth buckets — the driver never
     sees the vocabulary."""
     docs = _docs(spark, sf_dir)
     words = docs.select(
         "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
     )
-    counters = _cms_counters(words)
+    per_source = (
+        words.select("source", F.posexplode(cms_buckets("w")).alias("row", "bucket"))
+        .groupBy("source", "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counters = cms_merge(per_source.drop("source"))
     cand = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .orderBy(F.col("exact_count").desc(), F.col("w").asc())
         .limit(HH_K)
     )
-    return (
-        cand.select("w", "exact_count", F.posexplode(_cms_buckets("w")).alias("row", "bucket"))
-        .join(F.broadcast(counters), ["row", "bucket"], "left")
-        .groupBy("w", "exact_count")
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
-    )
+    return cms_estimate(cand, counters, "w")
 
 
 @register("sketch_count_min_heavy_hitters", None)

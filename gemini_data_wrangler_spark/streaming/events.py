@@ -284,3 +284,45 @@ def streaming_tumbling_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("_w.start").alias("window_start"), "event_type", "n_events")
     )
+
+
+def streaming_cms_sink(
+    words_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    col: str = "w",
+):
+    """Incremental count-min maintenance over a stream: every micro-batch
+    reduces to its own tiny counter table (``operators/sketches.py``) and
+    lands at ``out_dir/epoch=<id>`` with epoch-overwrite idempotence (same
+    replay contract as ``foreach_batch_parquet_sink``). State growth is
+    #epochs × ≤14 k rows — KBs per epoch regardless of stream volume; a
+    compaction job can fold old epochs with ``cms_merge`` at any time.
+
+    This is the streaming half of the mergeable-sketch story: the batch
+    query answers "heavy hitters over everything", this sink keeps the
+    same answer maintainable without re-scanning history.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from gemini_data_wrangler_spark.operators.sketches import cms_counters
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cms_counters(batch_df, col).write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
+
+    return (
+        words_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_read_merged(spark, out_dir: str) -> DataFrame:
+    """Fold every epoch's counter table into the current global sketch —
+    one scan of KB-sized files + one groupBy-sum."""
+    from gemini_data_wrangler_spark.operators.sketches import cms_merge
+
+    return cms_merge(spark.read.parquet(out_dir).select("row", "bucket", "cnt"))

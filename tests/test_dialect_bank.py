@@ -89,6 +89,37 @@ BANK = [
         """,
     ),
     (
+        "group_by_all_passthrough",
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+        FROM orders GROUP BY ALL
+        """,
+    ),
+    (
+        "intdiv_and_ilike",
+        """
+        SELECT o_orderkey // 100 AS bucket, count(*) AS n
+        FROM orders WHERE o_orderpriority ILIKE '%urgent%'
+        GROUP BY o_orderkey // 100
+        """,
+    ),
+    (
+        "strftime_to_date_format",
+        """
+        SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour_key, count(*) AS n
+        FROM events GROUP BY 1
+        """,
+    ),
+    (
+        "list_fn_renames",
+        """
+        SELECT n_nationkey,
+               list_contains([1, 5, 9], CAST(n_nationkey AS INT)) AS in_set,
+               list_sort(list_distinct([n_regionkey, n_regionkey, CAST(n_nationkey % 3 AS BIGINT)])) AS uniq
+        FROM nation
+        """,
+    ),
+    (
         "exclude_plus_qualify",
         """
         SELECT * EXCLUDE (o_orderstatus)
@@ -120,6 +151,8 @@ def test_unsupported_constructs_raise():
         duckdb_to_spark_sql("SELECT s[2:4] FROM t")
     with pytest.raises(ValueError, match="recursive"):
         duckdb_to_spark_sql("SELECT unnest(x, recursive := true) FROM t")
+    with pytest.raises(ValueError, match="POWER"):
+        duckdb_to_spark_sql("SELECT 2 ^ 8 FROM t")
 
 
 def test_strings_and_subscripts_untouched():

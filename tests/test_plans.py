@@ -222,3 +222,35 @@ def test_vocab_encode_broadcasts_vocabulary(spark):
     b, _ = registry()["vocab_encode_docs"]
     df = b(spark, SF_ORACLE)
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    """tf-idf: the document-frequency table (vocabulary-sized) must
+    broadcast back over the (doc, word) stream — the corpus side must not
+    shuffle on words."""
+    b, _ = registry()["text_tfidf_top_terms"]
+    assert "BroadcastHashJoin" in _plan(b(spark, SF_ORACLE))
+
+
+def test_unigram_lm_broadcasts_frequency_table(spark):
+    b, _ = registry()["text_unigram_logprob"]
+    assert "BroadcastHashJoin" in _plan(b(spark, SF_ORACLE))
+
+
+def test_count_min_candidates_take_ordered(spark):
+    """Heavy-hitter candidates must come from a distributed top-k
+    (TakeOrderedAndProject), never a global sort or a driver-side
+    vocabulary collect; the merged counter table must broadcast back."""
+    b, _ = registry()["sketch_count_min_heavy_hitters"]
+    plan = _plan(b(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_capped_sample_single_window_pass(spark):
+    """Per-source capping is one ranking window over (source) — no join,
+    no second scan."""
+    b, _ = registry()["sample_capped_per_source"]
+    plan = _plan(b(spark, SF_ORACLE))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "Join" not in plan

@@ -232,3 +232,51 @@ def test_foreach_batch_sink_idempotent(spark, events_batch, tmp_path):
     q2 = foreach_batch_parquet_sink(stream2.filter(F.col("event_type") == "view"), out, ckpt)
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == expect
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Incremental sketch maintenance: stream the documents in multiple
+    micro-batches through streaming_cms_sink, fold the per-epoch counter
+    tables, and the merged sketch must EQUAL the single-pass batch sketch
+    over the same corpus (mergeability is exact, not approximate)."""
+    from gemini_data_wrangler_spark.operators.sketches import cms_counters
+    from gemini_data_wrangler_spark.streaming.events import (
+        cms_read_merged,
+        streaming_cms_sink,
+    )
+
+    docs = load_sf_tables(spark, SF_SMALL)["documents"]
+    words = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+
+    src = str(tmp_path / "src")
+    # Multi-file parquet dir -> multiple micro-batches (maxFilesPerTrigger=1).
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    )
+    out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = streaming_cms_sink(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    merged = {
+        (r.row, r.bucket): r.cnt for r in cms_read_merged(spark, out).collect()
+    }
+    batch = {(r.row, r.bucket): r.cnt for r in cms_counters(words, "w").collect()}
+    assert merged == batch
+    # Replay idempotence: restarting from the same checkpoint adds nothing.
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    )
+    # (same source dir; the checkpoint already holds all file offsets)
+    q2 = streaming_cms_sink(stream2, out, ckpt)
+    q2.awaitTermination(120)
+    merged2 = {
+        (r.row, r.bucket): r.cnt for r in cms_read_merged(spark, out).collect()
+    }
+    assert merged2 == batch
