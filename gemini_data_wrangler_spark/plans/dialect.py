@@ -208,13 +208,31 @@ _COMPREHENSION_RE = re.compile(
 )
 
 
+_NOT_SUBSCRIPT_WORDS = {
+    "in", "select", "from", "where", "and", "or", "not", "then", "else",
+    "when", "on", "using", "by", "as", "case", "end", "join", "having",
+    "union", "all", "distinct", "between", "like", "ilike", "is", "return",
+    "returns", "if", "coalesce", "values",
+}
+
+
 def _is_subscript(sql: str, idx: int) -> bool:
     """A ``[`` directly after an identifier / ``)`` / ``]`` is a subscript,
-    not a list literal."""
+    not a list literal — unless that "identifier" is a SQL keyword
+    (``... for y in [1, 2]``, ``WHEN [..]``), which introduces a value
+    position."""
     j = idx - 1
     while j >= 0 and sql[j].isspace():
         j -= 1
-    return j >= 0 and (sql[j].isalnum() or sql[j] in "_)]\x00")
+    if j < 0 or not (sql[j].isalnum() or sql[j] in "_)]\x00"):
+        return False
+    if sql[j].isalnum() or sql[j] == "_":
+        end = j + 1
+        while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+            j -= 1
+        if sql[j + 1 : end].lower() in _NOT_SUBSCRIPT_WORDS:
+            return False
+    return True
 
 
 def _comprehension_split(body: str):

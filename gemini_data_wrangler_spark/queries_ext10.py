@@ -463,3 +463,69 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ok") & F.col("width").isNotNull()
     )
     return resize_plan(decoded, max_side=48)
+
+
+# ---------------------------------------------------------------------------
+# Z-score outlier detection (per-group standardization)
+# ---------------------------------------------------------------------------
+@register(
+    "dq_outlier_zscore",
+    """
+    WITH stats AS (
+      SELECT o_orderpriority,
+             avg(o_totalprice) AS mu,
+             stddev_samp(o_totalprice) AS sigma
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round((o.o_totalprice - s.mu) / s.sigma, 6) AS z
+    FROM orders o JOIN stats s USING (o_orderpriority)
+    WHERE abs((o.o_totalprice - s.mu) / s.sigma) >= 3
+    """,
+)
+def dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers (|z| ≥ 3) — the standard numeric
+    anomaly screen before training-data ingestion. Group stats are a tiny
+    aggregate broadcast back over the fact scan: one exchange for the
+    stats, zero for the screen itself. z rounded to 6 on both sides (mu
+    and sigma are sums — engine reassociation noise ~1e-13 is absorbed;
+    the |z|≥3 cut uses the unrounded value in both engines)."""
+    orders = _table(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sigma"),
+    )
+    z = (F.col("o_totalprice") - F.col("mu")) / F.col("sigma")
+    return (
+        orders.join(F.broadcast(stats), "o_orderpriority")
+        .filter(F.abs(z) >= 3)
+        .select("o_orderkey", "o_orderpriority", F.round(z, 6).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition stats (the ingest dashboard query)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_stats_by_source_lang",
+    r"""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens,
+           sum(n_chars) AS n_chars,
+           count(DISTINCT doc_id % 251) AS id_buckets
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def corpus_stats_by_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup (docs / tokens / chars per source ×
+    language + an id-spread probe) — the first query every ingest run
+    fires. One partial-aggregated exchange on a few hundred groups."""
+    docs = _table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.count_distinct(F.col("doc_id") % 251).alias("id_buckets"),
+    )

@@ -159,3 +159,35 @@ def test_strings_and_subscripts_untouched():
     out = duckdb_to_spark_sql("SELECT 'a [x for y] EXCLUDE (b)' AS s, arr[1] FROM t")
     assert "'a [x for y] EXCLUDE (b)'" in out
     assert "arr[1]" in out
+
+
+def test_ansi_sql_passes_through_unchanged():
+    """Plain ANSI SQL (no DuckDB-isms, no backslashes) must come out
+    byte-identical — the shim is a no-op outside its rewrite list."""
+    for sql in [
+        "SELECT a, sum(b) AS s FROM t WHERE c > 5 GROUP BY a HAVING sum(b) > 0 ORDER BY s DESC LIMIT 10",
+        "SELECT t1.x, t2.y FROM t1 LEFT JOIN t2 ON t1.k = t2.k AND t2.flag = 'on'",
+        "SELECT CASE WHEN x IN (1, 2) THEN 'lo' ELSE 'hi' END AS bucket, count(*) FROM t GROUP BY 1",
+        "WITH cte AS (SELECT x FROM t) SELECT * FROM cte WHERE x IS NOT NULL",
+        "SELECT arr[1] AS first_elem, m['k'] AS v FROM t",
+    ]:
+        assert duckdb_to_spark_sql(sql) == sql
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_comprehensions_match_duckdb(spark, duck, seed):
+    """Randomized nested list comprehensions over integer literals: the
+    shimmed Spark result must equal DuckDB's for the raw text."""
+    import random
+
+    rng = random.Random(seed)
+    xs = [rng.randint(-5, 9) for _ in range(rng.randint(1, 6))]
+    m = rng.randint(1, 4)
+    lo = rng.randint(-3, 3)
+    arr = "[" + ", ".join(map(str, xs)) + "]"
+    inner = f"[x * {m} for x in {arr} if x >= {lo}]"
+    sql = f"SELECT [y + 1 for y in {inner}] AS r, {arr} AS src"
+    spark_rows = spark.sql(duckdb_to_spark_sql(sql)).collect()
+    duck_rows = duck.execute(sql).fetchall()
+    assert [list(r.r) for r in spark_rows] == [list(r[0]) for r in duck_rows]
+    assert [list(r.src) for r in spark_rows] == [list(r[1]) for r in duck_rows]
