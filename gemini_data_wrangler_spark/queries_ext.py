@@ -41,7 +41,12 @@ from gemini_data_wrangler_spark.operators.similarity import (
     lsh_topk,
     queries_from_ids,
 )
-from gemini_data_wrangler_spark.queries import make_runner, register, run_stages
+from gemini_data_wrangler_spark.queries import (
+    _REGISTRY,
+    make_runner,
+    register,
+    run_stages,
+)
 from gemini_data_wrangler_spark.sources.readers import load_sf_tables
 from gemini_data_wrangler_spark.streaming.events import (
     session_agg,
@@ -350,6 +355,10 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embedding_cosine_pairs(spark, sf_dir, route="auto")
+
+
+def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str, route: str) -> DataFrame:
     from gemini_data_wrangler_spark.functions.vectors import l2_norm, vec_dot
     from gemini_data_wrangler_spark.operators.similarity import cosine_pair_candidates
 
@@ -361,7 +370,9 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle-identical, but the O(n²·d) work runs in BLAS instead of the
     # interpreted higher-order-function evaluator (which is ~1000× slower
     # per dot product and NOT whole-stage-codegen'd).
-    cand = cosine_pair_candidates(emb, "vec_id", "embedding", threshold=0.45)
+    cand = cosine_pair_candidates(
+        emb, "vec_id", "embedding", threshold=0.45, route=route, block_rows=500
+    )
     sc = spark.sparkContext
     prepped = (
         emb.select(
@@ -381,6 +392,15 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.45)
         .select("doc_a", "doc_b", "sim")
     )
+
+
+@register("dedup_embedding_cosine_tiled", _REGISTRY["dedup_embedding_cosine"][1])
+def dedup_embedding_cosine_tiled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract and oracle as ``dedup_embedding_cosine`` but with the
+    candidate kernel FORCED onto the distributed tiled cogroup block-matmul
+    tier — the path a corpus too big to broadcast takes. A driver-verified
+    row for the scale kernel, not just a unit test."""
+    return _embedding_cosine_pairs(spark, sf_dir, route="tiled")
 
 
 # ---------------------------------------------------------------------------

@@ -529,3 +529,94 @@ def corpus_stats_by_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("n_chars"),
         F.count_distinct(F.col("doc_id") % 251).alias("id_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring (add-one smoothing) — completes the LM family
+# ---------------------------------------------------------------------------
+@register(
+    "text_bigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([{'w1': t[i], 'w2': t[i+1]} for i in generate_series(1, len(t) - 1)],
+                    recursive := true)
+      FROM tok
+    ), uni AS (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+    ), bi AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ), v AS (
+      SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM bg
+    )
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln((bi.c12 + 1) / (uni.c1 + (SELECT v FROM v)))), 6) AS avg_nll
+    FROM bg g
+    JOIN bi ON g.w1 = bi.w1 AND g.w2 = bi.w2
+    JOIN uni ON g.w1 = uni.w1
+    GROUP BY g.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-one-
+    smoothed corpus bigram LM — the second rung of model-based quality
+    scoring after ``text_unigram_logprob``. Scale shape: the bigram count
+    table is vocabulary²-bounded but corpus-sublinear in practice; at test
+    scale it broadcasts, at 100 TB the probe becomes a shuffle join keyed
+    on the bigram — same plan text, AQE picks the side. Rounded to 6."""
+    docs = _table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 0)), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.w1", "_b.w2")
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    v = bg.select(F.count_distinct("w1").cast("double").alias("v"))
+    nll = -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+    return (
+        bg.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent-rank feature normalization
+# ---------------------------------------------------------------------------
+@register(
+    "feature_percent_rank",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS price_pr
+    FROM orders WHERE o_custkey < 300
+    """,
+)
+def feature_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (percent-rank) normalization of a numeric feature within
+    each group — the rank-based feature scaling step that is robust to
+    outliers. One window per group; ties broken by key so the rank is
+    engine-deterministic. Rounded to 6 (percent_rank is a ratio of two
+    integers — rounding only guards the division's last bit)."""
+    from pyspark.sql import Window as _W
+
+    orders = _table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = _W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("price_pr"),
+    )
