@@ -126,6 +126,23 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: str | None = None,
+) -> DataFrame:
+    """XML ingest (Spark 4 native source): one output row per ``row_tag``
+    element. Same production rule as JSONL: pass an explicit ``schema``
+    DDL — inference is an extra full pass. Feeds/enterprise exports are
+    the usual carriers; no counterpart in the reference (CSV-only —
+    ui/src/App.tsx:1779-1786)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_text(
     spark: SparkSession,
     path: str,

@@ -64,6 +64,20 @@ def write_orc(
     writer.orc(path)
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    row_tag: str = "row",
+    root_tag: str = "rows",
+) -> None:
+    """XML export (Spark 4 native): one ``row_tag`` element per row under
+    ``root_tag`` — round-trips with ``readers.read_xml``."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).save(path)
+
+
 def write_flow_json(stages: list[Stage], path: str) -> None:
     """Serialize a stage flow to the reference's export JSON format."""
     with open(path, "w", encoding="utf-8") as fh:

@@ -135,3 +135,18 @@ def test_text_source_line_and_wholefile(spark, tmp_path):
     whole = read_text(spark, str(tmp_path), whole_file=True)
     vals = sorted(r.value for r in whole.collect())
     assert vals == ["line one\nline two\n", "only line\n"]
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from gemini_data_wrangler_spark.sources.readers import read_xml
+    from gemini_data_wrangler_spark.sources.sinks import write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta <&> chars", -2.0), (3, None, 0.0)],
+        "id bigint, name string, score double",
+    )
+    path = str(tmp_path / "xml")
+    write_xml(df, path, row_tag="doc", root_tag="docs")
+    back = read_xml(spark, path, row_tag="doc", schema="id bigint, name string, score double")
+    got = {(r.id, r.name, r.score) for r in back.collect()}
+    assert got == {(1, "alpha", 1.5), (2, "beta <&> chars", -2.0), (3, None, 0.0)}
