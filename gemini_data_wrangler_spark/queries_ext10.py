@@ -620,3 +620,117 @@ def feature_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.percent_rank().over(w), 6).alias("price_pr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup counts
+# ---------------------------------------------------------------------------
+# The synthetic corpus carries no real URLs (same situation as
+# text_url_domains), so both sides append an identical MESSY url per doc —
+# mixed-case scheme/host, tracking params around a keeper param, fragment,
+# trailing slash — and the engine must canonicalize it: lowercase
+# scheme+host (path case preserved), drop fragment, drop utm_*/fbclid
+# params (keep the rest), strip trailing slashes.
+_MESSY_URL_SQL = (
+    "'HTTPS://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.EXAMPLE.com/Docs' || CAST(doc_id % 13 AS VARCHAR)"
+    " || '/?utm_source=S' || CAST(doc_id % 2 AS VARCHAR)"
+    " || '&id=' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '&utm_campaign=C#sec' || CAST(doc_id % 4 AS VARCHAR)"
+)
+
+
+@register(
+    "dedup_url_canonical",
+    rf"""
+    WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+             regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+             regexp_replace(
+               regexp_replace(regexp_extract(url, '\?([^#]*)', 1),
+                              '(^|&)(utm_[A-Za-z]+|fbclid)=[^&]*', '', 'g'),
+               '^&+', '') AS q
+      FROM u
+    )
+    SELECT scheme || '://' || host || path
+           || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
+           count(*) AS n_docs
+    FROM parts
+    GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the provenance-level dedup step web
+    corpora run before any content dedup (the same page arrives under
+    hundreds of tracking-param/fragment/case variants). Pure JVM regex
+    expressions in one projection + one low-cardinality aggregation; the
+    oracle performs the identical normalization in DuckDB (RE2-safe
+    patterns only: no lookaheads)."""
+    docs = _table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".EXAMPLE.com/Docs"), (F.col("doc_id") % 13).cast("string"),
+        F.lit("/?utm_source=S"), (F.col("doc_id") % 2).cast("string"),
+        F.lit("&id="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&utm_campaign=C#sec"), (F.col("doc_id") % 4).cast("string"),
+    )
+    u = docs.select(url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    q = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("url", r"\?([^#]*)", 1),
+            r"(^|&)(utm_[A-Za-z]+|fbclid)=[^&]*",
+            "",
+        ),
+        r"^&+",
+        "",
+    )
+    canonical = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return (
+        u.select(canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmin / argmax aggregate bank
+# ---------------------------------------------------------------------------
+@register(
+    "agg_argminmax_functions",
+    """
+    SELECT o_orderpriority,
+           max_by(o_custkey, o_orderkey) AS last_order_cust,
+           min_by(o_custkey, o_orderkey) AS first_order_cust,
+           max_by(o_orderkey, o_orderdate || '|' || CAST(o_orderkey AS VARCHAR)) AS latest_date_order,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argminmax_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) aggregates — group-wise "value at the
+    extremum" without a join-back or window. Deterministic by
+    construction: every ordering key is unique (orderkey; date||key for
+    the date variant) because both engines break max_by ties arbitrarily.
+    One partial-aggregated exchange."""
+    orders = _table(spark, sf_dir, "orders")
+    date_key = F.concat(
+        F.col("o_orderdate").cast("string"), F.lit("|"), F.col("o_orderkey").cast("string")
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_custkey", "o_orderkey").alias("last_order_cust"),
+        F.min_by("o_custkey", "o_orderkey").alias("first_order_cust"),
+        F.max_by("o_orderkey", date_key).alias("latest_date_order"),
+        F.count(F.lit(1)).alias("n"),
+    )
