@@ -133,3 +133,39 @@ def range_join_count(
             F.sum(F.when(F.col("_in"), F.col("_v")).otherwise(F.lit(0.0))).alias("sum_in_range")
         )
     return joined.groupBy(*[anchors[c] for c in anchors.columns]).agg(*aggs)
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    tolerance_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join with bounded staleness: like :func:`asof_join`, but a
+    match older than ``tolerance_seconds`` is discarded (the matched
+    columns go NULL) — pandas ``merge_asof(tolerance=...)`` semantics,
+    the standard guard against joining against stale quotes/state.
+
+    Same single-pass union+window plan as ``asof_join``; the tolerance is
+    one post-filter projection, so the cost is identical.
+    """
+    right_cols = right_cols or [c for c in right.columns if c != on]
+    joined = asof_join(
+        left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+        right_cols=right_cols, suffix=suffix,
+    )
+    ts_r = F.col(f"{right_ts}{suffix}")
+    # NTZ-safe staleness check: timestamp subtraction yields a day-time
+    # interval (timestamp_ntz has no cast to a numeric epoch in Spark 4).
+    within = ts_r.isNotNull() & (
+        (F.col(left_ts) - ts_r) <= F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+    )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.when(within, F.col(f"{c}{suffix}")).otherwise(F.lit(None)).alias(f"{c}{suffix}")
+        for c in right_cols
+    ]
+    return joined.select(*out_cols)

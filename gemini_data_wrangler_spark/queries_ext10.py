@@ -734,3 +734,48 @@ def agg_argminmax_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", date_key).alias("latest_date_order"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (bounded staleness)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_purchase_click_tolerance",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             c.click_id AS click_id_right, c.ts AS ts_right
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN ts - ts_right <= INTERVAL 30 MINUTE THEN click_id_right END AS click_id_right,
+           CASE WHEN ts - ts_right <= INTERVAL 30 MINUTE THEN ts_right END AS ts_right
+    FROM matched
+    """,
+)
+def asof_purchase_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution with bounded staleness: each purchase takes its latest
+    prior click only if it happened within 30 minutes — pandas
+    merge_asof(tolerance) semantics as a first-class operator
+    (``operators/temporal.py::asof_join_tolerance``)."""
+    from gemini_data_wrangler_spark.operators.temporal import asof_join_tolerance
+
+    events = _table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join_tolerance(
+        purchases, clicks, on="user_id", tolerance_seconds=1800,
+        left_ts="ts", right_ts="ts",
+    )
