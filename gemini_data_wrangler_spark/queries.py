@@ -52,6 +52,8 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext8,
         queries_ext9,
         queries_ext10,
+        queries_ext11,
+        queries_ext12,
         queries_tpch,
     )
 
