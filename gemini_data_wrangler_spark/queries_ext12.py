@@ -131,6 +131,68 @@ def events_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixing_plan",
+    """
+    WITH per_lang AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) AS lang_tokens
+      FROM documents GROUP BY lang
+    ),
+    total AS (SELECT sum(lang_tokens) AS total_tokens FROM per_lang),
+    targets(lang, target_share) AS (
+      VALUES ('en', CAST(0.30 AS DOUBLE)), ('zh', CAST(0.20 AS DOUBLE)),
+             ('de', CAST(0.20 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+             ('es', CAST(0.15 AS DOUBLE))
+    )
+    SELECT p.lang, p.n_docs, p.lang_tokens,
+           p.lang_tokens / t.total_tokens AS token_share,
+           g.target_share,
+           g.target_share * t.total_tokens / p.lang_tokens AS sample_rate
+    FROM per_lang p CROSS JOIN total t JOIN targets g USING (lang)
+    """,
+)
+def corpus_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing plan: per-language sampling rates that reshape the
+    observed token distribution into a target distribution (the last
+    step before training-set assembly; rate > 1 = upsample/repeat,
+    rate < 1 = downsample — executed downstream by the md5-threshold
+    samplers in queries_ext3). Target shares are double literals on both
+    engines so the share/rate arithmetic is bit-identical IEEE division.
+
+    Scale shape: one token-count aggregation with map-side combine
+    (per-partition state = #languages), a one-row total broadcast, and a
+    languages-sized broadcast join against the target table — output
+    cardinality is #languages no matter the corpus size."""
+    docs = _table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("lang_tokens"),
+    )
+    total = per_lang.agg(F.sum("lang_tokens").alias("total_tokens"))
+    targets = docs.sparkSession.createDataFrame(
+        [("en", 0.30), ("zh", 0.20), ("de", 0.20), ("fr", 0.15), ("es", 0.15)],
+        "lang string, target_share double",
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .join(F.broadcast(targets), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            (F.col("lang_tokens") / F.col("total_tokens")).alias("token_share"),
+            "target_share",
+            (
+                F.col("target_share")
+                * F.col("total_tokens")
+                / F.col("lang_tokens")
+            ).alias("sample_rate"),
+        )
+    )
+
+
+@register(
     "dq_outlier_mad",
     """
     WITH med AS (

@@ -80,6 +80,18 @@ def test_prefix_block_pairs_share_opening(spark):
         )
 
 
+def test_mixing_plan_hits_target(spark):
+    from gemini_data_wrangler_spark.queries_ext12 import corpus_mixing_plan
+
+    rows = corpus_mixing_plan(spark, SF_SMALL).collect()
+    assert {r.lang for r in rows} == {"en", "zh", "de", "fr", "es"}
+    total = sum(r.lang_tokens for r in rows)
+    for r in rows:
+        # applying the rate reproduces the target share exactly
+        assert abs(r.lang_tokens * r.sample_rate / total - r.target_share) < 1e-9
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+
+
 def test_mad_outlier_screen_properties(spark):
     from gemini_data_wrangler_spark.queries_ext12 import dq_outlier_mad
 
