@@ -54,6 +54,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext10,
         queries_ext11,
         queries_ext12,
+        queries_ext13,
         queries_tpch,
     )
 
