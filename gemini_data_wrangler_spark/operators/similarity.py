@@ -20,11 +20,11 @@ scope. Everything below is built-in higher-order functions — no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gemini_data_wrangler_spark.functions.vectors import cosine_similarity
+from gemini_data_wrangler_spark.functions.vectors import cosine_similarity, l2_norm
 
 
 def _ranked_topk(scored: DataFrame, k: int, round_to: int = 6) -> DataFrame:
@@ -501,3 +501,109 @@ def cosine_pair_candidates(
     if route == "lsh":
         return _lsh_candidates(embeddings, id_col, vec_col, dim)
     raise ValueError(f"unknown route: {route!r}")
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized similarity search
+# ---------------------------------------------------------------------------
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by int8-quantized cosine: unit-normalize, round each component
+    to round(127·x) ∈ [-127, 127], score with an integer dot product
+    scaled by 1/127².
+
+    This is the memory/bandwidth tier of ANN serving: 8-bit codes cut the
+    index to ¼ the float32 footprint (64 B/vector at d=64), integer
+    accumulation is exact (no fp reassociation), and the quantization
+    error of a unit vector bounds the score error by ~d·(0.5/127)²+2·0.5/127·1
+    ≈ 0.008 — far below typical neighbor gaps, so recall@10 stays near 1.
+    Same broadcast-queries / stream-candidates shape as ``cosine_topk``:
+    shuffle-free scan, TakeOrderedAndProject per query.
+
+    Output: query_id, vec_id, sim (approximate, rounded to 6), rank.
+    """
+
+    def _quant(col: Column) -> Column:
+        n = l2_norm(col)
+        return F.transform(
+            col, lambda x: F.round(x.cast("double") / n * F.lit(127.0)).cast("int")
+        )
+
+    cand = embeddings.select(
+        F.col(id_col).alias("vec_id"), _quant(F.col(vec_col)).alias("_qv")
+    )
+    q = queries.select("query_id", _quant(F.col("query_vec")).alias("_qq"))
+    int_dot = F.aggregate(
+        F.zip_with(F.col("_qq"), F.col("_qv"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_sim", int_dot / F.lit(127.0 * 127.0))
+    )
+    return _ranked_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): k-means blocking +
+# within-cluster exact cosine pairs
+# ---------------------------------------------------------------------------
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    k: int = 8,
+    max_iter: int = 3,
+    n_assign: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs via SemDeDup-style clustering: train k-means
+    (``kmeans_lloyd``), assign every vector to its ``n_assign`` nearest
+    centroids (multi-assignment — the IVF multi-probe trick applied at
+    index build time), and verify exact cosine only WITHIN each cluster.
+    The cluster is the blocking unit — candidate work is
+    n_assign²·Σ|cell|²/2 instead of n²/2, and each cell's pair generation
+    is an equi-join on cell_id, so the plan is a hash shuffle on cell_id
+    (salt the giant cells at 100 TB, or recurse k-means inside them as
+    faiss does). Approximate by construction: pairs straddling
+    non-overlapping cell sets are unseen (recall < 1; multi-assignment
+    catches most boundary pairs), but every emitted pair is exactly
+    verified with the oracle's own rounding (precision = 1).
+
+    Output: doc_a, doc_b, sim (rounded to 6), shared cell count n_cells.
+    """
+    cent = kmeans_lloyd(embeddings, id_col, vec_col, k=k, max_iter=max_iter)
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    scored = vecs.crossJoin(F.broadcast(cent.select("cell_id", "centroid"))).withColumn(
+        "_sim", cosine_similarity(F.col("_v"), F.col("centroid"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cell_id").asc())
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_assign)
+        .select("cell_id", "_id", "_v")
+    )
+    a = assigned.select("cell_id", F.col("_id").alias("doc_a"), F.col("_v").alias("_va"))
+    b = assigned.select("cell_id", F.col("_id").alias("doc_b"), F.col("_v").alias("_vb"))
+    sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(sim).alias("sim"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b", "sim", "n_cells")
+    )

@@ -55,6 +55,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext11,
         queries_ext12,
         queries_ext13,
+        queries_ext14,
         queries_tpch,
     )
 

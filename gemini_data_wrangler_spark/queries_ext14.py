@@ -1,0 +1,312 @@
+"""Round-2 extensions, batch 14: semantic dedup, quantized ANN,
+incremental corpus dedup, skew diagnostics, EWMA smoothing, and an
+array-function bank.
+
+- SemDeDup (Abbas et al. 2023): k-means blocking + within-cluster exact
+  cosine — the embedding-space dedup that scales past all-pairs. Pairs
+  are rows-only (k-means isn't SQL); the companion check query reduces it
+  to oracle-checkable booleans: precision must be exactly 1 (every pair
+  re-verified against the exact pair set) and recall ≥ a floor.
+- Int8-quantized top-k: the ¼-footprint serving tier, gated the same way
+  as LSH/IVF (recall@10 vs the exact brute-force ranking ≥ floor).
+- Incremental batch dedup: the nightly-crawl shape — dedup a NEW batch
+  against the existing corpus (near-dup via the MinHash pair set, which
+  is exact-verified ≡ the jaccard-0.8 pair set). At 100 TB the corpus
+  side is touched only through its LSH band buckets: candidates are
+  generated per-band, never corpus×batch.
+- Key-skew diagnostics: the pre-join profiling every large pipeline runs
+  before choosing broadcast/salt/AQE strategies.
+- EWMA: recursive exponential smoothing computed as an ordered list fold
+  (`aggregate` over a windowed `collect_list`) — identical fp operation
+  order in both engines, so the result is binary-comparable. Quadratic
+  prefix-list memory is fine for per-series lengths in the thousands;
+  beyond that, segment the series and fold segment summaries (same
+  two-level trick as `pack_sequences`).
+- Array bank: `array_*` higher-order coverage (distinct/sort/slice/
+  contains/position/max) mapped to DuckDB `list_*` semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.queries import register
+from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_sf_tables(spark, sf_dir)[name]
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): k-means blocking + within-cluster cosine
+# ---------------------------------------------------------------------------
+_SEM_THRESHOLD = 0.45
+_SEM_K = 8
+
+
+@register("dedup_semantic", None)  # k-means blocking: rows-only; gated below
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemini_data_wrangler_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=_SEM_THRESHOLD, k=_SEM_K
+    )
+
+
+@register(
+    "dedup_semantic_check",
+    "SELECT TRUE AS precision_ok, TRUE AS recall_ok",
+)
+def dedup_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce SemDeDup to driver-checkable booleans: every emitted pair
+    must be in the exact cosine-pair set (precision exactly 1 — the
+    within-cluster verify uses the oracle's own rounding, so any
+    deviation is a bug, not noise), and the pair count must reach ≥ 60%
+    of the exact set (recall floor; cross-cluster pairs are the
+    sacrifice blocking makes). The oracle pins TRUE/TRUE, so a precision
+    or recall regression becomes a driver hash MISMATCH."""
+    from gemini_data_wrangler_spark.operators.similarity import (
+        cosine_pair_candidates,
+        semantic_dedup_pairs,
+    )
+    from gemini_data_wrangler_spark.functions.vectors import cosine_similarity
+
+    emb = _table(spark, sf_dir, "embeddings")
+    sem = semantic_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=_SEM_THRESHOLD, k=_SEM_K
+    ).select("doc_a", "doc_b")
+
+    cand = cosine_pair_candidates(
+        emb, "vec_id", "embedding", threshold=_SEM_THRESHOLD, block_rows=500
+    )
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    )
+    a = vecs.select(F.col("vec_id").alias("doc_a"), F.col("_v").alias("_va"))
+    b = vecs.select(F.col("vec_id").alias("doc_b"), F.col("_v").alias("_vb"))
+    exact = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_s", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("_s") >= _SEM_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    n_sem = sem.count()
+    n_exact = exact.count()
+    n_false = sem.join(exact, ["doc_a", "doc_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_false == 0, n_exact > 0 and n_sem / n_exact >= 0.6)],
+        "precision_ok boolean, recall_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized ANN + recall gate
+# ---------------------------------------------------------------------------
+@register("similarity_quantized_topk", None)  # approximate: rows-only; gated below
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemini_data_wrangler_spark.operators.similarity import (
+        quantized_topk,
+        queries_from_ids,
+    )
+    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
+
+
+def _quantized_recall_oracle() -> str:
+    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+
+    return (
+        "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings "
+        "WHERE vec_id IN ({ids})"
+    ).format(ids=", ".join(str(i) for i in _ANN_QUERY_IDS))
+
+
+@register("similarity_quantized_recall", _quantized_recall_oracle())
+def similarity_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8-quantized scoring vs exact float cosine, floored
+    at 0.8 per query (quantization error ~0.008 on unit vectors is far
+    below typical neighbor gaps). Pinned-TRUE oracle — same driver-gated
+    contract as `similarity_lsh_recall`/`similarity_ivf_recall`."""
+    from gemini_data_wrangler_spark.operators.similarity import quantized_topk
+    from gemini_data_wrangler_spark.queries_ext import _ann_recall_check
+
+    return _ann_recall_check(spark, sf_dir, quantized_topk, floor=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch dedup: new docs (doc_id % 7 == 0) vs existing corpus
+# ---------------------------------------------------------------------------
+def _incremental_oracle() -> str:
+    from gemini_data_wrangler_spark.operators.dedup import ngram_jaccard_oracle_sql
+
+    pairs = ngram_jaccard_oracle_sql("documents", "doc_id", "text", n=5, threshold=0.8)
+    return f"""
+    WITH pairs AS ({pairs}),
+    b AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+    dup AS (
+      SELECT doc_a AS doc_id FROM pairs WHERE doc_a % 7 = 0 AND doc_b % 7 <> 0
+      UNION
+      SELECT doc_b FROM pairs WHERE doc_b % 7 = 0 AND doc_a % 7 <> 0
+    )
+    SELECT b.doc_id, (dup.doc_id IS NOT NULL) AS is_dup
+    FROM b LEFT JOIN dup ON b.doc_id = dup.doc_id
+    """
+
+
+@register("dedup_incremental_batch", _incremental_oracle())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-crawl dedup: flag documents of an incoming batch (here:
+    doc_id % 7 == 0) that are near-duplicates (jaccard ≥ 0.8 on 5-char
+    shingles) of any EXISTING corpus document. Uses the MinHash+LSH pair
+    set (exact-verified, ≡ the true jaccard pair set) restricted to
+    batch×corpus pairs. At scale the corpus side is a pre-materialized
+    band-bucket table: the nightly job shingles only the batch, probes
+    the buckets, and verifies candidates — corpus cost is amortized, the
+    join is band-equi, never batch×corpus."""
+    from gemini_data_wrangler_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    in_batch = lambda c: (F.col(c) % 7) == 0  # noqa: E731
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    dup = (
+        pairs.filter(in_batch("doc_a") & ~in_batch("doc_b"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .union(
+            pairs.filter(in_batch("doc_b") & ~in_batch("doc_a")).select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        docs.filter(in_batch("doc_id"))
+        .select("doc_id")
+        .join(dup, "doc_id", "left")
+        .select("doc_id", F.col("_d").isNotNull().alias("is_dup"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics
+# ---------------------------------------------------------------------------
+@register(
+    "diag_key_skew",
+    """
+    WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+    SELECT count(*) AS n_keys,
+           sum(n) AS total_rows,
+           max(n) AS max_per_key,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share,
+           round(avg(n), 6) AS avg_per_key,
+           round(quantile_cont(n, 0.5), 6) AS p50_per_key,
+           round(quantile_cont(n, 0.99), 6) AS p99_per_key
+    FROM c
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew profile of a key column (orders.o_custkey): distinct
+    keys, max/avg/median/p99 rows per key, and the hottest key's share of
+    the table. This is the decision input for join strategy at scale —
+    top_share ≫ 1/shuffle-partitions means the hot key serializes one
+    task (→ salt it, `join_salted_skew`) and a tiny n_keys means
+    broadcast. Two partial-aggregated shuffles, output is one row."""
+    orders = _table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_share"),
+        F.round(F.avg("n"), 6).alias("avg_per_key"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50_per_key"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_per_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA of daily event value (α = 0.2), exact recursive fold
+# ---------------------------------------------------------------------------
+@register(
+    "ewma_daily_value",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             round(sum(value), 6) AS total
+      FROM events GROUP BY 1
+    )
+    SELECT d, total,
+           round(list_reduce(
+             list(total) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+             (acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE)
+           ), 6) AS ewma
+    FROM daily
+    """,
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.2) of daily event value,
+    computed as the exact recursion s_t = 0.8·s_{t-1} + 0.2·x_t via an
+    ordered-list fold — both engines run the identical left-to-right fp
+    sequence (no closed-form pow() rewriting, which catastrophically
+    cancels for long series). Prefix lists are O(n²) per series — fine to
+    thousands of points; longer series get segmented two-level folds."""
+    events = _table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.round(F.sum("value"), 6).alias("total"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    ewma = F.expr(
+        "aggregate(slice(_l, 2, greatest(size(_l) - 1, 0)), element_at(_l, 1),"
+        " (acc, x) -> acc * 0.8D + x * 0.2D)"
+    )
+    return (
+        daily.withColumn("_l", F.collect_list("total").over(w))
+        .select("d", "total", F.round(ewma, 6).alias("ewma"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order-function bank
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_array_functions",
+    r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           len(ws) AS n_words,
+           list_sort(list_distinct(ws))[1:5] AS first5_distinct,
+           list_contains(ws, 'the') AS has_the,
+           list_position(ws, 'table') AS pos_table,
+           list_max(list_transform(ws, x -> len(x))) AS max_word_len,
+           list_reverse(ws[1:3]) AS first3_rev
+    FROM w
+    """,
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function bank — the `array_*` surface mapped to
+    DuckDB's `list_*` semantics (sorted-distinct prefix, membership,
+    1-based position with 0 for absent, element max, slice+reverse). All
+    whole-stage-codegen'd row-local expressions; complements the
+    string/math/date scalar banks."""
+    docs = _table(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), r"\s+")
+    d = docs.filter(F.col("doc_id") < 100).select("doc_id", ws.alias("ws"))
+    return d.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.slice(F.array_sort(F.array_distinct("ws")), 1, 5).alias("first5_distinct"),
+        F.array_contains("ws", "the").alias("has_the"),
+        F.array_position("ws", "table").alias("pos_table"),
+        F.array_max(F.transform("ws", F.length)).alias("max_word_len"),
+        F.reverse(F.slice("ws", 1, 3)).alias("first3_rev"),
+    )
