@@ -607,3 +607,151 @@ def semantic_dedup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("doc_a", "doc_b", "sim", "n_cells")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+def pq_encode(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    code_stride: int = 31,
+):
+    """Product-quantize unit-normalized vectors: split each into ``m``
+    subvectors, learn a ``n_codes``-entry codebook per subspace
+    (deterministic stride-sampled codewords — the same untrained-centroid
+    convention as ``ivf_topk``; feed them to ``kmeans_lloyd`` per subspace
+    to refine), and encode every subvector as its nearest codeword id.
+
+    Everything is DataFrames: the codebook is a (m·n_codes)-row table
+    (KBs — broadcast in every join that touches it), and encoding is an
+    explode → broadcast-join → argmin-window pipeline, linear in n·m.
+    At 100 TB the codes table is the index: 8 codes × 4 bits replaces
+    256 float32 bytes per vector (64× compression).
+
+    Returns (codes, codebook):
+      codes    — (<id_col>, j, code)         one row per vector×subspace
+      codebook — (j, code, cv array<double>) m·n_codes rows
+    """
+    sub = dim // m
+    unit = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    ).select(
+        F.col(id_col),
+        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_u"),
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    subs = unit.select(F.col(id_col), F.col("_u"), js).select(
+        F.col(id_col),
+        "j",
+        F.expr(f"slice(_u, j * {sub} + 1, {sub})").alias("_sv"),
+    )
+    # Deterministic codebook: the first n_codes stride-sampled vectors per
+    # subspace, codeword id = dense rank of the sample's vector id.
+    wcb = Window.partitionBy("j").orderBy(F.col(id_col).asc())
+    codebook = (
+        subs.filter((F.col(id_col) % code_stride) == 0)
+        .withColumn("code", F.row_number().over(wcb) - 1)
+        .filter(F.col("code") < n_codes)
+        .select("j", "code", F.col("_sv").alias("cv"))
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("_sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    warg = Window.partitionBy(id_col, "j").orderBy(
+        F.col("_d").asc(), F.col("code").asc()
+    )
+    codes = (
+        subs.join(F.broadcast(codebook), "j")
+        .withColumn("_d", dist)
+        .withColumn("_r", F.row_number().over(warg))
+        .filter(F.col("_r") == 1)
+        .select(id_col, "j", "code")
+    )
+    return codes, codebook
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ codes + asymmetric distance computation +
+    exact rerank — the production serving shape: the query stays
+    un-quantized; per query, a lookup table of partial dot products
+    (query subvector · each codeword) is built (m·n_codes rows —
+    broadcast), a candidate's ADC score is the sum of m LUT entries
+    selected by its codes, the top ``shortlist`` ADC candidates are
+    shortlisted, and ONLY those fetch their full vectors for an exact
+    cosine rerank to final top-k. The full-precision table is touched for
+    |Q|·shortlist rows total; the scan itself reads nothing but the 4-bit
+    codes (64× smaller than float32 at m=8, n_codes=16) via a broadcast
+    equi-join on (j, code) + a partial-aggregated groupBy — linear in
+    n·m. ADC alone mis-ranks heavily on unclustered vectors (lossy 8-byte
+    sketches); the shortlist-then-rerank split is what makes PQ usable,
+    and `similarity_pq_recall` gates exactly that end-to-end recall.
+
+    Output: query_id, vec_id, sim (exact cosine, rounded), rank.
+    """
+    sub = dim // m
+    codes, codebook = pq_encode(
+        embeddings, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes, dim=dim
+    )
+    qunit = queries.select(
+        "query_id",
+        F.transform(F.col("query_vec"), lambda x: x.cast("double")).alias("_v"),
+        l2_norm(F.col("query_vec")).alias("_n"),
+    ).select(
+        "query_id", F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_u")
+    )
+    qsubs = qunit.select(
+        "query_id", F.col("_u"), F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    ).select("query_id", "j", F.expr(f"slice(_u, j * {sub} + 1, {sub})").alias("_qv"))
+    pdot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        qsubs.join(F.broadcast(codebook), "j")
+        .withColumn("_p", pdot)
+        .select("query_id", "j", "code", "_p")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("query_id", F.col(id_col).alias("vec_id"))
+        .agg(F.sum("_p").alias("_adc"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    wsl = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("vec_id").asc()
+    )
+    short = (
+        adc.withColumn("_r", F.row_number().over(wsl))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")
+    )
+    q = queries.select("query_id", F.col("query_vec").alias("_qfull"))
+    scored = (
+        short.join(cand, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("_sim", cosine_similarity(F.col("_qfull"), F.col("_cv")))
+    )
+    return _ranked_topk(scored, k)

@@ -56,6 +56,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext12,
         queries_ext13,
         queries_ext14,
+        queries_ext15,
         queries_tpch,
     )
 

@@ -310,3 +310,30 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform("ws", F.length)).alias("max_word_len"),
         F.reverse(F.slice("ws", 1, 3)).alias("first3_rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN + recall gate
+# ---------------------------------------------------------------------------
+@register("similarity_pq_topk", None)  # approximate: rows-only; gated below
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemini_data_wrangler_spark.operators.similarity import (
+        pq_topk,
+        queries_from_ids,
+    )
+    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
+
+
+@register("similarity_pq_recall", _quantized_recall_oracle())
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ/ADC scoring (8 subspaces × 16 codes = 64×
+    compression) vs exact float cosine, floored per query. PQ trades the
+    most accuracy of the ANN tiers for the most compression, so the floor
+    is the loosest. Pinned-TRUE oracle like the other recall gates."""
+    from gemini_data_wrangler_spark.operators.similarity import pq_topk
+    from gemini_data_wrangler_spark.queries_ext import _ann_recall_check
+
+    return _ann_recall_check(spark, sf_dir, pq_topk, floor=0.5)
