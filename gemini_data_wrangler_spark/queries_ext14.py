@@ -94,11 +94,26 @@ def dedup_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_s") >= _SEM_THRESHOLD)
         .select("doc_a", "doc_b")
     )
-    n_sem = sem.count()
-    n_exact = exact.count()
-    n_false = sem.join(exact, ["doc_a", "doc_b"], "left_anti").count()
+    # One action for all three counts: full-outer join the pair sets and
+    # aggregate membership flags — k-means and the exact kernel each run
+    # exactly once (three separate .count() actions would recompute them).
+    joined = sem.withColumn("_s", F.lit(1)).join(
+        exact.withColumn("_e", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    row = joined.agg(
+        F.sum(F.coalesce("_s", F.lit(0))).alias("n_sem"),
+        F.sum(F.coalesce("_e", F.lit(0))).alias("n_exact"),
+        F.sum(
+            F.when(F.col("_s").isNotNull() & F.col("_e").isNull(), 1).otherwise(0)
+        ).alias("n_false"),
+    ).collect()[0]
     return spark.createDataFrame(
-        [(n_false == 0, n_exact > 0 and n_sem / n_exact >= 0.6)],
+        [
+            (
+                row["n_false"] == 0,
+                row["n_exact"] > 0 and row["n_sem"] / row["n_exact"] >= 0.6,
+            )
+        ],
         "precision_ok boolean, recall_ok boolean",
     )
 
