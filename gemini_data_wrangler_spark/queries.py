@@ -57,6 +57,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext13,
         queries_ext14,
         queries_ext15,
+        queries_ext16,
         queries_tpch,
     )
 
