@@ -58,6 +58,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext14,
         queries_ext15,
         queries_ext16,
+        queries_ext17,
         queries_tpch,
     )
 
