@@ -32,6 +32,10 @@ engines and passes through untouched.
 | ``a // b``                         | ``a div b`` |
 | ``strftime(ts, '%Y-%m-%d')``       | ``date_format(ts, 'yyyy-MM-dd')`` (either arg order) |
 | ``list_contains/distinct/sort``    | ``array_contains/distinct/sort`` |
+| ``list_reverse/list_max/list_min`` | ``reverse/array_max/array_min`` |
+| ``arg_max`` / ``arg_min``          | ``max_by`` / ``min_by`` |
+| ``quantile_cont(x, q)``            | ``percentile(x, q)`` |
+| ``quantile_disc`` / ``list_reduce``| refused → explicit error (index / seed semantics diverge) |
 | ``GROUP BY ALL`` / ``ILIKE``       | pass through (Spark-native) |
 | ``a ^ b`` (DuckDB POWER)           | refused → explicit error (Spark ``^`` is XOR) |
 | ``t1 POSITIONAL JOIN t2``          | unsupported → explicit error |
@@ -319,7 +323,17 @@ _FN_RENAMES = [
     (re.compile(r"\blist_distinct\s*\(", re.IGNORECASE), "array_distinct("),
     (re.compile(r"\blist_sort\s*\(", re.IGNORECASE), "array_sort("),
     (re.compile(r"\bunnest\s*\(", re.IGNORECASE), "explode("),
+    (re.compile(r"\barg_max\s*\(", re.IGNORECASE), "max_by("),
+    (re.compile(r"\barg_min\s*\(", re.IGNORECASE), "min_by("),
+    # Same (expr, fraction) argument order; both linearly interpolate.
+    (re.compile(r"\bquantile_cont\s*\(", re.IGNORECASE), "percentile("),
+    (re.compile(r"\blist_reverse\s*\(", re.IGNORECASE), "reverse("),
+    (re.compile(r"\blist_max\s*\(", re.IGNORECASE), "array_max("),
+    (re.compile(r"\blist_min\s*\(", re.IGNORECASE), "array_min("),
 ]
+# Refusals: close lookalikes whose semantics silently diverge.
+_QUANTILE_DISC_RE = re.compile(r"\bquantile_disc\s*\(", re.IGNORECASE)
+_LIST_REDUCE_RE = re.compile(r"\blist_reduce\s*\(", re.IGNORECASE)
 # DuckDB `//` is integer division; Spark's infix equivalent is `div`.
 _INTDIV_RE = re.compile(r"//")
 # In DuckDB SQL `^` is POWER (xor is the xor() function); Spark `^` is
@@ -438,6 +452,18 @@ def duckdb_to_spark_sql(sql: str) -> str:
             "explode struct fields explicitly instead"
         )
     masked, literals = _mask_strings(sql)
+    if _QUANTILE_DISC_RE.search(masked):
+        raise ValueError(
+            "quantile_disc picks a different element index than Spark's "
+            "percentile_disc (floor(q·(n-1)) vs first cume_dist ≥ q); use "
+            "quantile_cont, or spell the rank arithmetic explicitly"
+        )
+    if _LIST_REDUCE_RE.search(masked):
+        raise ValueError(
+            "list_reduce seeds the fold with the first element; Spark's "
+            "aggregate/reduce requires an explicit seed — rewrite as "
+            "aggregate(slice(l, 2, size(l) - 1), element_at(l, 1), <lambda>)"
+        )
     if _has_slice(masked):
         raise ValueError(
             "[i:j] slicing has no Spark equivalent; use substring()/slice()"

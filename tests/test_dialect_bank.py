@@ -128,6 +128,34 @@ BANK = [
         QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
         """,
     ),
+    (
+        "argmax_argmin",
+        """
+        SELECT o_orderpriority,
+               arg_max(o_orderkey, o_totalprice) AS top_order,
+               arg_min(o_orderkey, o_totalprice) AS bottom_order
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    (
+        "quantile_cont_rename",
+        """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+        FROM orders GROUP BY o_orderstatus
+        """,
+    ),
+    (
+        "list_minmax_reverse",
+        """
+        SELECT n_nationkey,
+               list_max([n_regionkey, CAST(n_nationkey % 7 AS BIGINT)]) AS mx,
+               list_min([n_regionkey, CAST(n_nationkey % 7 AS BIGINT)]) AS mn,
+               list_reverse(list_sort([n_regionkey, CAST(n_nationkey % 7 AS BIGINT)])) AS rv
+        FROM nation
+        """,
+    ),
 ]
 
 
@@ -153,6 +181,10 @@ def test_unsupported_constructs_raise():
         duckdb_to_spark_sql("SELECT unnest(x, recursive := true) FROM t")
     with pytest.raises(ValueError, match="POWER"):
         duckdb_to_spark_sql("SELECT 2 ^ 8 FROM t")
+    with pytest.raises(ValueError, match="quantile_disc"):
+        duckdb_to_spark_sql("SELECT quantile_disc(x, 0.5) FROM t")
+    with pytest.raises(ValueError, match="list_reduce"):
+        duckdb_to_spark_sql("SELECT list_reduce(l, (a, b) -> a + b) FROM t")
 
 
 def test_strings_and_subscripts_untouched():
