@@ -106,13 +106,19 @@ def main() -> None:
     reg["flagship_segment_sales"][0](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         builder, _ = reg[name]
         t0 = time.perf_counter()
-        df = builder(spark, sf_dir)
-        # Force full execution without collecting result rows to the driver.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = builder(spark, sf_dir)
+            # Force full execution without collecting result rows to the driver.
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # abort the whole bench run (the driver parses the final JSON).
+            errors[name] = repr(exc)[:200]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
         # Drop per-query persisted intermediates (dedup/similarity stage
         # caches) so successive queries don't accumulate heap pressure.
         # clearCache only covers the SQL cache manager — localCheckpoint
@@ -136,6 +142,8 @@ def main() -> None:
         "full_total": full_total,
         "n_queries": len(timings),
     }
+    if errors:
+        payload["errors"] = errors
     with open(os.path.join(REPO_DIR, "BENCH_LOCAL.json"), "w") as fh:
         json.dump({"timings": timings, **payload}, fh, indent=1, sort_keys=True)
     # Stop the session BEFORE the final print so no JVM/py4j shutdown noise

@@ -248,19 +248,29 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     ), win AS (
       SELECT d, revenue, n_orders,
-             round(corr(revenue, n_orders) OVER (ORDER BY d
-               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS corr14,
+             sum(revenue) OVER w AS sx, sum(n_orders) OVER w AS sy,
+             sum(revenue * n_orders) OVER w AS sxy,
+             sum(revenue * revenue) OVER w AS sxx,
+             sum(n_orders * n_orders) OVER w AS syy,
              row_number() OVER (ORDER BY d) AS rn
       FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
     )
-    SELECT d, revenue, n_orders, corr14 FROM win WHERE rn >= 14
+    SELECT d, revenue, n_orders,
+           round((sxy - sx * sy / 14)
+                 / nullif(sqrt((sxx - sx * sx / 14) * (syy - sy * sy / 14)), 0),
+                 6) AS corr14
+    FROM win WHERE rn >= 14
     """,
 )
 def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 14-day correlation between daily revenue and order count —
-    the co-movement monitor behind metric-drift alerts. corr runs as a
-    windowed aggregate over the pre-aggregated daily series (full frames
-    only, so both engines see identical 14-point samples)."""
+    the co-movement monitor behind metric-drift alerts. Pearson r is
+    spelled out from windowed co-moment sums with a nullif-guarded
+    denominator: a constant 14-day frame yields NULL instead of the
+    divide-by-zero built-in `corr` raises under ANSI mode, and the
+    identical formula text on both engines keeps results hash-equal.
+    Full frames only, so both engines see the same 14-point samples."""
     orders = _table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.to_date(F.date_trunc("day", "o_orderdate")).alias("d")
@@ -270,14 +280,26 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("d").rowsBetween(-13, 0)
     wn = Window.orderBy("d")
-    return (
-        daily.select(
-            "d",
-            "revenue",
-            "n_orders",
-            F.round(F.corr("revenue", "n_orders").over(w), 6).alias("corr14"),
-            F.row_number().over(wn).alias("rn"),
-        )
-        .filter(F.col("rn") >= 14)
-        .drop("rn")
+    x, y = F.col("revenue"), F.col("n_orders")
+    win = daily.select(
+        "d",
+        "revenue",
+        "n_orders",
+        F.sum(x).over(w).alias("sx"),
+        F.sum(y).over(w).alias("sy"),
+        F.sum(x * y).over(w).alias("sxy"),
+        F.sum(x * x).over(w).alias("sxx"),
+        F.sum(y * y).over(w).alias("syy"),
+        F.row_number().over(wn).alias("rn"),
+    ).filter(F.col("rn") >= 14)
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / 14
+    den = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / 14)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / 14)
+    )
+    return win.select(
+        "d",
+        "revenue",
+        "n_orders",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr14"),
     )
