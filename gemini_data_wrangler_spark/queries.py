@@ -59,6 +59,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext15,
         queries_ext16,
         queries_ext17,
+        queries_ext18,
         queries_tpch,
     )
 
