@@ -60,6 +60,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext16,
         queries_ext17,
         queries_ext18,
+        queries_ext19,
         queries_tpch,
     )
 
