@@ -61,6 +61,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext17,
         queries_ext18,
         queries_ext19,
+        queries_ext20,
         queries_tpch,
     )
 
