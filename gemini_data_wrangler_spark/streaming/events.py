@@ -326,3 +326,67 @@ def cms_read_merged(spark, out_dir: str) -> DataFrame:
     from gemini_data_wrangler_spark.operators.sketches import cms_merge
 
     return cms_merge(spark.read.parquet(out_dir).select("row", "bucket", "cnt"))
+
+
+def streaming_user_lifetime_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user lifetime counters via ``transformWithStateInPandas`` —
+    Spark 4's typed successor to ``applyInPandasWithState`` (SPARK-45939
+    "State API v2"): a ``StatefulProcessor`` with a named ``ValueState``
+    replaces the positional state tuple, state lives in the state store
+    keyed by user, and each micro-batch emits that user's updated
+    running (event count, total value).
+
+    Scale behavior matches the v1 operator family: state is one fixed-size
+    record per key in the HDFS/RocksDB-backed store, input flows through
+    Arrow batches, and the watermark keeps the shuffle bounded. Use TTL
+    (``getValueState(..., ttlDurationMs=...)``) when keys churn — lifetime
+    counters here deliberately never expire.
+
+    Runtime requirement: the State-API-v2 Python worker speaks protobuf to
+    the JVM state server, so ``google.protobuf`` must be importable on the
+    workers (it ships with any ``pyspark[connect]`` install). Environments
+    without it should use ``streaming_session_stats``'s
+    ``applyInPandasWithState`` v1 path — same bounded-state semantics.
+
+    Output (Update mode): user_id, n_events, total_value.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = "user_id long, n_events long, total_value double"
+
+    class LifetimeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", "n long, v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._acc.get()
+            n, v = (got[0], got[1]) if got is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._acc.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=LifetimeStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )

@@ -280,3 +280,54 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
         (r.row, r.bucket): r.cnt for r in cms_read_merged(spark, out).collect()
     }
     assert merged2 == batch
+
+
+def test_transform_with_state_lifetime_equals_batch(spark, events_batch, tmp_path):
+    """The Spark-4 State-API-v2 operator (transformWithStateInPandas) must
+    converge to the batch per-user totals once all files are processed.
+
+    Skipped where google.protobuf is unavailable: the v2 Python worker
+    requires it to talk to the JVM state server (the v1
+    applyInPandasWithState operators above carry the coverage there)."""
+    import os
+
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from gemini_data_wrangler_spark.streaming.events import (
+        read_events_stream,
+        streaming_user_lifetime_stats,
+    )
+
+    src = str(tmp_path / "events_tws")
+    events_batch.repartition(3).write.parquet(src)
+    stream = read_events_stream(spark, src, events_batch.schema, max_files_per_trigger=2)
+    stats = streaming_user_lifetime_stats(stream, watermark="40 days")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "tws_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    # Update mode re-emits per batch; the final state per user is the row
+    # with the highest n_events.
+    final: dict[int, tuple] = {}
+    for r in spark.table("t_tws").collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+
+    batch = (
+        events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    expected = {r.user_id: (r.n, r.v) for r in batch}
+    assert set(final) == set(expected)
+    for uid, (n, v) in expected.items():
+        assert final[uid][0] == n, uid
+        assert abs(final[uid][1] - v) < 1e-6, uid
