@@ -36,6 +36,8 @@ engines and passes through untouched.
 | ``arg_max`` / ``arg_min``          | ``max_by`` / ``min_by`` |
 | ``quantile_cont(x, q)``            | ``percentile(x, q)`` |
 | ``quantile_disc`` / ``list_reduce``| refused → explicit error (index / seed semantics diverge) |
+| ``WITH RECURSIVE`` (UNION ALL)     | pass through (Spark ≥ 4.0 native) |
+| ``WITH RECURSIVE`` (UNION)         | refused → explicit error (Spark recursion is UNION ALL-only; a distinct-dedup cyclic closure would not terminate) |
 | ``GROUP BY ALL`` / ``ILIKE``       | pass through (Spark-native) |
 | ``a ^ b`` (DuckDB POWER)           | refused → explicit error (Spark ``^`` is XOR) |
 | ``t1 POSITIONAL JOIN t2``          | unsupported → explicit error |
@@ -334,6 +336,8 @@ _FN_RENAMES = [
 # Refusals: close lookalikes whose semantics silently diverge.
 _QUANTILE_DISC_RE = re.compile(r"\bquantile_disc\s*\(", re.IGNORECASE)
 _LIST_REDUCE_RE = re.compile(r"\blist_reduce\s*\(", re.IGNORECASE)
+_RECURSIVE_RE = re.compile(r"\bWITH\s+RECURSIVE\b", re.IGNORECASE)
+_UNION_ALL_RE = re.compile(r"\bUNION\s+ALL\b", re.IGNORECASE)
 # DuckDB `//` is integer division; Spark's infix equivalent is `div`.
 _INTDIV_RE = re.compile(r"//")
 # In DuckDB SQL `^` is POWER (xor is the xor() function); Spark `^` is
@@ -452,6 +456,14 @@ def duckdb_to_spark_sql(sql: str) -> str:
             "explode struct fields explicitly instead"
         )
     masked, literals = _mask_strings(sql)
+    if _RECURSIVE_RE.search(masked) and not _UNION_ALL_RE.search(masked):
+        raise ValueError(
+            "Spark recursive CTEs support only UNION ALL between anchor and "
+            "recursive member; a UNION-distinct fixpoint (DuckDB's cyclic-"
+            "closure idiom) would not terminate — rewrite with UNION ALL + "
+            "an explicit depth bound, or use the connected-components "
+            "operator for graph closures"
+        )
     if _QUANTILE_DISC_RE.search(masked):
         raise ValueError(
             "quantile_disc picks a different element index than Spark's "

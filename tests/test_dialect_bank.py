@@ -147,6 +147,17 @@ BANK = [
         """,
     ),
     (
+        "recursive_cte_passthrough",
+        """
+        WITH RECURSIVE months(m, target) AS (
+          SELECT 1, CAST(100000 AS DOUBLE)
+          UNION ALL
+          SELECT m + 1, target * CAST(1.05 AS DOUBLE) FROM months WHERE m < 12
+        )
+        SELECT m, round(target, 6) AS target FROM months
+        """,
+    ),
+    (
         "list_minmax_reverse",
         """
         SELECT n_nationkey,
@@ -185,6 +196,11 @@ def test_unsupported_constructs_raise():
         duckdb_to_spark_sql("SELECT quantile_disc(x, 0.5) FROM t")
     with pytest.raises(ValueError, match="list_reduce"):
         duckdb_to_spark_sql("SELECT list_reduce(l, (a, b) -> a + b) FROM t")
+    with pytest.raises(ValueError, match="UNION ALL"):
+        duckdb_to_spark_sql(
+            "WITH RECURSIVE r(u,v) AS (SELECT u,v FROM e UNION "
+            "SELECT r.u, e.v FROM r JOIN e ON r.v = e.u) SELECT * FROM r"
+        )
 
 
 def test_strings_and_subscripts_untouched():

@@ -146,3 +146,18 @@ def test_scaling_bank_bounds(spark):
     for r in rows:
         if r["minmax_qty"] is not None:
             assert -1e-9 <= r["minmax_qty"] <= 1 + 1e-9
+
+
+def test_new_query_plan_shapes(spark):
+    """Pin the load-bearing physical shapes of batch 16–19 queries: group
+    stats broadcast into map-side scaling/clamping; the cardinality
+    forecast's top-5 is a TakeOrderedAndProject, not a global sort."""
+    for name, marker in [
+        ("feature_scaling_bank", "BroadcastHashJoin"),
+        ("dq_winsorize", "BroadcastHashJoin"),
+        ("diag_join_cardinality", "TakeOrderedAndProject"),
+    ]:
+        plan = (
+            _q(name)(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert marker in plan, name
