@@ -62,6 +62,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext18,
         queries_ext19,
         queries_ext20,
+        queries_ext21,
         queries_tpch,
     )
 
