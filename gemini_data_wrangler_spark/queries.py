@@ -63,6 +63,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext19,
         queries_ext20,
         queries_ext21,
+        queries_ext22,
         queries_tpch,
     )
 
