@@ -64,6 +64,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext20,
         queries_ext21,
         queries_ext22,
+        queries_ext23,
         queries_tpch,
     )
 
