@@ -229,3 +229,37 @@ def load_sf_tables(
         out[name] = df
     _LOAD_CACHE[key] = dict(out)
     return out
+
+
+def load_dir_tables(
+    spark: SparkSession,
+    dir_path: str,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Discover and load every ``<name>.parquet`` / ``<name>.csv`` table in
+    a directory (the CLI's table-catalog convention — a superset of
+    ``load_sf_tables``' fixed list). Parquet directories (partitioned
+    writes) are detected by extension-less directory names containing
+    parquet part files. Each table optionally registers as a temp view so
+    CUSTOM SQL / ``--sql`` can reference it by name."""
+    _enable_nanos_timestamps(spark)
+    out: dict[str, DataFrame] = {}
+    for fn in sorted(os.listdir(dir_path)):
+        path = os.path.join(dir_path, fn)
+        if fn.endswith(".parquet"):
+            name = fn[: -len(".parquet")]
+            df = _normalize_ns_timestamps(spark, spark.read.parquet(path), path)
+        elif fn.endswith(".csv"):
+            name = fn[: -len(".csv")]
+            df = read_csv(spark, path)
+        elif os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            name = fn
+            df = _normalize_ns_timestamps(spark, spark.read.parquet(path), path)
+        else:
+            continue
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
