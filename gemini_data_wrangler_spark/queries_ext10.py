@@ -779,3 +779,72 @@ def asof_purchase_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         purchases, clicks, on="user_id", tolerance_seconds=1800,
         left_ts="ts", right_ts="ts",
     )
+
+
+# ---------------------------------------------------------------------------
+# Full dedup pipeline with ONE pair-set materialization
+# ---------------------------------------------------------------------------
+def _full_pipeline_oracle() -> str:
+    from gemini_data_wrangler_spark.operators.dedup import (
+        connected_components_oracle_sql,
+        ngram_jaccard_oracle_sql,
+    )
+
+    closure = connected_components_oracle_sql(
+        ngram_jaccard_oracle_sql("documents", "doc_id", "text", n=5, threshold=0.8)
+    )
+    return rf"""
+    WITH comp AS ({closure}),
+    q AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS quality
+      FROM documents
+    ), merged AS (
+      SELECT cluster_id, min(doc_id) AS canonical_id, count(*) AS n_members
+      FROM comp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality DESC, c.doc_id) = 1 AS keep,
+           m.canonical_id, m.n_members
+    FROM comp c JOIN q USING (doc_id) JOIN merged m USING (cluster_id)
+    """
+
+
+@register("dedup_full_pipeline", _full_pipeline_oracle())
+def dedup_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup job shape: MinHash+LSH pairs materialized
+    ONCE (localCheckpoint), then clusters, keep-best ranking, and
+    survivorship metadata all derived from that single pair set in one
+    result. Standalone, `dedup_clusters` + `dedup_keep_best` +
+    `dedup_survivorship` each re-pay the ~same pair-set cost (the 10×
+    scaling experiment in SCALE.md measured pair materialization as the
+    dominant term); fused here the pipeline costs one materialization +
+    seconds — the fan-out pattern large corpora must use."""
+    from gemini_data_wrangler_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8).localCheckpoint()
+    comp = connected_components(pairs)
+    quality = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("quality")
+    )
+    merged = comp.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_members")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .join(F.broadcast(merged), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.row_number().over(w) == 1).alias("keep"),
+            "canonical_id",
+            "n_members",
+        )
+    )
