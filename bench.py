@@ -143,14 +143,24 @@ def main() -> None:
         "n_queries": len(timings),
     }
     if errors:
-        payload["errors"] = errors
+        # Keep the printed line bounded: error names only, capped at 5 —
+        # full reprs go to BENCH_LOCAL.json / stderr.
+        payload["n_errors"] = len(errors)
+        payload["errors"] = sorted(errors)[:5]
     with open(os.path.join(REPO_DIR, "BENCH_LOCAL.json"), "w") as fh:
-        json.dump({"timings": timings, **payload}, fh, indent=1, sort_keys=True)
+        json.dump({"timings": timings, "error_detail": errors, **payload}, fh, indent=1, sort_keys=True)
+    # The driver parses the stdout tail (2000 bytes observed in round 1);
+    # if the line ever outgrows it, shed headline entries largest-name-first
+    # until it fits — totals always survive.
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > 1900 and payload["queries"]:
+        payload["queries"].pop(max(payload["queries"], key=len))
+        line = json.dumps(payload, separators=(",", ":"))
     # Stop the session BEFORE the final print so no JVM/py4j shutdown noise
     # lands after the JSON line the driver parses from the stdout tail.
     spark.stop()
     sys.stdout.flush()
-    print(json.dumps(payload, separators=(",", ":")))
+    print(line)
     sys.stdout.flush()
 
 

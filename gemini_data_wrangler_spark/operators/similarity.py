@@ -322,62 +322,15 @@ def kmeans_lloyd(
 
 
 # ---------------------------------------------------------------------------
-# All-pairs candidates: tiered broadcast / tiled / LSH-bucketed kernels
+# All-pairs candidates: tiled exact / LSH-bucketed kernels
 # ---------------------------------------------------------------------------
-# Auto-routing thresholds (row counts). Broadcast: the normalized matrix is
-# n·d·8 bytes on every executor (and, definitionally for a broadcast, once
-# on the driver) — capped where that stays tens of MB. Tiled: exact O(n²·d)
-# compute with NO full-table materialization anywhere — capped where the
-# quadratic FLOPs stop being worth exactness. Beyond: LSH bucketing, the
-# only shape that survives 100 TB (linear in docs + candidates, approximate
-# recall governed by n_tables × n_planes).
-BROADCAST_MAX_ROWS = 150_000
+# Auto-routing threshold (row count). Tiled: exact O(n²·d) compute with NO
+# full-table materialization anywhere — the driver never holds vectors, no
+# executor holds more than two blocks — capped where the quadratic FLOPs
+# stop being worth exactness. Beyond: LSH bucketing, the only shape that
+# survives 100 TB (linear in docs + candidates, approximate recall governed
+# by n_tables × n_planes).
 TILED_MAX_ROWS = 3_000_000
-
-
-def _broadcast_candidates(
-    embeddings: DataFrame, id_col: str, vec_col: str, cutoff: float
-) -> DataFrame:
-    """Small-n kernel: broadcast the (normalized) full matrix, stream the
-    table through ``mapInPandas``, one numpy block × matrix matmul per
-    Arrow batch. A 128-dim dot product per pair through interpreted
-    higher-order expressions costs ~1 µs; through a blocked BLAS matmul it
-    costs ~1 ns — the faiss-style baseline shape for exact similarity.
-    Driver materialization here is what "broadcast" means; the auto-router
-    only takes this path under ``BROADCAST_MAX_ROWS``."""
-    import numpy as np
-    import pandas as pd
-
-    spark = embeddings.sparkSession
-    pdf_all = embeddings.select(id_col, vec_col).toPandas()
-    ids_all = pdf_all[id_col].to_numpy(dtype=np.int64)
-    m = np.vstack(pdf_all[vec_col].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    b = spark.sparkContext.broadcast((ids_all, m))
-
-    def gen(batches):
-        ids_b, mat = b.value
-        order = np.argsort(ids_b, kind="stable")
-        ids_sorted, mat_sorted = ids_b[order], mat[order]
-        for pdf in batches:
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ mat_sorted.T  # |batch| × n
-            # doc_a < doc_b dedup: only emit partners with a larger id.
-            larger = ids_sorted[None, :] > q_ids[:, None]
-            hit_q, hit_c = np.nonzero((sims >= cutoff) & larger)
-            if len(hit_q):
-                yield pd.DataFrame(
-                    {"doc_a": q_ids[hit_q], "doc_b": ids_sorted[hit_c]}
-                )
-
-    n_parts = spark.sparkContext.defaultParallelism
-    return (
-        embeddings.select(id_col, vec_col)
-        .repartition(n_parts, id_col)
-        .mapInPandas(gen, schema="doc_a bigint, doc_b bigint")
-    )
 
 
 def _tiled_candidates(
@@ -471,11 +424,11 @@ def cosine_pair_candidates(
     dim: int = 64,
 ) -> DataFrame:
     """All-pairs cosine CANDIDATES above ``threshold - margin``, routed by
-    input size: broadcast matmul (small), tiled distributed matmul (mid,
-    still exact, no driver/full-table materialization), LSH bucketing
-    (beyond exact feasibility — approximate, linear). ``route`` forces a
-    tier ("broadcast" | "tiled" | "lsh") for testing or when the caller
-    knows better.
+    input size: tiled distributed matmul (exact — no driver or full-table
+    materialization anywhere: vectors move only through the block shuffle,
+    and each task touches one tile), or LSH bucketing beyond exact
+    feasibility (approximate, linear). ``route`` forces a tier ("tiled" |
+    "lsh") for testing or when the caller knows better.
 
     The guaranteed-superset contract for the exact tiers (margin >> float
     reassociation error, ~1e-12 for 128-dim sums) lets an exact,
@@ -486,17 +439,14 @@ def cosine_pair_candidates(
     Output: doc_a, doc_b (doc_a < doc_b) — candidates only, NOT verified.
     """
     cutoff = threshold - margin
+    n = None
     if route == "auto":
         n = embeddings.count()  # scalar aggregate: cheap routing probe
-        route = (
-            "broadcast"
-            if n <= BROADCAST_MAX_ROWS
-            else ("tiled" if n <= TILED_MAX_ROWS else "lsh")
-        )
-    if route == "broadcast":
-        return _broadcast_candidates(embeddings, id_col, vec_col, cutoff)
+        route = "tiled" if n <= TILED_MAX_ROWS else "lsh"
     if route == "tiled":
-        n_blocks = max(2, -(-embeddings.count() // block_rows))
+        if n is None:
+            n = embeddings.count()
+        n_blocks = max(2, -(-n // block_rows))
         return _tiled_candidates(embeddings, id_col, vec_col, cutoff, n_blocks)
     if route == "lsh":
         return _lsh_candidates(embeddings, id_col, vec_col, dim)

@@ -96,22 +96,23 @@ def test_connected_components_star_and_cycle(spark):
 
 
 def test_pair_candidate_tiers_agree(spark):
-    """The tiled distributed kernel and the broadcast kernel must produce
-    the IDENTICAL candidate set (both exact); the LSH tier must be a subset
-    of it (approximate-by-contract) that still catches the real dups."""
+    """The tiled distributed kernel must produce the IDENTICAL candidate set
+    at any block granularity (exactness can't depend on tiling); the LSH
+    tier must be a subset of it (approximate-by-contract) that still
+    catches the real dups."""
     from gemini_data_wrangler_spark.operators.similarity import cosine_pair_candidates
 
     emb = load_sf_tables(spark, SF_ORACLE)["embeddings"]
-    bcast = _pairs(cosine_pair_candidates(emb, route="broadcast", threshold=0.45))
-    tiled = _pairs(
+    coarse = _pairs(cosine_pair_candidates(emb, route="tiled", threshold=0.45))
+    fine = _pairs(
         cosine_pair_candidates(emb, route="tiled", threshold=0.45, block_rows=200)
     )
-    assert len(bcast) > 0
-    assert tiled == bcast
+    assert len(coarse) > 0
+    assert fine == coarse
     lsh = _pairs(cosine_pair_candidates(emb, route="lsh", threshold=0.45))
     # Hyperplane buckets at the default (4 planes × 12 tables) catch every
     # >=0.45 pair on the driver corpus; at minimum they must catch most.
-    assert len(lsh & bcast) >= 0.9 * len(bcast)
+    assert len(lsh & coarse) >= 0.9 * len(coarse)
 
 
 def test_star_contraction_matches_propagation(spark):
