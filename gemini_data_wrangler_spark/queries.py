@@ -65,6 +65,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext21,
         queries_ext22,
         queries_ext23,
+        queries_ext24,
         queries_tpch,
     )
 
