@@ -66,6 +66,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext22,
         queries_ext23,
         queries_ext24,
+        queries_ext25,
         queries_tpch,
     )
 
