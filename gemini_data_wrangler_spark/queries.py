@@ -67,6 +67,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext23,
         queries_ext24,
         queries_ext25,
+        queries_ext26,
         queries_tpch,
     )
 
