@@ -105,16 +105,29 @@ def main() -> None:
     # query, not session startup.
     reg["flagship_segment_sales"][0](spark, sf_dir).count()
 
+    # The host VM shows multi-second CPU-steal bursts (identical queries
+    # measured 6 s and 25 s back-to-back on an idle guest): one-shot
+    # timings are noise for anything non-trivial. Queries whose first run
+    # exceeds RETRY_ABOVE get a second run and report the MIN — bounded
+    # extra wall-clock, spent exactly on the jitter victims.
+    RETRY_ABOVE = 3.0
+
+    def _run_once(builder) -> float:
+        t0 = time.perf_counter()
+        df = builder(spark, sf_dir)
+        # Force full execution without collecting result rows to the driver.
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         builder, _ = reg[name]
-        t0 = time.perf_counter()
         try:
-            df = builder(spark, sf_dir)
-            # Force full execution without collecting result rows to the driver.
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            t = _run_once(builder)
+            if t > RETRY_ABOVE:
+                t = min(t, _run_once(builder))
+            timings[name] = round(t, 3)
         except Exception as exc:  # noqa: BLE001 — one bad query must not
             # abort the whole bench run (the driver parses the final JSON).
             errors[name] = repr(exc)[:200]
