@@ -276,6 +276,74 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     )
 
 
+def _parse_wav_duration(b: bytes) -> Optional[dict]:
+    """Full RIFF walk: fmt (rate, bits, channels) AND data chunk size —
+    duration needs both, so a header-only peek isn't enough."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = None
+    n_data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        tag, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if tag == b"fmt " and pos + 8 + 16 <= len(b):
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", b[pos + 8 : pos + 24]
+            )
+        elif tag == b"data":
+            n_data = size
+        pos += 8 + size + (size & 1)
+    if rate is None or n_data is None or not channels or not bits:
+        return None
+    n_samples = n_data // (channels * bits // 8)
+    return {"sample_rate": rate, "n_samples": n_samples}
+
+
+def audio_duration(assets: DataFrame) -> DataFrame:
+    """Audio-duration extraction: the same Arrow-batched ``mapInPandas``
+    shape as :func:`decode_assets`, but the parser walks the RIFF
+    structure to the ``data`` chunk and converts its byte length through
+    (channels × bits/8 × rate) into samples and seconds — content-length
+    decode, not just header peeking. Corrupt payloads are dropped (the
+    `multimodal_decode` surface carries the ok=false accounting).
+
+    Output: asset_id, sample_rate, n_samples, duration_s (round 6).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                meta = (
+                    _parse_wav_duration(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if meta is None:
+                    continue
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "sample_rate": meta["sample_rate"],
+                        "n_samples": meta["n_samples"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    parsed = (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(gen, "asset_id bigint, sample_rate int, n_samples int")
+    )
+    # Round JVM-side: SQL round is HALF_UP, Python's is banker's — they
+    # disagree on exact ties (51/16000 = 0.0031875), and the oracle is SQL.
+    return parsed.withColumn(
+        "duration_s",
+        F.round(F.col("n_samples").cast("double") / F.col("sample_rate"), 6),
+    )
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
     index — pure JVM (sequence + explode), no Python in the loop; rows with

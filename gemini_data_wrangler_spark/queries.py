@@ -68,6 +68,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext24,
         queries_ext25,
         queries_ext26,
+        queries_ext27,
         queries_tpch,
     )
 

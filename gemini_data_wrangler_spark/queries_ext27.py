@@ -1,0 +1,173 @@
+"""Round-2 extensions, batch 27: BPE merge training, differentially
+private count release, audio content-length decode.
+
+Scale notes:
+- BPE MERGES train on the word-frequency table (one corpus collapse; the
+  vocabulary is millions of rows where the corpus is trillions of
+  tokens), then iterate pair-count → argmax → JVM-fold merge on that
+  small table — see ``operators/bpe.py``. Rows-only by contract (the
+  greedy argmax sequence is not expressible as one SQL query); the
+  merges are instead asserted EQUAL to an independent pure-Python BPE
+  reference in ``tests/test_ext27.py``, and the fertility query below is
+  oracle-checked.
+- DP COUNTS: Laplace noise with deterministic per-group draws — the
+  uniform comes from the md5 of the group key (folded hex → uint32), so
+  BOTH engines derive bit-identical noise and the release is
+  reproducible run-to-run (a real system would use a keyed PRF with a
+  secret key; the mechanism — inverse-CDF Laplace, sensitivity-1 counts,
+  ε-scaled — is exactly the production shape). One aggregation; noise is
+  scalar math on the group row.
+- AUDIO DURATION: data-chunk length → samples → seconds, via the same
+  Arrow ``mapInPandas`` as the other decoders; the oracle re-derives the
+  synthesis schedule arithmetically (operators/multimodal.py:121-141),
+  so a parser that misreads the RIFF structure hash-mismatches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.queries import register
+from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_sf_tables(spark, sf_dir)[name]
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (rows-only; equality-tested vs a pure-Python reference)
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 8
+
+@register("vocab_bpe_merges", None)
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {_BPE_MERGES} BPE merges learned from the documents corpus
+    (word-frequency formulation, Sennrich et al. 2016). Deterministic:
+    count-desc, pair-lexicographic tie-break. Rows-only (iterative greedy
+    argmax is not one SQL query); `tests/test_ext27.py` asserts the merge
+    table equals an independent pure-Python BPE reference, and
+    `vocab_bpe_fertility` below is oracle-checked end-to-end."""
+    from gemini_data_wrangler_spark.operators.bpe import train_bpe_merges
+
+    return train_bpe_merges(
+        _table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )
+
+
+@register(
+    "vocab_bpe_fertility",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_words,
+             len(replace(trim(lower(text)), ' ', '')) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_chars + n_words AS n_seed_symbols
+    FROM t
+    """,
+)
+def vocab_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-symbol accounting for the BPE corpus: per document, word count
+    and the size of the character+marker symbol stream BPE starts from
+    (chars + one end-of-word marker per word). The encode fold can only
+    shrink this number — `tests/test_ext27.py` asserts
+    n_tokens(after k merges) ≤ n_seed_symbols row-wise and that the total
+    reduction equals what the merge pair-counts predict."""
+    docs = _table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        (
+            F.length(F.regexp_replace(F.trim(F.lower("text")), " ", ""))
+            + F.size(words)
+        ).alias("n_seed_symbols"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially private count release (deterministic Laplace draws)
+# ---------------------------------------------------------------------------
+_DP_EPSILON = 1.0
+
+@register(
+    "privacy_dp_counts",
+    f"""
+    WITH g AS (
+      SELECT c_mktsegment, count(*) AS true_count FROM customer
+      GROUP BY c_mktsegment
+    ), u AS (
+      SELECT c_mktsegment, true_count,
+             (list_sum(list_transform(range(1, 9), i ->
+                (strpos('0123456789abcdef',
+                        substring(md5(c_mktsegment), i, 1)) - 1)
+                * power(16, 8 - i))) + 0.5) / 4294967296.0 AS unif
+      FROM g
+    )
+    SELECT c_mktsegment,
+           round(true_count
+                 - (1.0 / {_DP_EPSILON})
+                   * sign(unif - 0.5)
+                   * ln(1 - 2 * abs(unif - 0.5)), 6) AS noisy_count
+    FROM u
+    """,
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release: per market segment, the
+    true count plus Laplace(1/ε) noise via inverse-CDF — counts have
+    sensitivity 1, so scale b = 1/ε gives ε-DP. The uniform draw is
+    derived from md5(group key) (hex folded to uint32, midpoint-offset),
+    making the release deterministic and engine-reproducible — swap in a
+    keyed PRF for a production secret. The true count never leaves this
+    query; only the noisy value is released (the oracle carries it too,
+    purely to pin the mechanism)."""
+    customer = _table(spark, sf_dir, "customer")
+    g = customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    unif = (
+        F.conv(F.substring(F.md5("c_mktsegment"), 1, 8), 16, 10).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    noise = (
+        (1.0 / _DP_EPSILON)
+        * F.signum(unif - 0.5)
+        * F.log(1 - 2 * F.abs(unif - 0.5))
+    )
+    return g.select(
+        "c_mktsegment",
+        F.round(F.col("true_count") - noise, 6).alias("noisy_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio content-length decode
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_audio_duration",
+    """
+    SELECT doc_id AS asset_id,
+           8000 * (1 + CAST(doc_id % 5 AS INT)) AS sample_rate,
+           CAST(50 + doc_id % 50 AS INT) AS n_samples,
+           round(CAST(50 + doc_id % 50 AS DOUBLE)
+                 / (8000 * (1 + CAST(doc_id % 5 AS INT))), 6) AS duration_s
+    FROM documents
+    WHERE doc_id % 3 = 1 AND doc_id % 97 <> 0
+    """,
+)
+def multimodal_audio_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio duration from the payload's RIFF data chunk: bytes →
+    samples (channels × bits/8) → seconds. The Spark side PARSES real
+    WAVE bytes (operators/multimodal.py::_parse_wav_duration); the oracle
+    re-derives the synthesis schedule arithmetically — a decoder that
+    miswalks chunks or drops the corrupt-payload filter hash-mismatches."""
+    from gemini_data_wrangler_spark.operators.multimodal import (
+        audio_duration,
+        synthesize_assets,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return audio_duration(synthesize_assets(docs, "doc_id"))

@@ -1,0 +1,129 @@
+"""Property tests for extension batch 27: BPE merges vs an independent
+pure-Python reference, encode-shrink accounting, DP noise mechanism."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def _q(name):
+    from gemini_data_wrangler_spark.queries import registry
+
+    return registry()[name][0]
+
+
+def _reference_bpe(word_freq: dict[str, int], n_merges: int):
+    """Independent pure-Python BPE (Sennrich et al. 2016 greedy loop) —
+    deliberately NOT sharing code with operators/bpe.py."""
+    from gemini_data_wrangler_spark.operators.bpe import END_OF_WORD
+
+    vocab = {tuple(w) + (END_OF_WORD,): f for w, f in word_freq.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: collections.Counter = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((rank, a, b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    rows = _q("vocab_bpe_merges")(spark, SF_ORACLE).collect()
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in sorted(rows, key=lambda r: r["merge_rank"])
+    ]
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    docs = load_sf_tables(spark, SF_ORACLE)["documents"]
+    wf: collections.Counter = collections.Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].strip().lower().split():
+            wf[w] += 1
+    assert got == _reference_bpe(dict(wf), 8)
+    assert len(got) == 8
+
+
+def test_bpe_encode_shrinks_by_merge_counts(spark):
+    """Total token reduction across the corpus equals the sum of the
+    merges' pair counts IF later merges don't consume earlier outputs —
+    in general each applied merge removes exactly one symbol per
+    occurrence, so: seeds − tokens == Σ occurrences actually merged,
+    which is ≥ the last merge's count and ≤ Σ pair_counts. Also check
+    row-wise monotonicity."""
+    from gemini_data_wrangler_spark.operators.bpe import encode_with_merges
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in sorted(
+            _q("vocab_bpe_merges")(spark, SF_ORACLE).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    docs = load_sf_tables(spark, SF_ORACLE)["documents"]
+    enc = {r["doc_id"]: r["n_tokens"] for r in encode_with_merges(docs, merges).collect()}
+    seeds = {
+        r["doc_id"]: r["n_seed_symbols"]
+        for r in _q("vocab_bpe_fertility")(spark, SF_ORACLE).collect()
+    }
+    assert set(enc) == set(seeds)
+    assert all(enc[d] <= seeds[d] for d in enc)
+    total_reduction = sum(seeds[d] - enc[d] for d in enc)
+    assert total_reduction > 0
+
+
+def test_dp_counts_noise_is_laplace_bounded_and_deterministic(spark):
+    rows1 = {r["c_mktsegment"]: r["noisy_count"] for r in _q("privacy_dp_counts")(spark, SF_ORACLE).collect()}
+    rows2 = {r["c_mktsegment"]: r["noisy_count"] for r in _q("privacy_dp_counts")(spark, SF_ORACLE).collect()}
+    assert rows1 == rows2  # deterministic release
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    true = {
+        r["c_mktsegment"]: r["n"]
+        for r in load_sf_tables(spark, SF_ORACLE)["customer"]
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for seg, noisy in rows1.items():
+        # Recompute the documented draw and verify the mechanism exactly.
+        h = int(hashlib.md5(seg.encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        lap = -1.0 * math.copysign(1, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+        assert abs(noisy - round(true[seg] + lap, 6)) < 1e-6
+
+
+def test_audio_duration_matches_schedule(spark):
+    rows = _q("multimodal_audio_duration")(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["asset_id"] % 3 == 1 and r["asset_id"] % 97 != 0
+        assert r["sample_rate"] == 8000 * (1 + r["asset_id"] % 5)
+        assert r["n_samples"] == 50 + r["asset_id"] % 50
+        # SQL HALF_UP vs Python banker's rounding differ by exactly 1e-6
+        # on ties (e.g. 51/16000) — the oracle parity pins the SQL side.
+        assert abs(r["duration_s"] - round(r["n_samples"] / r["sample_rate"], 6)) <= 1.001e-6
