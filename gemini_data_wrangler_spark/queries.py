@@ -69,6 +69,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext25,
         queries_ext26,
         queries_ext27,
+        queries_ext28,
         queries_tpch,
     )
 
