@@ -34,6 +34,13 @@ engines and passes through untouched.
 | ``list_contains/distinct/sort``    | ``array_contains/distinct/sort`` |
 | ``list_reverse/list_max/list_min`` | ``reverse/array_max/array_min`` |
 | ``arg_max`` / ``arg_min``          | ``max_by`` / ``min_by`` |
+| ``starts_with``                    | ``startswith`` |
+| ``list_has_any``                   | ``arrays_overlap`` |
+| ``list_has_all(h, n)``             | ``forall(n, x -> array_contains(h, x))`` |
+| ``regexp_matches(s, re)``          | ``s RLIKE re`` |
+| ``string_split(s, sep)``           | ``split(s, regex-escaped sep)`` (literal sep only → else error) |
+| ``list_aggregate(l, 'sum'/...)``   | ``list_sum``/``array_min``/``array_max``/``size`` (others → error) |
+| ``epoch_us`` / ``epoch_ms``        | ``unix_micros`` / ``unix_millis`` (NTZ-cast wrapped) |
 | ``quantile_cont(x, q)``            | ``percentile(x, q)`` |
 | ``quantile_disc`` / ``list_reduce``| refused → explicit error (index / seed semantics diverge) |
 | ``WITH RECURSIVE`` (UNION ALL)     | pass through (Spark ≥ 4.0 native) |
@@ -332,6 +339,10 @@ _FN_RENAMES = [
     (re.compile(r"\blist_reverse\s*\(", re.IGNORECASE), "reverse("),
     (re.compile(r"\blist_max\s*\(", re.IGNORECASE), "array_max("),
     (re.compile(r"\blist_min\s*\(", re.IGNORECASE), "array_min("),
+    # Same argument order and prefix-match semantics.
+    (re.compile(r"\bstarts_with\s*\(", re.IGNORECASE), "startswith("),
+    # Same "any element in common" semantics (both null-safe on empties).
+    (re.compile(r"\blist_has_any\s*\(", re.IGNORECASE), "arrays_overlap("),
 ]
 # Refusals: close lookalikes whose semantics silently diverge.
 _QUANTILE_DISC_RE = re.compile(r"\bquantile_disc\s*\(", re.IGNORECASE)
@@ -425,6 +436,99 @@ def _has_slice(masked: str) -> bool:
     return False
 
 
+_LIST_HAS_ALL_RE = re.compile(r"\blist_has_all\s*\(", re.IGNORECASE)
+_REGEXP_MATCHES_RE = re.compile(r"\bregexp_matches\s*\(", re.IGNORECASE)
+_STRING_SPLIT_RE = re.compile(r"\bstring_split\s*\(", re.IGNORECASE)
+_LIST_AGGREGATE_RE = re.compile(r"\blist_aggregate\s*\(", re.IGNORECASE)
+_EPOCH_RE = re.compile(r"\bepoch_(us|ms)\s*\(", re.IGNORECASE)
+_REGEX_METACHARS = r"\.^$*+?()[]{}|"
+
+
+def _rewrite_two_arg(sql: str, pattern: re.Pattern, build) -> str:
+    """Generic rewrite of ``fn(a, b)`` via ``build(a, b) -> replacement``;
+    ``build`` returning None leaves the call site untouched."""
+    pos = 0
+    while True:
+        m = pattern.search(sql, pos)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close = _find_matching(sql, open_idx, "(", ")")
+        if close < 0:
+            return sql
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : close])]
+        repl = build(args) if len(args) == 2 else None
+        if repl is None:
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+
+def _rewrite_one_arg(sql: str, pattern: re.Pattern, build) -> str:
+    pos = 0
+    while True:
+        m = pattern.search(sql, pos)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close = _find_matching(sql, open_idx, "(", ")")
+        if close < 0:
+            return sql
+        repl = build(m, sql[open_idx + 1 : close].strip())
+        if repl is None:
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+
+def _rewrite_string_split(masked: str, literals: list[str]) -> str:
+    """``string_split(s, sep)`` splits on a LITERAL separator; Spark's
+    ``split`` takes a regex — so the separator literal is regex-escaped in
+    the literals table. A non-literal separator is refused (its runtime
+    value would be interpreted as a regex, silently changing semantics)."""
+
+    def build(args):
+        ph = re.fullmatch(r"\x00(\d+)\x00", args[1])
+        if not ph:
+            raise ValueError(
+                "string_split with a non-literal separator cannot be "
+                "translated (Spark's split interprets the separator as a "
+                "regex); inline the separator as a string literal"
+            )
+        idx = int(ph.group(1))
+        body = literals[idx][1:-1]
+        escaped = "".join(
+            ("\\" + ch) if ch in _REGEX_METACHARS else ch for ch in body
+        )
+        literals[idx] = f"'{escaped}'"
+        return f"split({args[0]}, {args[1]})"
+
+    return _rewrite_two_arg(masked, _STRING_SPLIT_RE, build)
+
+
+_LIST_AGG_MAP = {
+    "sum": "list_sum({l})",  # re-handled by the list_sum fold rewrite below
+    "min": "array_min({l})",
+    "max": "array_max({l})",
+    "count": "size({l})",
+}
+
+
+def _rewrite_list_aggregate(masked: str, literals: list[str]) -> str:
+    def build(args):
+        ph = re.fullmatch(r"\x00(\d+)\x00", args[1])
+        name = literals[int(ph.group(1))][1:-1].lower() if ph else None
+        if name not in _LIST_AGG_MAP:
+            raise ValueError(
+                f"list_aggregate(..., {name!r}) has no verified Spark "
+                "mapping (only sum/min/max/count are translated); rewrite "
+                "with an explicit aggregate(...) fold"
+            )
+        return _LIST_AGG_MAP[name].format(l=args[0])
+
+    return _rewrite_two_arg(masked, _LIST_AGGREGATE_RE, build)
+
+
 def _rewrite_list_sum(sql: str) -> str:
     while True:
         m = _LIST_SUM_RE.search(sql)
@@ -487,6 +591,31 @@ def duckdb_to_spark_sql(sql: str) -> str:
         )
     masked = _INTDIV_RE.sub(" div ", masked)
     masked = _rewrite_strftime(masked, literals)
+    masked = _rewrite_string_split(masked, literals)
+    masked = _rewrite_list_aggregate(masked, literals)
+    # list_has_all(haystack, needles) → every needle contained (Spark has
+    # no direct equivalent; forall + array_contains is exact).
+    masked = _rewrite_two_arg(
+        masked,
+        _LIST_HAS_ALL_RE,
+        lambda a: f"forall({a[1]}, x -> array_contains({a[0]}, x))",
+    )
+    # regexp_matches is DuckDB's partial-match boolean — Spark RLIKE.
+    masked = _rewrite_two_arg(
+        masked, _REGEXP_MATCHES_RE, lambda a: f"({a[0]} RLIKE {a[1]})"
+    )
+    # epoch_us/epoch_ms → unix_micros/unix_millis (exact integer epochs;
+    # the cast covers TIMESTAMP_NTZ columns, which the unix_* functions
+    # reject raw).
+    masked = _rewrite_one_arg(
+        masked,
+        _EPOCH_RE,
+        lambda m, arg: (
+            f"unix_micros(cast({arg} as timestamp))"
+            if m.group(1).lower() == "us"
+            else f"unix_millis(cast({arg} as timestamp))"
+        ),
+    )
     out = _rewrite_qualify(masked)
     out = _EXCLUDE_RE.sub(lambda m: f"{m.group(1)}EXCEPT{m.group(2)}", out)
     out = _rewrite_from_series(out)

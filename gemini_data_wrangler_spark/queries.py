@@ -70,6 +70,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext26,
         queries_ext27,
         queries_ext28,
+        queries_ext29,
         queries_tpch,
     )
 

@@ -158,6 +158,49 @@ BANK = [
         """,
     ),
     (
+        "starts_with_and_regexp_matches",
+        r"""
+        SELECT o_orderkey,
+               starts_with(o_orderpriority, '1') AS is_urgent,
+               regexp_matches(o_orderpriority, '^[12]-') AS top2
+        FROM orders WHERE o_orderkey < 500
+        """,
+    ),
+    (
+        "list_has_any_all",
+        """
+        SELECT n_nationkey,
+               list_has_any([n_regionkey], [CAST(1 AS BIGINT), CAST(3 AS BIGINT)]) AS any_13,
+               list_has_all([n_regionkey, CAST(n_nationkey % 5 AS BIGINT)],
+                            [n_regionkey]) AS has_own
+        FROM nation
+        """,
+    ),
+    (
+        "string_split_literal_sep",
+        """
+        SELECT n_name, string_split(n_name || '|' || CAST(n_nationkey AS STRING) || '.x', '.') AS parts
+        FROM nation WHERE n_regionkey = 0
+        """,
+    ),
+    (
+        "list_aggregate_mapped",
+        """
+        SELECT doc_id,
+               list_aggregate([CAST(n_chars AS DOUBLE), CAST(doc_id AS DOUBLE)], 'sum') AS s,
+               list_aggregate([n_chars, doc_id], 'max') AS mx,
+               list_aggregate([n_chars, doc_id], 'count') AS cnt
+        FROM documents WHERE doc_id < 30
+        """,
+    ),
+    (
+        "epoch_us_ms",
+        """
+        SELECT event_id, epoch_us(ts) AS us, epoch_ms(ts) AS ms
+        FROM events WHERE event_id < 100
+        """,
+    ),
+    (
         "list_minmax_reverse",
         """
         SELECT n_nationkey,
@@ -201,6 +244,10 @@ def test_unsupported_constructs_raise():
             "WITH RECURSIVE r(u,v) AS (SELECT u,v FROM e UNION "
             "SELECT r.u, e.v FROM r JOIN e ON r.v = e.u) SELECT * FROM r"
         )
+    with pytest.raises(ValueError, match="non-literal separator"):
+        duckdb_to_spark_sql("SELECT string_split(s, sep_col) FROM t")
+    with pytest.raises(ValueError, match="list_aggregate"):
+        duckdb_to_spark_sql("SELECT list_aggregate(l, 'string_agg') FROM t")
 
 
 def test_strings_and_subscripts_untouched():
