@@ -71,6 +71,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext27,
         queries_ext28,
         queries_ext29,
+        queries_ext30,
         queries_tpch,
     )
 
