@@ -254,3 +254,54 @@ def test_capped_sample_single_window_pass(spark):
     plan = _plan(b(spark, SF_ORACLE))
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "Join" not in plan
+
+
+def test_band_join_is_hash_join_not_cartesian(spark):
+    """The δ-bucket quantization must turn the |a−b|≤δ band predicate
+    into an equi-join: no BroadcastNestedLoopJoin/CartesianProduct."""
+    b, _ = registry()["join_band_acctbal"]
+    plan = _plan(b(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bm25_filters_terms_before_shuffle(spark):
+    """The query-term filter must prune the exploded token stream before
+    any aggregation exchange — tf shuffles |query terms| rows, not the
+    whole corpus."""
+    b, _ = registry()["text_bm25_rank"]
+    opt = _optimized(b(spark, SF_ORACLE))
+    # The IN-filter on the three query terms sits under the aggregate.
+    assert "vector" in opt and "merge" in opt
+    assert opt.index("Aggregate") < opt.index("vector")
+
+
+def test_zorder_interleave_stays_in_jvm(spark):
+    """The Morton interleave is expression-only: no Python workers in
+    the plan (BatchEvalPython / ArrowEvalPython / FlatMapsInPandas)."""
+    b, _ = registry()["layout_zorder_plan"]
+    plan = _plan(b(spark, SF_ORACLE))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_peak_concurrency_has_no_global_raw_window(spark):
+    """The two-level carry keeps the running sum partitioned by hour:
+    the only unpartitioned window runs over the per-hour table (tiny),
+    never over the raw ±1 point stream. Assert the hour-partitioned
+    window exists and the carry side is broadcast."""
+    b, _ = registry()["events_peak_concurrency"]
+    plan = _plan(b(spark, SF_ORACLE))
+    # The raw-point window must be hash-partitioned on h.
+    assert "hashpartitioning(h" in plan.replace(" ", "").lower()
+    assert "BroadcastExchange" in plan
+
+
+def test_stickiness_dedups_before_range_join(spark):
+    """DAU/WAU/MAU must aggregate the deduped (user, day) table — the
+    raw events relation is scanned, deduped, and only then range-joined;
+    no nested-loop join over raw events."""
+    b, _ = registry()["events_stickiness_ratios"]
+    plan = _plan(b(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
