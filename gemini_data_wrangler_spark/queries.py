@@ -72,6 +72,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext28,
         queries_ext29,
         queries_ext30,
+        queries_ext31,
         queries_tpch,
     )
 
