@@ -328,6 +328,69 @@ def cms_read_merged(spark, out_dir: str) -> DataFrame:
     return cms_merge(spark.read.parquet(out_dir).select("row", "bucket", "cnt"))
 
 
+def streaming_hll_daily_sink(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    lgk: int = 14,
+):
+    """Incremental distinct-reach maintenance over a stream: every
+    micro-batch reduces to per-day Datasketches HLL sketches of the id
+    column (KBs per day) and lands at ``out_dir/epoch=<id>`` with
+    epoch-overwrite idempotence (same replay contract as the CMS sink).
+    Sketches union associatively across epochs AND days, so any window's
+    reach is a fold over the tiny sketch files — history is never
+    re-scanned. Streaming twin of `events_reach_hll_sliding_check`.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(F.to_date(ts_col).alias("d"), id_col)
+            .groupBy("d")
+            .agg(F.hll_sketch_agg(id_col, F.lit(lgk)).alias("sk"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_read_sliding_reach(spark, out_dir: str, window_days: int = 7) -> DataFrame:
+    """Fold the epoch×day sketch files into per-day sketches (one
+    ``hll_union_agg`` groupBy over KB-sized inputs), then answer sliding
+    ``window_days`` reach per day via the bounded range join — the
+    read side of :func:`streaming_hll_daily_sink`.
+
+    Output: window_end date, est_reach double."""
+    daily = (
+        spark.read.parquet(out_dir)
+        .groupBy("d")
+        .agg(F.hll_union_agg("sk", F.lit(True)).alias("sk"))
+    )
+    days = daily.select(F.col("d").alias("window_end"))
+    return (
+        days.join(
+            F.broadcast(daily),
+            (F.col("d") <= F.col("window_end"))
+            & (F.col("d") > F.date_sub(F.col("window_end"), window_days)),
+        )
+        .groupBy("window_end")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias(
+                "est_reach"
+            )
+        )
+    )
+
+
 def streaming_user_lifetime_stats(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -331,3 +331,69 @@ def test_transform_with_state_lifetime_equals_batch(spark, events_batch, tmp_pat
     for uid, (n, v) in expected.items():
         assert final[uid][0] == n, uid
         assert abs(final[uid][1] - v) < 1e-6, uid
+
+
+def test_streaming_hll_reach_equals_batch_estimate(spark, tmp_path):
+    """Incremental reach maintenance: stream events in micro-batches
+    through the per-day HLL sink, fold epoch×day sketches on read, and
+    the sliding 7-day reach must EQUAL the single-pass batch sketch
+    estimate over the same corpus (HLL union is associative — epoch
+    splits change nothing), and sit within 3σ of the exact reach."""
+    from gemini_data_wrangler_spark.streaming.events import (
+        hll_read_sliding_reach,
+        streaming_hll_daily_sink,
+    )
+
+    events = load_sf_tables(spark, SF_SMALL)["events"]
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "hll"), str(tmp_path / "ckpt")
+    q = streaming_hll_daily_sink(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["window_end"]: r["est_reach"]
+        for r in hll_read_sliding_reach(spark, out).collect()
+    }
+    # Batch single-pass sketches over the same data → identical estimates.
+    daily = events.select(F.to_date("ts").alias("d"), "user_id").groupBy("d").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    days = daily.select(F.col("d").alias("window_end"))
+    batch = {
+        r["window_end"]: r["est_reach"]
+        for r in days.join(
+            F.broadcast(daily),
+            (F.col("d") <= F.col("window_end"))
+            & (F.col("d") > F.date_sub(F.col("window_end"), 7)),
+        )
+        .groupBy("window_end")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias(
+                "est_reach"
+            )
+        )
+        .collect()
+    }
+    assert got == batch
+    # Exactness check: within 3σ (rse ≈ 1.04/√2^14 ≈ 0.81%) of true reach.
+    ud = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    exact = {
+        r["window_end"]: r["n"]
+        for r in days.join(
+            ud,
+            (F.col("d") <= F.col("window_end"))
+            & (F.col("d") > F.date_sub(F.col("window_end"), 7)),
+        )
+        .groupBy("window_end")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    rse = 1.04 / 2 ** 7
+    for d, est in got.items():
+        assert abs(est - exact[d]) <= 3 * rse * exact[d] + 1
