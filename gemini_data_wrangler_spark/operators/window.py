@@ -102,3 +102,60 @@ def compile_window_stage(stage: Stage, df: DataFrame) -> DataFrame:
             raise ValueError(f"Unsupported window function: {name}")
         out = out.withColumn(alias, col)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed global ranking (two-level: block-local rank + block carry)
+# ---------------------------------------------------------------------------
+def two_level_rank(
+    df: DataFrame,
+    key: Column,
+    tiebreaks: list[Column],
+    block: Column,
+    out_col: str = "_grank",
+) -> DataFrame:
+    """Dense global row_number over (key, *tiebreaks) WITHOUT a
+    single-partition window: ``block`` must be an order-preserving
+    coarsening of ``key`` (e.g. ``key >> 24`` or ``key div 64``) — every
+    row of a lower block sorts before every row of a higher block, so
+
+      global_rank = (# rows in lower blocks) + within-block row_number.
+
+    The within-block window is hash-partitioned on the block (distributed);
+    the carry prefix runs over the per-block count table (metadata-sized).
+    Same shape as `pack_sequences` / `ops_watermark_sizing`'s prefix sums.
+
+    Returns ``df`` with ``out_col`` added (cols ``_blk`` consumed).
+    """
+    base = df.withColumn("_blk", block).withColumn("_key", key)
+    w_in = Window.partitionBy("_blk").orderBy(F.col("_key"), *tiebreaks)
+    within = base.withColumn("_wrank", F.row_number().over(w_in))
+    counts = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
+    w_blocks = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = counts.select(
+        "_blk", F.coalesce(F.sum("_bn").over(w_blocks), F.lit(0)).alias("_carry")
+    )
+    return (
+        within.join(F.broadcast(carry), "_blk")
+        .withColumn(out_col, F.col("_carry") + F.col("_wrank"))
+        .drop("_blk", "_key", "_wrank", "_carry")
+    )
+
+
+def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
+    """SQL ntile(k) bucket from a 1-based global rank: the first
+    ``n_rows mod k`` buckets hold ``ceil(n/k)`` rows, the rest floor —
+    exactly the standard ntile split, computable row-locally once the
+    global rank exists. Pure bigint arithmetic (div), no doubles."""
+    n = n_rows.cast("long")
+    sm = F.floor(n / k).cast("long")  # floor bucket size
+    big = sm + 1  # first (n mod k) buckets get one extra row
+    r = n % k
+    boundary = r * big
+    in_big = F.floor((rank - 1) / big).cast("long")
+    in_small = F.floor((rank - boundary - 1) / sm).cast("long")
+    return (
+        F.when(rank <= boundary, in_big + 1)
+        .otherwise(r + in_small + 1)
+        .cast("int")
+    )

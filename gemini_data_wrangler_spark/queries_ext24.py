@@ -81,8 +81,17 @@ def layout_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max zone. Tight 2-D zones are the point: a predicate on EITHER
     column prunes most files, which a single-column sort only gives for
     its leading column. The interleave is a JVM-side aggregate over 16
-    bit positions — no UDF; the sort is the one shuffle a clustered
-    write performs anyway."""
+    bit positions — no UDF. File assignment needs a GLOBAL rank over the
+    Morton order; a bare ntile window would single-partition every row,
+    so the rank is the two-level shape (`two_level_rank`: block-local
+    row_number partitioned on the high Morton bits + a carry prefix over
+    the tiny per-block count table) and the exact ntile split is derived
+    row-locally from it."""
+    from gemini_data_wrangler_spark.operators.window import (
+        ntile_from_rank,
+        two_level_rank,
+    )
+
     orders = _table(spark, sf_dir, "orders")
     keyed = orders.select(
         "o_orderkey",
@@ -99,8 +108,17 @@ def layout_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + shiftleft(shiftright(dy, i) & 1, 2*i + 1))"
         ),
     )
-    filed = z.withColumn(
-        "file_id", F.ntile(_Z_FILES).over(Window.orderBy("zval", "o_orderkey"))
+    ranked = two_level_rank(
+        z,
+        key=F.col("zval"),
+        tiebreaks=[F.col("o_orderkey")],
+        block=F.shiftright(F.col("zval"), 24),
+    )
+    n_rows = ranked.crossJoin(
+        F.broadcast(z.agg(F.count(F.lit(1)).alias("_n")))
+    )
+    filed = n_rows.withColumn(
+        "file_id", ntile_from_rank(F.col("_grank"), F.col("_n"), _Z_FILES)
     )
     return filed.groupBy("file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -113,9 +113,14 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the GLOBAL value at its within-source quantile, so every source ends
     up with the same marginal distribution — the batch-effect correction
     for mixing corpora whose length/quality scales differ. Per-source
-    percent_rank (window), global row_number (window), equi-join on the
-    computed rank index. The global ranking is the scale limiter: at
-    100 TB swap it for equi-depth histogram boundaries + interpolation."""
+    percent_rank (per-source window), global ranking, equi-join on the
+    computed rank index. The global ranking runs as the two-level shape
+    (`two_level_rank`: block-local row_number on a value-bucket + carry
+    prefix over the tiny per-block counts) — never a single-partition
+    window over the corpus; at 100 TB the rank table can further drop to
+    equi-depth histogram boundaries + interpolation."""
+    from gemini_data_wrangler_spark.operators.window import two_level_rank
+
     docs = _table(spark, sf_dir, "documents")
     n_docs = docs.count()
     ranked = docs.select(
@@ -126,10 +131,13 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
         .alias("q"),
     )
-    glob = docs.select(
-        F.col("n_chars").alias("g_val"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("rn"),
-    )
+    glob = two_level_rank(
+        docs.select(F.col("n_chars").alias("g_val"), "doc_id"),
+        key=F.col("g_val"),
+        tiebreaks=[F.col("doc_id")],
+        block=F.expr("g_val div 64"),
+        out_col="rn",
+    ).select("g_val", "rn")
     target = (F.round(F.col("q") * (n_docs - 1)).cast("bigint") + 1).alias("rn")
     return (
         ranked.withColumn("rn", target)

@@ -107,3 +107,39 @@ def test_containment_bounded_and_asymmetric(spark):
         if (k[1], k[0]) in seen and abs(c - seen[(k[1], k[0])]) > 1e-9
     ]
     assert asym
+
+
+def test_two_level_rank_equals_global_window(spark):
+    """The distributed two-level rank must equal a naive global
+    row_number for every row, and the derived ntile must equal SQL
+    ntile — on an adversarial size (not divisible by k, duplicate keys)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gemini_data_wrangler_spark.operators.window import (
+        ntile_from_rank,
+        two_level_rank,
+    )
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    orders = load_sf_tables(spark, SF_ORACLE)["orders"].select(
+        "o_orderkey", (F.col("o_custkey") % 97).alias("k")
+    )
+    got = {
+        r["o_orderkey"]: (r["_grank"], r["nt"])
+        for r in two_level_rank(
+            orders, key=F.col("k"), tiebreaks=[F.col("o_orderkey")],
+            block=F.expr("k div 8"),
+        )
+        .crossJoin(F.broadcast(orders.agg(F.count(F.lit(1)).alias("_n"))))
+        .withColumn("nt", ntile_from_rank(F.col("_grank"), F.col("_n"), 7))
+        .collect()
+    }
+    w = Window.orderBy("k", "o_orderkey")
+    naive = {
+        r["o_orderkey"]: (r["rn"], r["nt"])
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .withColumn("nt", F.ntile(7).over(w))
+        .collect()
+    }
+    assert got == naive
