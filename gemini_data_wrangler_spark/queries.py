@@ -73,6 +73,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext29,
         queries_ext30,
         queries_ext31,
+        queries_ext32,
         queries_tpch,
     )
 
