@@ -74,6 +74,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext30,
         queries_ext31,
         queries_ext32,
+        queries_ext33,
         queries_tpch,
     )
 

@@ -1,0 +1,113 @@
+"""Round-2 extensions, batch 33: full-content image decode (channel
+statistics from inflated pixel data) and k-core graph peeling.
+
+Scale notes:
+- IMAGE CHANNEL STATS: the decoder inflates IDAT and de-filters every
+  scanline (all five PNG filter types) inside the same Arrow
+  ``mapInPandas`` shape as the other decoders — pixel work parallelism
+  = partition count, bounded batch memory. The oracle re-derives the
+  channel means arithmetically from the synthesis schedule, so a
+  decoder that misreads filters or strides hash-mismatches.
+- K-CORE: degree-peeling rounds over the fixed-budget supplier co-order
+  graph (`operators/graphs.py::k_core`); rows-only by contract
+  (unbounded-iteration fixpoint), equality-tested against a pure-Python
+  peeling reference, with the defining invariant (every survivor's
+  in-core degree ≥ k) asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.queries import register
+from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_sf_tables(spark, sf_dir)[name]
+
+
+# ---------------------------------------------------------------------------
+# Full-content image decode: per-channel pixel means
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_image_channel_stats",
+    """
+    WITH img AS (
+      SELECT doc_id,
+             1 + CAST(doc_id % 64 AS INT) AS width,
+             1 + CAST((doc_id // 64) % 64 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id % 97 <> 0
+    )
+    SELECT doc_id AS asset_id, width, height,
+           round((height - 1) / 2.0, 6) AS mean_r,
+           CAST(0.0 AS DOUBLE) AS mean_g,
+           round(255 - (height - 1) / 2.0, 6) AS mean_b
+    FROM img
+    """,
+)
+def multimodal_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel pixel means from REAL PNG content decode: inflate the
+    IDAT stream, de-filter scanlines, average R/G/B
+    (operators/multimodal.py::_decode_png_pixels). The synthesizer paints
+    row y as (y, 0, 255−y), so the oracle derives the expected means
+    arithmetically from the (width, height) schedule — matching requires
+    byte-exact pixel reconstruction, not just header parsing. Corrupt
+    payloads drop out (accounting lives in `multimodal_decode`)."""
+    from gemini_data_wrangler_spark.operators.multimodal import (
+        image_channel_stats,
+        synthesize_assets,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    stats = image_channel_stats(synthesize_assets(docs, "doc_id"))
+    return stats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core of the supplier co-order graph
+# ---------------------------------------------------------------------------
+_KCORE_K = 4
+_KCORE_TOPK = 2000
+
+@register("graph_k_core", None)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the supplier co-order graph (same fixed-budget
+    edge list as `graph_triangle_count`): iterative degree peeling until
+    every surviving supplier has ≥ {_KCORE_K} in-core co-order partners
+    — the dense backbone community detection and fraud-ring analysis
+    start from. Rows-only (unbounded-iteration fixpoint has no one-shot
+    SQL oracle); `tests/test_ext33.py` asserts equality with an
+    independent pure-Python peeling and the core-degree invariant."""
+    from pyspark.sql import Window
+
+    from gemini_data_wrangler_spark.operators.graphs import k_core
+
+    li = (
+        _table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("sa").asc(), F.col("sb").asc())
+    edges = (
+        co.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _KCORE_TOPK)
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    return k_core(edges, _KCORE_K)
