@@ -75,6 +75,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext31,
         queries_ext32,
         queries_ext33,
+        queries_ext34,
         queries_tpch,
     )
 
