@@ -76,6 +76,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext32,
         queries_ext33,
         queries_ext34,
+        queries_ext35,
         queries_tpch,
     )
 
