@@ -98,24 +98,35 @@ def _wav_bytes(sample_rate: int, n_samples: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-# LZW stream for a single palette-index-0 pixel at min code size 2:
-# clear(4), 0, EOI(5) packed LSB-first = 0x44 0x01.
-_GIF_PIXEL_FRAME = (
-    b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"  # image descriptor
-    + b"\x02" + b"\x02\x44\x01" + b"\x00"  # LZW min size + data sub-block
-)
+# LZW streams for a single pixel at min code size 2: codes are
+# CLEAR(4), <palette index>, EOI(5), packed LSB-first in 3-bit codes:
+# 4 | idx<<3 | 5<<6 → 0x144 (idx 0) / 0x14C (idx 1).
+def _gif_pixel_frame(idx: int) -> bytes:
+    acc = 4 | (idx << 3) | (5 << 6)
+    return (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"  # image descriptor
+        + b"\x02"  # LZW min code size
+        + bytes([2, acc & 0xFF, acc >> 8])  # one 2-byte data sub-block
+        + b"\x00"  # block terminator
+    )
+
+
+_GIF_PIXEL_FRAME = _gif_pixel_frame(0)  # kept for fixture compatibility
 
 
 def _gif_bytes(w: int, h: int, n_frames: int) -> bytes:
-    """Minimal valid multi-frame GIF89a (each frame one 1×1 image block) —
-    the frame count is real container structure the decoder must walk."""
+    """Minimal valid multi-frame GIF89a — frame count is real container
+    structure, and frame i's single pixel carries palette index i%2
+    (black/white), so a CONTENT decoder (LZW inflate + palette lookup)
+    recovers a known per-frame luminance schedule, not just counts."""
     header = (
         b"GIF89a"
         + struct.pack("<HH", w, h)
         + bytes([0x80, 0, 0])  # global color table flag, 2 entries
         + b"\x00\x00\x00\xff\xff\xff"
     )
-    return header + _GIF_PIXEL_FRAME * n_frames + b"\x3b"
+    body = b"".join(_gif_pixel_frame(i % 2) for i in range(n_frames))
+    return header + body + b"\x3b"
 
 
 def synth_params(asset_id: int) -> dict:
@@ -381,6 +392,146 @@ def image_channel_stats(assets: DataFrame) -> DataFrame:
             "asset_id bigint, width int, height int, "
             "mean_r double, mean_g double, mean_b double",
         )
+    )
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> Optional[list]:
+    """General GIF-flavor LZW decode (variable code width, CLEAR resets,
+    EOI, KwKwK case) → list of palette indices. Public GIF89a spec §22."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list = []
+    table: list = []
+    code_size = prev = None
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [[i] for i in range(clear)] + [None, None]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    return None
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(table[prev] + [entry[0]])
+            elif code == len(table):  # KwKwK
+                entry = table[prev] + [table[prev][0]]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            prev = code
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _decode_gif_frames(b: bytes) -> Optional[list]:
+    """Content decode of every GIF frame: block walk + LZW inflate +
+    global-palette lookup → per-frame mean luminance (mean of the RGB
+    means over the frame's pixels). Returns a list of dicts or None."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = b[10]
+    pos = 13
+    palette = []
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        pal = b[pos : pos + 3 * n_colors]
+        palette = [
+            (pal[i], pal[i + 1], pal[i + 2]) for i in range(0, len(pal), 3)
+        ]
+        pos += 3 * n_colors
+    frames = []
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x3B:
+            break
+        if marker == 0x2C:
+            if pos + 10 > len(b):
+                return None
+            idesc_packed = b[pos + 9]
+            pos += 10
+            local = palette
+            if idesc_packed & 0x80:
+                n_colors = 2 << (idesc_packed & 0x07)
+                pal = b[pos : pos + 3 * n_colors]
+                local = [
+                    (pal[i], pal[i + 1], pal[i + 2])
+                    for i in range(0, len(pal), 3)
+                ]
+                pos += 3 * n_colors
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idxs = _lzw_decode_gif(bytes(data), min_code)
+            if idxs is None or not local:
+                return None
+            lums = [sum(local[i]) / 3.0 for i in idxs if i < len(local)]
+            if not lums:
+                return None
+            frames.append(
+                {"frame_idx": len(frames), "mean_lum": sum(lums) / len(lums)}
+            )
+        elif marker == 0x21:
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        else:
+            return None
+    return frames or None
+
+
+def video_frame_luminance(assets: DataFrame) -> DataFrame:
+    """Per-frame mean luminance from REAL GIF content decode (LZW
+    inflate + palette lookup) — one output row per (asset, frame), the
+    video counterpart of `image_channel_stats`. Same Arrow
+    ``mapInPandas`` shape; corrupt payloads drop out.
+
+    Output: asset_id, frame_idx, mean_lum (double, unrounded)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames = (
+                    _decode_gif_frames(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if frames is None:
+                    continue
+                for fr in frames:
+                    rows.append({"asset_id": asset_id, **fr})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(gen, "asset_id bigint, frame_idx int, mean_lum double")
     )
 
 

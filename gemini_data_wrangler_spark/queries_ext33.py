@@ -73,6 +73,39 @@ def multimodal_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Full-content video decode: per-frame luminance from GIF LZW
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_video_frame_luminance",
+    """
+    WITH v AS (
+      SELECT doc_id, 1 + CAST(doc_id % 24 AS INT) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2 AND doc_id % 97 <> 0
+    )
+    SELECT doc_id AS asset_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(255.0 * (f % 2) AS DOUBLE) AS mean_lum
+    FROM (SELECT doc_id, unnest(range(0, n_frames)) AS f FROM v)
+    """,
+)
+def multimodal_video_frame_luminance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame mean luminance from REAL GIF content decode: the frame
+    walk feeds a general LZW decoder (variable code width, CLEAR/EOI,
+    KwKwK) and a palette lookup (operators/multimodal.py). The
+    synthesizer paints frame i's pixel with palette index i%2
+    (black/white), so the oracle derives the luminance schedule
+    arithmetically — matching requires an actual LZW inflate per frame,
+    the video counterpart of `multimodal_image_channel_stats`."""
+    from gemini_data_wrangler_spark.operators.multimodal import (
+        synthesize_assets,
+        video_frame_luminance,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return video_frame_luminance(synthesize_assets(docs, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # k-core of the supplier co-order graph
 # ---------------------------------------------------------------------------
 _KCORE_K = 4

@@ -175,3 +175,64 @@ def test_k_core_matches_python_reference(spark):
     ref = _python_k_core(edges, 4)
     assert got == ref
     assert got and all(d >= 4 for d in got.values())
+
+
+def test_gif_lzw_decoder_general_stream():
+    """The LZW decoder must handle a real multi-pixel stream with
+    dictionary growth and the KwKwK self-reference, not just the 1-pixel
+    synth frames: encode a known index sequence with a reference GIF-LZW
+    encoder and round-trip it."""
+    from gemini_data_wrangler_spark.operators.multimodal import _lzw_decode_gif
+
+    seq = [0, 1, 0, 1, 0, 1, 1, 1, 0, 0, 0, 1, 0, 1, 0]  # forces new codes
+    min_size = 2
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+
+    # Reference encoder (spec §22): emit CLEAR, then longest-match codes.
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_size + 1
+    codes = [clear]
+    cur = ()
+    sizes = []
+    for s in seq:
+        if cur + (s,) in table:
+            cur = cur + (s,)
+        else:
+            codes.append(table[cur])
+            sizes.append(code_size)
+            table[cur + (s,)] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size):
+                code_size += 1
+            cur = (s,)
+    codes.append(table[cur])
+    sizes.append(code_size)
+    codes.append(eoi)
+    sizes.append(code_size)
+    sizes.insert(0, min_size + 1)  # CLEAR's width
+    acc = nbits = 0
+    out = bytearray()
+    for c, w in zip(codes, sizes):
+        acc |= c << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    assert _lzw_decode_gif(bytes(out), min_size) == seq
+
+
+def test_video_frame_luminance_alternates(spark):
+    rows = _q("multimodal_video_frame_luminance")(spark, SF_ORACLE).collect()
+    assert rows
+    by_asset: dict = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append((r["frame_idx"], r["mean_lum"]))
+    for aid, frames in by_asset.items():
+        frames.sort()
+        assert [f[0] for f in frames] == list(range(len(frames)))
+        for idx, lum in frames:
+            assert lum == 255.0 * (idx % 2)
