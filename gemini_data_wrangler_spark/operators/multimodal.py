@@ -83,8 +83,12 @@ def _png_bytes(w: int, h: int) -> bytes:
 
 
 def _wav_bytes(sample_rate: int, n_samples: int) -> bytes:
-    """Minimal valid RIFF/WAVE, 16-bit mono PCM silence."""
-    data = b"\x00\x00" * n_samples
+    """Minimal valid RIFF/WAVE, 16-bit mono PCM. Samples follow a
+    deterministic sawtooth (sᵢ = (i·1103 mod 2001) − 1000) so a CONTENT
+    decoder recovers a known RMS schedule, not just header fields."""
+    data = b"".join(
+        struct.pack("<h", (i * 1103) % 2001 - 1000) for i in range(n_samples)
+    )
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = (
         b"WAVE"
@@ -600,6 +604,78 @@ def audio_duration(assets: DataFrame) -> DataFrame:
     return parsed.withColumn(
         "duration_s",
         F.round(F.col("n_samples").cast("double") / F.col("sample_rate"), 6),
+    )
+
+
+def _decode_wav_samples(b: bytes) -> Optional[dict]:
+    """Content decode of 16-bit mono PCM: fmt + data chunk walk, then
+    sample statistics (sum of squares → RMS, peak)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = None
+    samples = None
+    pos = 12
+    while pos + 8 <= len(b):
+        tag, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if tag == b"fmt " and pos + 8 + 16 <= len(b):
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", b[pos + 8 : pos + 24]
+            )
+        elif tag == b"data":
+            samples = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None or channels != 1 or bits != 16:
+        return None
+    n = len(samples) // 2
+    if n == 0:
+        return None
+    vals = struct.unpack(f"<{n}h", samples[: 2 * n])
+    ssq = sum(v * v for v in vals)
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "rms": (ssq / n) ** 0.5,
+        "peak": max(abs(v) for v in vals),
+    }
+
+
+def audio_sample_stats(assets: DataFrame) -> DataFrame:
+    """Waveform statistics from REAL PCM decode (data-chunk sample
+    unpack): RMS and peak amplitude per audio asset — the loudness
+    screen an audio-corpus pipeline runs before filtering silence or
+    clipped takes. Same Arrow ``mapInPandas`` shape as the other
+    decoders; corrupt payloads drop out.
+
+    Output: asset_id, n_samples, rms (double, unrounded), peak int."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                meta = (
+                    _decode_wav_samples(bytes(payload))
+                    if payload is not None
+                    else None
+                )
+                if meta is None:
+                    continue
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "n_samples": meta["n_samples"],
+                        "rms": meta["rms"],
+                        "peak": meta["peak"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return (
+        assets.filter(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(
+            gen, "asset_id bigint, n_samples int, rms double, peak int"
+        )
     )
 
 

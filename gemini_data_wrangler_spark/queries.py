@@ -77,6 +77,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext33,
         queries_ext34,
         queries_ext35,
+        queries_ext36,
         queries_tpch,
     )
 
