@@ -78,6 +78,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext34,
         queries_ext35,
         queries_ext36,
+        queries_ext37,
         queries_tpch,
     )
 
