@@ -79,6 +79,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext35,
         queries_ext36,
         queries_ext37,
+        queries_ext38,
         queries_tpch,
     )
 
