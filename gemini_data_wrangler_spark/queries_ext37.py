@@ -75,11 +75,24 @@ def sketch_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = _table(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=5, threshold=_MH_THRESHOLD
-    ).select("doc_a", "doc_b", "jaccard")
+    ).select("doc_a", "doc_b", "jaccard").persist()
+    # Signatures are only needed for pair PARTICIPANTS — a tiny fraction
+    # of the corpus; the k min-aggregates run over that semi-joined
+    # subset, not every document (3× the suite's next-heaviest query
+    # when computed corpus-wide at sf0.1).
+    participants = (
+        exact.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(exact.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     sigs = minhash_signatures(
-        with_shingles(docs.select("doc_id", "text"), "text", 5).select(
-            "doc_id", "_shingles"
-        ),
+        with_shingles(
+            docs.join(participants, "doc_id", "left_semi").select(
+                "doc_id", "text"
+            ),
+            "text",
+            5,
+        ).select("doc_id", "_shingles"),
         "doc_id",
         num_perm=_MH_K,
     )
