@@ -80,6 +80,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext36,
         queries_ext37,
         queries_ext38,
+        queries_ext39,
         queries_tpch,
     )
 
