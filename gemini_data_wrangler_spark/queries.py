@@ -81,6 +81,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext37,
         queries_ext38,
         queries_ext39,
+        queries_ext40,
         queries_tpch,
     )
 
