@@ -82,6 +82,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext38,
         queries_ext39,
         queries_ext40,
+        queries_ext41,
         queries_tpch,
     )
 

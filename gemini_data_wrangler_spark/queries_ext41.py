@@ -1,0 +1,154 @@
+"""Round-2 extensions, batch 41: forecast backtesting and the
+compression-ratio quality signal.
+
+Scale notes:
+- BACKTEST: the honest evaluation loop for `forecast_holt_linear` —
+  one-step-ahead errors come from lagging the fold's forecast against
+  the next observation (one extra window over the per-day table), then
+  one aggregate for MAPE/RMSE. No refitting per origin: the fold's
+  prefix property IS the rolling origin.
+- COMPRESSION SIGNAL: deflate ratio per document — the classic
+  repetition/boilerplate screen (templated text compresses far below
+  natural prose). zlib runs in the same Arrow ``mapInPandas`` shape as
+  the decoders (content work, Python-side by necessity); rows-only by
+  contract (no SQL deflate), pinned by an exact-equality test against
+  direct zlib on the same bytes and by the repetition cross-check.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.queries import register
+from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_sf_tables(spark, sf_dir)[name]
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin backtest of the Holt forecast
+# ---------------------------------------------------------------------------
+_HOLT_A, _HOLT_B = 0.3, 0.1  # must match forecast_holt_linear
+
+@register(
+    "forecast_holt_backtest",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             round(sum(value), 6) AS total
+      FROM events GROUP BY 1
+    ), folded AS (
+      SELECT d, total,
+             list_reduce(
+               list_transform(
+                 list(total) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW),
+                 x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)]),
+               (acc, x) -> [
+                 CAST({_HOLT_A} AS DOUBLE) * x[1]
+                   + CAST({1 - _HOLT_A} AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST({_HOLT_B} AS DOUBLE)
+                   * ((CAST({_HOLT_A} AS DOUBLE) * x[1]
+                       + CAST({1 - _HOLT_A} AS DOUBLE) * (acc[1] + acc[2]))
+                      - acc[1])
+                   + CAST({1 - _HOLT_B} AS DOUBLE) * acc[2]
+               ]
+             ) AS s
+      FROM daily
+    ), joined AS (
+      SELECT d, total,
+             lag(s[1] + s[2]) OVER (ORDER BY d) AS forecast
+      FROM folded
+    )
+    SELECT count(*) AS n_evaluated,
+           round(avg(abs(total - forecast) / total), 6) AS mape,
+           round(sqrt(avg(power(total - forecast, 2))), 6) AS rmse
+    FROM joined WHERE forecast IS NOT NULL
+    """,
+)
+def forecast_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the Holt forecast: each day's
+    prediction is the PREVIOUS day's level+trend (no peeking — the
+    fold's prefix property gives every origin's fit for free), scored
+    as MAPE and RMSE against the realized totals. The evaluation every
+    capacity forecast needs before anyone trusts it; one lag window
+    over the per-day table plus one aggregate."""
+    events = _table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.round(F.sum("value"), 6).alias("total"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    a, b = _HOLT_A, _HOLT_B
+    fold = F.expr(
+        "aggregate("
+        " slice(_l, 2, greatest(size(_l) - 1, 0)),"
+        " array(element_at(_l, 1), 0.0D),"
+        f" (acc, x) -> array("
+        f"   {a}D * x + {1 - a}D * (element_at(acc, 1) + element_at(acc, 2)),"
+        f"   {b}D * (({a}D * x + {1 - a}D * (element_at(acc, 1) + element_at(acc, 2)))"
+        f"           - element_at(acc, 1))"
+        f"     + {1 - b}D * element_at(acc, 2)))"
+    )
+    folded = daily.withColumn("_l", F.collect_list("total").over(w)).withColumn(
+        "_s", fold
+    )
+    w_lag = Window.orderBy("d")
+    joined = folded.withColumn(
+        "forecast",
+        F.lag(F.element_at("_s", 1) + F.element_at("_s", 2)).over(w_lag),
+    ).filter(F.col("forecast").isNotNull())
+    err = F.col("total") - F.col("forecast")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_evaluated"),
+        F.round(F.avg(F.abs(err) / F.col("total")), 6).alias("mape"),
+        F.round(F.sqrt(F.avg(F.pow(err, 2))), 6).alias("rmse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (rows-only: no SQL deflate)
+# ---------------------------------------------------------------------------
+@register("text_compression_signal", None)
+def text_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate compression ratio per document (zlib level 6 over utf-8
+    bytes): templated/repetitive text compresses far below natural
+    prose, making the ratio a cheap standalone quality screen (the
+    information-theoretic cousin of `text_repetition_stats`, which
+    tests cross-check it against). Arrow-batched ``mapInPandas`` —
+    content work like the media decoders; rows-only by contract (no
+    SQL deflate), pinned by exact equality with direct zlib in tests.
+
+    Output: doc_id, raw_bytes, compressed_bytes, ratio (round 6)."""
+    import zlib
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": [len(b) for b in raw],
+                    "compressed_bytes": comp,
+                }
+            )
+
+    out = docs.mapInPandas(
+        gen, "doc_id bigint, raw_bytes int, compressed_bytes int"
+    )
+    return out.withColumn(
+        "ratio",
+        F.round(
+            F.col("compressed_bytes")
+            / F.greatest(F.col("raw_bytes"), F.lit(1)).cast("double"),
+            6,
+        ),
+    )
