@@ -354,6 +354,13 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram containment pairs (asymmetric near-dup: A mostly inside B)
 # ---------------------------------------------------------------------------
 _CONTAIN_MIN = 0.6
+# Shingles present in more than this many documents are boilerplate: they
+# only inflate inverted-index fan-out (the 10× crawl-clone measurement in
+# SCALE.md shows the blowup) and a containment signal built on them says
+# "shares the template", not "is contained". Both engines apply the SAME
+# cap, and the denominator counts only KEPT shingles, so containment = 1
+# stays reachable.
+_CONTAIN_DF_CAP = 50
 
 @register(
     "text_containment_pairs",
@@ -361,13 +368,17 @@ _CONTAIN_MIN = 0.6
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
       FROM documents
-    ), shingles AS (
+    ), all_sh AS (
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
         FROM toks WHERE len(t) >= 3
       )
+    ), kept AS (
+      SELECT sh FROM all_sh GROUP BY sh HAVING count(*) <= {_CONTAIN_DF_CAP}
+    ), shingles AS (
+      SELECT a.doc_id, a.sh FROM all_sh a JOIN kept USING (sh)
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
     ), shared AS (
@@ -385,14 +396,14 @@ _CONTAIN_MIN = 0.6
 )
 def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment: fraction of doc A's distinct 3-gram
-    shingles that also occur in doc B — the near-dup signal Jaccard
-    misses when a short document is embedded inside a long one (quote
-    farms, boilerplate wrappers, chunk/parent leaks). Inverted-index
-    self-join on shingles (equi-join, never all-pairs) → shared counts
-    per ordered pair → divide by the contained side's shingle count. At
-    100 TB, cap shingle document frequency first (high-df shingles are
-    boilerplate that only inflates candidate fan-out), then verify — the
-    same rarity pruning `dedup_ngram_jaccard` applies."""
+    shingles (among those kept by the df ≤ {_CONTAIN_DF_CAP} boilerplate
+    cap) that also occur in doc B — the near-dup signal Jaccard misses
+    when a short document is embedded inside a long one (quote farms,
+    boilerplate wrappers, chunk/parent leaks). Inverted-index self-join
+    on the KEPT shingles (equi-join, never all-pairs; the df cap bounds
+    fan-out per shingle — SCALE.md's 10× crawl-clone run shows why) →
+    shared counts per ordered pair → divide by the contained side's kept
+    shingle count."""
     docs = _table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
@@ -407,6 +418,13 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     ).distinct()
+    kept = (
+        shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= _CONTAIN_DF_CAP)
+        .select("sh")
+    )
+    shingles = shingles.join(kept, "sh", "left_semi")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
