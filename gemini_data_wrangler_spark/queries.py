@@ -83,6 +83,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext39,
         queries_ext40,
         queries_ext41,
+        queries_ext42,
         queries_tpch,
     )
 
