@@ -229,7 +229,16 @@ def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays the same; an unblocked fuzzy join is quadratic and not shippable.
     """
     cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
-    a = cust.select(
+    # The verify stage is O(|block|²) compute against an O(n) scan: spread
+    # the probe side across the cluster BEFORE the broadcast join, or a
+    # one-file/one-split input serializes every levenshtein onto one task.
+    # The partition count is pinned explicitly — the probe rows are tiny
+    # (bytes) but each carries quadratic downstream work, so AQE's
+    # size-based coalescing would fold them back into one partition (it
+    # honors an explicit repartition count). One linear shuffle buys
+    # cluster-wide parallelism for the quadratic verify.
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    a = cust.repartition(n_parts, F.col("c_custkey")).select(
         F.col("c_custkey").alias("cust_a"),
         F.col("c_name").alias("_na"),
         F.col("c_nationkey").alias("_nk"),
