@@ -84,6 +84,8 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext40,
         queries_ext41,
         queries_ext42,
+        queries_ext43,
+        queries_ext44,
         queries_tpch,
     )
 
