@@ -49,6 +49,9 @@ engines and passes through untouched.
 | ``a ^ b`` (DuckDB POWER)           | refused → explicit error (Spark ``^`` is XOR) |
 | ``t1 POSITIONAL JOIN t2``          | unsupported → explicit error |
 | ``str[i:j]`` slicing               | unsupported → explicit error |
+| ``SELECT DISTINCT ON (k) ...``     | row_number window wrapper (requires ORDER BY for determinism → else error) |
+| ``USING SAMPLE n% / n ROWS``       | ``TABLESAMPLE (n PERCENT / n ROWS)`` (+ ``REPEATABLE(seed)``; reservoir/bernoulli/system methods accepted) |
+| ``ASOF [LEFT] JOIN``               | refused → explicit error (use the native as-of operator; textual rewrite cannot preserve semantics for arbitrary projections) |
 """
 
 from __future__ import annotations
@@ -166,6 +169,106 @@ def _rewrite_qualify(sql: str) -> str:
         f"(SELECT *, ({pred}) AS __qualify FROM ({head})) WHERE __qualify"
         + (f" {trailer}" if trailer else "")
     )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT ON
+# ---------------------------------------------------------------------------
+_DISTINCT_ON_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_LIMIT_RE = re.compile(r"\bLIMIT\b", re.IGNORECASE)
+_ASC_DESC_RE = re.compile(
+    r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$", re.IGNORECASE
+)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (k...) proj FROM ... ORDER BY o... [LIMIT n]`` →
+
+    ``SELECT proj FROM (SELECT *, row_number() OVER (PARTITION BY k...
+    ORDER BY o...) AS __don FROM ...) WHERE __don = 1 [ORDER BY o...]
+    [LIMIT n]``
+
+    DuckDB keeps the FIRST row of each key group under the query's ORDER
+    BY — exactly a row_number = 1 filter. Without an ORDER BY the DuckDB
+    result is nondeterministic, so the rewrite refuses instead of baking
+    in an arbitrary row. The outer ORDER BY re-sorts the survivors (its
+    columns resolve against the subquery's ``SELECT *``), preserving the
+    row SET under a trailing LIMIT."""
+    m = _DISTINCT_ON_RE.search(sql)
+    if m is None:
+        return sql
+    open_idx = sql.index("(", m.start())
+    close_idx = _find_matching(sql, open_idx, "(", ")")
+    keys = sql[open_idx + 1 : close_idx].strip()
+    rest = sql[close_idx + 1 :]
+    fm = _top_level_matches(rest, _FROM_RE)
+    if not fm:
+        return sql
+    proj = rest[: fm[0].start()].strip()
+    body = rest[fm[0].start() :]
+    om = _top_level_matches(body, _ORDER_BY_RE)
+    if not om:
+        raise ValueError(
+            "DISTINCT ON without ORDER BY is nondeterministic in DuckDB; "
+            "add an ORDER BY (keys first, then the tie-break) so the "
+            "row_number rewrite picks a defined row"
+        )
+    order_tail = body[om[-1].end() :]
+    body_wo_order = body[: om[-1].start()].rstrip()
+    lm = _top_level_matches(order_tail, _LIMIT_RE)
+    limit_clause = ""
+    if lm:
+        limit_clause = " " + order_tail[lm[0].start() :].strip().rstrip(";")
+        order_tail = order_tail[: lm[0].start()]
+    order_exprs = order_tail.strip().rstrip(";")
+    return (
+        f"SELECT {proj} FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {order_exprs}) AS __don "
+        f"{body_wo_order}) WHERE __don = 1 "
+        f"ORDER BY {order_exprs}{limit_clause}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# USING SAMPLE → TABLESAMPLE
+# ---------------------------------------------------------------------------
+_USING_SAMPLE_RE = re.compile(
+    r"\bUSING\s+SAMPLE\s+"
+    r"(?:(?P<method>reservoir|bernoulli|system)\s*\(\s*)?"
+    r"(?P<num>\d+(?:\.\d+)?)\s*"
+    r"(?P<unit>%|PERCENT|ROWS)?\s*"
+    r"(?(method)\))"
+    r"(?:\s*REPEATABLE\s*\(\s*(?P<seed>\d+)\s*\))?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_using_sample(sql: str) -> str:
+    """DuckDB ``USING SAMPLE 10%`` / ``USING SAMPLE reservoir(100 ROWS)``
+    → Spark ``TABLESAMPLE (10 PERCENT)`` / ``TABLESAMPLE (100 ROWS)``,
+    carrying ``REPEATABLE(seed)``. Caveat (documented, not silent): the
+    ROWS form is an exact-count sample in both engines but Spark takes
+    the first n rows of the scan rather than a uniform reservoir — use
+    the PERCENT form (Bernoulli in both) when uniformity matters."""
+
+    def sub(m: re.Match) -> str:
+        unit = (m.group("unit") or "%").upper()
+        spec = (
+            f"{m.group('num')} ROWS"
+            if unit == "ROWS"
+            else f"{m.group('num')} PERCENT"
+        )
+        out = f"TABLESAMPLE ({spec})"
+        if m.group("seed"):
+            out += f" REPEATABLE ({m.group('seed')})"
+        return out
+
+    return _USING_SAMPLE_RE.sub(sub, sql)
+
+
+_ASOF_RE = re.compile(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", re.IGNORECASE)
 
 
 # ---------------------------------------------------------------------------
@@ -554,6 +657,15 @@ def duckdb_to_spark_sql(sql: str) -> str:
             "POSITIONAL JOIN has no Spark equivalent; zip frames with a "
             "row_number window + equi-join instead"
         )
+    if _ASOF_RE.search(sql):
+        raise ValueError(
+            "ASOF JOIN cannot be rewritten textually without changing "
+            "column scoping for arbitrary projections; use the engine's "
+            "as-of operator (operators: asof_join / nearest-event join — "
+            "see `asof_purchase_last_click`) or spell the window form: "
+            "equi+range join, then QUALIFY row_number() OVER (PARTITION BY "
+            "<left key> ORDER BY <right ts> DESC) = 1"
+        )
     if _RECURSIVE_UNNEST_RE.search(sql):
         raise ValueError(
             "unnest(..., recursive := true) has no Spark equivalent; "
@@ -616,6 +728,8 @@ def duckdb_to_spark_sql(sql: str) -> str:
             else f"unix_millis(cast({arg} as timestamp))"
         ),
     )
+    masked = _rewrite_distinct_on(masked)
+    masked = _rewrite_using_sample(masked)
     out = _rewrite_qualify(masked)
     out = _EXCLUDE_RE.sub(lambda m: f"{m.group(1)}EXCEPT{m.group(2)}", out)
     out = _rewrite_from_series(out)

@@ -210,6 +210,24 @@ BANK = [
         FROM nation
         """,
     ),
+    (
+        "distinct_on_latest_order",
+        """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey < 300
+        ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+        """,
+    ),
+    (
+        "distinct_on_with_limit",
+        """
+        SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey
+        FROM orders
+        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+        LIMIT 2
+        """,
+    ),
 ]
 
 
@@ -248,6 +266,32 @@ def test_unsupported_constructs_raise():
         duckdb_to_spark_sql("SELECT string_split(s, sep_col) FROM t")
     with pytest.raises(ValueError, match="list_aggregate"):
         duckdb_to_spark_sql("SELECT list_aggregate(l, 'string_agg') FROM t")
+    with pytest.raises(ValueError, match="ASOF"):
+        duckdb_to_spark_sql(
+            "SELECT * FROM trades t ASOF JOIN quotes q ON t.ts >= q.ts"
+        )
+    with pytest.raises(ValueError, match="DISTINCT ON"):
+        duckdb_to_spark_sql("SELECT DISTINCT ON (k) k, v FROM t")
+
+
+def test_using_sample_rewrites(spark):
+    """USING SAMPLE forms become TABLESAMPLE; percent form with a seed is
+    reproducible, rows form is exact-count."""
+    out = duckdb_to_spark_sql(
+        "SELECT count(*) AS n FROM orders USING SAMPLE 10% REPEATABLE (42)"
+    )
+    assert "TABLESAMPLE (10 PERCENT) REPEATABLE (42)" in out
+    n1 = spark.sql(out).collect()[0]["n"]
+    n2 = spark.sql(out).collect()[0]["n"]
+    assert n1 == n2  # seeded -> reproducible
+    total = spark.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    assert 0 < n1 < total
+
+    out_rows = duckdb_to_spark_sql(
+        "SELECT count(*) AS n FROM orders USING SAMPLE reservoir(50 ROWS)"
+    )
+    assert "TABLESAMPLE (50 ROWS)" in out_rows
+    assert spark.sql(out_rows).collect()[0]["n"] == 50
 
 
 def test_strings_and_subscripts_untouched():
