@@ -86,6 +86,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext42,
         queries_ext43,
         queries_ext44,
+        queries_ext45,
         queries_tpch,
     )
 
