@@ -87,6 +87,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext43,
         queries_ext44,
         queries_ext45,
+        queries_ext46,
         queries_tpch,
     )
 
