@@ -88,6 +88,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext44,
         queries_ext45,
         queries_ext46,
+        queries_ext47,
         queries_tpch,
     )
 
