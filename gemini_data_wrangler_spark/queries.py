@@ -89,6 +89,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext45,
         queries_ext46,
         queries_ext47,
+        queries_ext48,
         queries_tpch,
     )
 
