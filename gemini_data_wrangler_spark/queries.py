@@ -90,6 +90,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext46,
         queries_ext47,
         queries_ext48,
+        queries_ext49,
         queries_tpch,
     )
 
