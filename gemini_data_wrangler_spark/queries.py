@@ -91,6 +91,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext47,
         queries_ext48,
         queries_ext49,
+        queries_ext50,
         queries_tpch,
     )
 
