@@ -92,6 +92,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext48,
         queries_ext49,
         queries_ext50,
+        queries_ext51,
         queries_tpch,
     )
 
