@@ -93,6 +93,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext49,
         queries_ext50,
         queries_ext51,
+        queries_ext52,
         queries_tpch,
     )
 
