@@ -94,6 +94,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext50,
         queries_ext51,
         queries_ext52,
+        queries_ext53,
         queries_tpch,
     )
 
