@@ -95,6 +95,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext51,
         queries_ext52,
         queries_ext53,
+        queries_ext54,
         queries_tpch,
     )
 
