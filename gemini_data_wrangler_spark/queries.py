@@ -96,6 +96,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext52,
         queries_ext53,
         queries_ext54,
+        queries_ext55,
         queries_tpch,
     )
 
