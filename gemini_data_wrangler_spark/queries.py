@@ -97,6 +97,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext53,
         queries_ext54,
         queries_ext55,
+        queries_ext56,
         queries_tpch,
     )
 
