@@ -98,6 +98,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext54,
         queries_ext55,
         queries_ext56,
+        queries_ext57,
         queries_tpch,
     )
 

@@ -1,0 +1,77 @@
+"""Property tests for extension batch 57: sorted-neighborhood, rank
+join, Gini mean difference."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE
+
+
+def _q(name):
+    from gemini_data_wrangler_spark.queries import registry
+
+    return registry()[name][0]
+
+
+def test_sorted_neighborhood_vs_attribute_blocking(spark):
+    sn = _q("er_sorted_neighborhood")(spark, SF_ORACLE).collect()[0]
+    assert sn["n_true_found"] <= sn["n_true"]
+    assert 0.0 <= sn["pairs_completeness"] <= 1.0
+    # n*w candidate bound
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    n = (
+        load_sf_tables(spark, SF_ORACLE)["customer"]
+        .filter("c_custkey <= 4000")
+        .count()
+    )
+    assert sn["n_candidates"] <= n * 4
+    # far fewer candidates than nation blocking
+    eb = _q("er_blocking_quality")(spark, SF_ORACLE).collect()[0]
+    assert sn["n_candidates"] < eb["n_cand"]
+
+
+def test_rank_join_certificate_and_exactness(spark):
+    from pyspark.sql import functions as F
+
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    rows = _q("join_rank_topk_certified")(spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    assert all(r["certified"] for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # exactness: the certified top-1 must equal the true global top-1
+    t = load_sf_tables(spark, SF_ORACLE)
+    true_top = (
+        t["orders"]
+        .crossJoin(t["customer"])
+        .select(
+            F.round(F.col("o_totalprice") + 100 * F.col("c_acctbal"), 6).alias("s")
+        )
+        .agg(F.max("s").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert scores[0] == true_top
+
+
+def test_gini_mean_difference_equals_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    got = {
+        r["grp"]: r for r in _q("agg_gini_mean_difference")(spark, SF_ORACLE).collect()
+    }
+    orders = load_sf_tables(spark, SF_ORACLE)["orders"]
+    # brute force one group
+    grp = sorted(got)[0]
+    xs = [
+        r["o_totalprice"]
+        for r in orders.filter(F.col("o_orderpriority") == grp).collect()
+    ]
+    n = len(xs)
+    brute = sum(abs(a - b) for i, a in enumerate(xs) for b in xs[i + 1 :]) * 2 / (
+        n * (n - 1)
+    )
+    assert got[grp]["n"] == n
+    assert abs(got[grp]["gini_mean_diff"] - brute) / brute < 1e-6
