@@ -453,3 +453,91 @@ def streaming_user_lifetime_stats(
             timeMode="EventTime",
         )
     )
+
+
+def streaming_ewma_anomaly(
+    stream: DataFrame,
+    alpha: float = 0.1,
+    k_sigma: float = 4.0,
+    min_n: int = 30,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming anomaly detector: per event type, an EWMA of the
+    event value and an exponentially-weighted variance, updated in event
+    order; an event is flagged when it lands more than ``k_sigma``·σ away
+    from the PRE-UPDATE mean (after a ``min_n`` warm-up so early noise
+    doesn't alert). The state is three numbers per key — (ewma, ewvar, n)
+    — the bounded-memory recurrence shape that built-in windowed
+    aggregations cannot express (each event's baseline depends on every
+    prior event through the decay, not on a fixed window).
+
+    West (1979)-style EW update: d = v − ewma; incr = alpha·d;
+    ewma += incr; ewvar = (1 − alpha)·(ewvar + d·incr).
+
+    Output (append mode): event_id, event_type, ts, value, baseline,
+    sigma, zscore — flagged events only. State never times out (|types|
+    keys is bounded); for unbounded key spaces pair with an event-time
+    timeout like `streaming_session_stats`.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_id long, event_type string, ts timestamp, value double, "
+        "baseline double, sigma double, zscore double"
+    )
+    state_schema = "ewma double, ewvar double, n long"
+
+    def update(key, pdf_iter, state: GroupState):
+        (etype,) = key
+        rows = []
+        pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        if state.exists:
+            ewma, ewvar, n = state.get
+        else:
+            ewma, ewvar, n = 0.0, 0.0, 0
+        for eid, ts, v in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+            v = float(v)
+            if n >= min_n:
+                sigma = max(ewvar, 0.0) ** 0.5
+                if sigma > 0 and abs(v - ewma) > k_sigma * sigma:
+                    rows.append(
+                        (
+                            int(eid),
+                            etype,
+                            ts.to_pydatetime(),
+                            v,
+                            ewma,
+                            sigma,
+                            (v - ewma) / sigma,
+                        )
+                    )
+            d = v - ewma
+            incr = alpha * d
+            ewma = ewma + incr
+            ewvar = (1 - alpha) * (ewvar + d * incr)
+            n += 1
+        state.update((ewma, ewvar, n))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_id", "event_type", "ts", "value",
+                "baseline", "sigma", "zscore",
+            ],
+        )
+
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

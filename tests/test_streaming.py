@@ -397,3 +397,69 @@ def test_streaming_hll_reach_equals_batch_estimate(spark, tmp_path):
     rse = 1.04 / 2 ** 7
     for d, est in got.items():
         assert abs(est - exact[d]) <= 3 * rse * exact[d] + 1
+
+
+def test_streaming_ewma_anomaly_matches_batch_recursion(spark, tmp_path):
+    """Streamed EWMA anomaly flags must equal the same recursion run in
+    plain Python over the ordered events — across MULTIPLE micro-batches,
+    proving the state carries the recursion between files."""
+    import pandas as pd
+
+    from gemini_data_wrangler_spark.streaming.events import (
+        read_events_stream,
+        streaming_ewma_anomaly,
+    )
+
+    src = str(tmp_path / "ewma_src")
+    os.makedirs(src)
+    # deterministic value series with two injected spikes per type
+    rows1, rows2 = [], []
+    eid = 0
+    for minute in range(80):
+        for ti, etype in enumerate(("click", "view")):
+            eid += 1
+            v = 10.0 + ti + (minute % 5) * 0.1
+            if minute in (60, 70):
+                v += 50.0  # spike, well past 4 sigma after warm-up
+            row = (eid, f"2024-01-01 {10 + minute // 60}:{minute % 60:02d}:00", 1, etype, v, "{}")
+            (rows1 if minute < 40 else rows2).append(row)
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    df1 = spark.createDataFrame(rows1, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+    df2 = spark.createDataFrame(rows2, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+    df1.coalesce(1).write.mode("append").parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_events_stream(spark, src, df1.schema, max_files_per_trigger=1)
+    flagged = streaming_ewma_anomaly(stream, alpha=0.1, k_sigma=4.0, min_n=30)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, round(r.zscore, 6))
+        for r in spark.table("t_ewma").collect()
+    }
+
+    # Python reference: identical West-update recursion per type in
+    # (ts, event_id) order over the FULL series.
+    all_rows = sorted(rows1 + rows2, key=lambda r: (r[1], r[0]))
+    state = {}
+    expected = set()
+    for eid_, ts, _, etype, v, _props in all_rows:
+        ewma, ewvar, n = state.get(etype, (0.0, 0.0, 0))
+        if n >= 30:
+            sigma = max(ewvar, 0.0) ** 0.5
+            if sigma > 0 and abs(v - ewma) > 4.0 * sigma:
+                expected.add((eid_, round((v - ewma) / sigma, 6)))
+        d = v - ewma
+        incr = 0.1 * d
+        ewma += incr
+        ewvar = 0.9 * (ewvar + d * incr)
+        state[etype] = (ewma, ewvar, n + 1)
+
+    assert expected, "reference must flag the injected spikes"
+    assert got == expected
