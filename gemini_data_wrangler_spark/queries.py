@@ -99,6 +99,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext55,
         queries_ext56,
         queries_ext57,
+        queries_ext58,
         queries_tpch,
     )
 
