@@ -100,6 +100,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext56,
         queries_ext57,
         queries_ext58,
+        queries_ext59,
         queries_tpch,
     )
 
