@@ -101,6 +101,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext57,
         queries_ext58,
         queries_ext59,
+        queries_ext60,
         queries_tpch,
     )
 
