@@ -102,6 +102,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext58,
         queries_ext59,
         queries_ext60,
+        queries_ext61,
         queries_tpch,
     )
 
