@@ -103,6 +103,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext59,
         queries_ext60,
         queries_ext61,
+        queries_ext62,
         queries_tpch,
     )
 
