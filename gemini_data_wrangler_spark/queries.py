@@ -104,6 +104,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext60,
         queries_ext61,
         queries_ext62,
+        queries_ext63,
         queries_tpch,
     )
 
