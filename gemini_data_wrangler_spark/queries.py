@@ -105,6 +105,9 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext61,
         queries_ext62,
         queries_ext63,
+        queries_ext64,
+        queries_ext65,
+        queries_ext66,
         queries_tpch,
     )
 
