@@ -502,6 +502,134 @@ def quantized_topk(
 
 
 # ---------------------------------------------------------------------------
+# Exact self-kNN graph (every vector queries the whole table)
+# ---------------------------------------------------------------------------
+def knn_directed(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 100_000,
+    prune_margin: int = 3,
+) -> DataFrame:
+    """Exact directed kNN for EVERY vector — the self-kNN graph that feeds
+    mutual-kNN clustering and kNN-density outlier scores.
+
+    Same division of labor as ``cosine_pair_candidates``: a tiled
+    cogrouped numpy kernel PRUNES (per tile, each row keeps its local top
+    k+margin over the tile's columns and vice versa — a guaranteed
+    superset of the global top-k, since a global top-k neighbor is
+    tile-local top-k in its own tile), then the JVM fold re-scores the
+    surviving O(n·k·tiles) candidates exactly and a rounded ranking
+    window decides — numpy never determines the answer, so parity with a
+    sequential-fold oracle is exact. No full-table broadcast, no driver
+    materialization; each task touches one tile.
+
+    Output: query_id, vec_id, sim (round 6), rank (1..k).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = embeddings.count()
+    n_blocks = max(2, -(-n // block_rows))
+    m = k + prune_margin
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), blk.alias("_b")
+    )
+    left = base.select(
+        "_id", "_v", F.col("_b").alias("_bi"),
+        F.explode(F.sequence(F.col("_b"), F.lit(n_blocks - 1))).alias("_bj"),
+    )
+    right = base.select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("_bi"),
+        F.col("_b").alias("_bj"),
+    )
+
+    def tile(key, l, r):
+        if l.empty or r.empty:
+            return pd.DataFrame({"src": [], "dst": []}).astype("int64")
+        ids_l = l["_id"].to_numpy(dtype=np.int64)
+        ids_r = r["_id"].to_numpy(dtype=np.int64)
+        ml = np.vstack(l["_v"].to_numpy()).astype(np.float64)
+        mr = np.vstack(r["_v"].to_numpy()).astype(np.float64)
+        ml /= np.linalg.norm(ml, axis=1, keepdims=True)
+        mr /= np.linalg.norm(mr, axis=1, keepdims=True)
+        sims = ml @ mr.T
+        if key[0] == key[1]:
+            # self-mask by id (rows may not align positionally)
+            sims[ids_l[:, None] == ids_r[None, :]] = -np.inf
+        mm = min(m, sims.shape[1])
+        top_j = np.argpartition(-sims, mm - 1, axis=1)[:, :mm]
+        src = np.repeat(ids_l, mm)
+        dst = ids_r[top_j.ravel()]
+        mm2 = min(m, sims.shape[0])
+        top_i = np.argpartition(-sims.T, mm2 - 1, axis=1)[:, :mm2]
+        src2 = np.repeat(ids_r, mm2)
+        dst2 = ids_l[top_i.ravel()]
+        out = pd.DataFrame(
+            {
+                "src": np.concatenate([src, src2]),
+                "dst": np.concatenate([dst, dst2]),
+            }
+        )
+        return out[out["src"] != out["dst"]]
+
+    cand = (
+        left.groupBy("_bi", "_bj")
+        .cogroup(right.groupBy("_bi", "_bj"))
+        .applyInPandas(tile, schema="src bigint, dst bigint")
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    scored = (
+        cand.join(vecs, cand["src"] == vecs["_vid"])
+        .select("src", "dst", F.col("_vv").alias("_vs"))
+        .join(vecs, F.col("dst") == vecs["_vid"])
+        .select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("vec_id"),
+            cosine_similarity(F.col("_vs"), F.col("_vv")).alias("_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def mutual_knn_edges(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-kNN edge list: (u, v) kept iff u is in v's top-k AND v is in
+    u's top-k — the standard graph sparsification before density
+    clustering (mutuality kills hub edges that pure kNN keeps). One
+    self-join over the directed kNN table.
+
+    Output: vec_u < vec_v, sim, rank_uv, rank_vu.
+    """
+    knn = knn_directed(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    r1 = knn.select(
+        F.col("query_id").alias("vec_u"),
+        F.col("vec_id").alias("vec_v"),
+        "sim",
+        F.col("rank").alias("rank_uv"),
+    )
+    r2 = knn.select(
+        F.col("vec_id").alias("vec_u"),
+        F.col("query_id").alias("vec_v"),
+        F.col("rank").alias("rank_vu"),
+    )
+    return (
+        r1.join(r2, ["vec_u", "vec_v"])
+        .filter(F.col("vec_u") < F.col("vec_v"))
+        .select("vec_u", "vec_v", "sim", "rank_uv", "rank_vu")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, Abbas et al. 2023): k-means blocking +
 # within-cluster exact cosine pairs
 # ---------------------------------------------------------------------------

@@ -108,6 +108,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext64,
         queries_ext65,
         queries_ext66,
+        queries_ext67,
         queries_tpch,
     )
 
