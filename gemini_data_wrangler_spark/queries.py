@@ -109,6 +109,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext65,
         queries_ext66,
         queries_ext67,
+        queries_ext68,
         queries_tpch,
     )
 
