@@ -110,6 +110,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext66,
         queries_ext67,
         queries_ext68,
+        queries_ext69,
         queries_tpch,
     )
 
