@@ -111,6 +111,8 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext67,
         queries_ext68,
         queries_ext69,
+        queries_ext70,
+        queries_ext71,
         queries_tpch,
     )
 

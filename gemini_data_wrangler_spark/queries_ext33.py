@@ -9,10 +9,10 @@ Scale notes:
   channel means arithmetically from the synthesis schedule, so a
   decoder that misreads filters or strides hash-mismatches.
 - K-CORE: degree-peeling rounds over the fixed-budget supplier co-order
-  graph (`operators/graphs.py::k_core`); rows-only by contract
-  (unbounded-iteration fixpoint), equality-tested against a pure-Python
-  peeling reference, with the defining invariant (every survivor's
-  in-core degree ≥ k) asserted in tests.
+  graph (`operators/graphs.py::k_core`); oracle-backed via the peel
+  unrolled to a fixed materialized-CTE chain, equality-tested against a
+  pure-Python peeling reference, with the defining invariant (every
+  survivor's in-core degree ≥ k) asserted in tests.
 """
 
 from __future__ import annotations
@@ -110,15 +110,58 @@ def multimodal_video_frame_luminance(spark: SparkSession, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 _KCORE_K = 4
 _KCORE_TOPK = 2000
+_KCORE_ORACLE_ROUNDS = 6
 
-@register("graph_k_core", None)
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling: round r keeps edges whose both endpoints have
+    degree ≥ k in round r-1's edge set. At sf0.01 the fixed-budget graph
+    reaches its fixpoint in 1 round (measured); 6 unrolled rounds leave
+    a wide determinism margin. The Spark side iterates to the true
+    fixpoint, so equality also certifies convergence within the unroll."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+      co AS (SELECT a.s AS sa, b.s AS sb, count(*) AS c
+             FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s GROUP BY a.s, b.s),
+      ranked AS (SELECT sa, sb, row_number() OVER (ORDER BY c DESC, sa, sb) AS r
+                 FROM co)
+      SELECT sa AS src, sb AS dst FROM ranked WHERE r <= {_KCORE_TOPK}
+    )"""
+    ]
+    for i in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+      SELECT n FROM (SELECT src AS n FROM e{p} UNION ALL SELECT dst AS n FROM e{p})
+      GROUP BY n HAVING count(*) >= {_KCORE_K}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT src, dst FROM e{p}
+      WHERE src IN (SELECT n FROM k{i}) AND dst IN (SELECT n FROM k{i})
+    )"""
+        )
+    last = f"e{_KCORE_ORACLE_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, count(*) AS core_degree
+    FROM (SELECT src AS node FROM {last} UNION ALL SELECT dst AS node FROM {last})
+    GROUP BY node
+    """
+    )
+
+
+@register("graph_k_core", _kcore_oracle())
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{_KCORE_K}-core of the supplier co-order graph (same fixed-budget
     edge list as `graph_triangle_count`): iterative degree peeling until
     every surviving supplier has ≥ {_KCORE_K} in-core co-order partners
     — the dense backbone community detection and fraud-ring analysis
-    start from. Rows-only (unbounded-iteration fixpoint has no one-shot
-    SQL oracle); `tests/test_ext33.py` asserts equality with an
+    start from. Oracle: the peel unrolled to a fixed CTE chain (the
+    fixpoint lands in round 1 at sf0.01, 6 rounds unrolled for margin);
+    `tests/test_ext33.py` additionally asserts equality with an
     independent pure-Python peeling and the core-degree invariant."""
     from pyspark.sql import Window
 
