@@ -1,0 +1,129 @@
+"""String-distance kernels for entity resolution: Jaro, Jaro-Winkler and
+unrestricted Damerau-Levenshtein, exposed as Arrow-batched pandas UDFs.
+
+These are the slow-path scoring functions of the fuzzy-match family
+(`F.levenshtein` stays JVM-side and is preferred where it fits — see
+`fuzzy_match_customer_names`). They run AFTER blocking, so each batch
+holds candidate pairs, never the cross product. Semantics match the
+published definitions exactly (and therefore DuckDB's native
+`jaro_winkler_similarity` / `damerau_levenshtein`, which the oracle
+queries use as the independent reference implementation):
+
+- Jaro (Jaro 1989): match window max(|a|,|b|)//2 − 1, transpositions =
+  half the out-of-order matches.
+- Winkler boost (Winkler 1990): + l·p·(1−jaro) for common prefix l ≤ 4,
+  p = 0.1, applied only when jaro > 0.7.
+- Damerau-Levenshtein: the UNRESTRICTED variant (Lowrance & Wagner
+  1975) — transposed characters may be further edited afterwards, so
+  d("CA","ABC") = 2, where the restricted OSA variant gives 3.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0  # DuckDB convention: jaro("", "") = 0, not 1
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    a_match = [False] * la
+    b_match = [False] * lb
+    m = 0
+    for i in range(la):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_match[j] and a[i] == b[j]:
+                a_match[i] = b_match[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if a_match[i]:
+            while not b_match[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, boost: float = 0.7) -> float:
+    j = jaro(a, b)
+    if j <= boost:
+        return j
+    l = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        l += 1
+    return j + l * p * (1.0 - j)
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner), O(|a|·|b|)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[maxdist] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose block
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def jaro_winkler_udf():
+    """Arrow-batched pandas UDF — built lazily (pandas_udf parses its DDL
+    return type against the ACTIVE session, so decoration can't happen at
+    import time)."""
+
+    def _score(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [jaro_winkler(x, y) if x is not None and y is not None else None
+             for x, y in zip(a, b)],
+            dtype="float64",
+        )
+
+    return F.pandas_udf(_score, "double")
+
+
+def damerau_levenshtein_udf():
+    def _score(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [damerau_levenshtein(x, y) if x is not None and y is not None else None
+             for x, y in zip(a, b)],
+            dtype="Int32",
+        )
+
+    return F.pandas_udf(_score, "int")

@@ -113,6 +113,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext69,
         queries_ext70,
         queries_ext71,
+        queries_ext72,
         queries_tpch,
     )
 
