@@ -114,6 +114,8 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext70,
         queries_ext71,
         queries_ext72,
+        queries_ext73,
+        queries_ext74,
         queries_tpch,
     )
 
