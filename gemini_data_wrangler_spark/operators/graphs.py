@@ -340,3 +340,55 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seed,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Unweighted single-source shortest hop counts by frontier expansion
+    (distributed BFS / the unit-weight case of SSSP). Each round joins the
+    current FRONTIER (just-discovered nodes, not the whole visited set)
+    against the symmetrized edge list, anti-joins away already-visited
+    nodes, and localCheckpoints both sets — rounds = eccentricity of the
+    seed, per-round cost ∝ frontier-adjacent edges. This is the
+    Pregel-style BFS every bulk-synchronous graph engine runs; at cluster
+    scale swap localCheckpoint for reliable checkpoint (RUNBOOK.md).
+
+    Output: node, hops (seed included at 0; unreachable nodes absent).
+    """
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(seed, 0)], ["node", "hops"]).localCheckpoint()
+    frontier = visited
+    for h in range(1, max_iter + 1):
+        nxt = (
+            sym.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    sym.unpersist()
+    return visited

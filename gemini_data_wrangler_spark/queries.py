@@ -116,6 +116,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext72,
         queries_ext73,
         queries_ext74,
+        queries_ext75,
         queries_tpch,
     )
 
