@@ -117,6 +117,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext73,
         queries_ext74,
         queries_ext75,
+        queries_ext76,
         queries_tpch,
     )
 
