@@ -118,6 +118,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext74,
         queries_ext75,
         queries_ext76,
+        queries_ext77,
         queries_tpch,
     )
 
