@@ -119,6 +119,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext75,
         queries_ext76,
         queries_ext77,
+        queries_ext78,
         queries_tpch,
     )
 
