@@ -589,13 +589,15 @@ def connected_components_star(
 def connected_components_oracle_sql(pairs_sql: str) -> str:
     """DuckDB oracle: transitive closure by recursive CTE, then min reachable
     id per vertex. Exponential-ish on giant components — fine at sf0.01
-    where dup clusters are tiny."""
+    where dup clusters are tiny. ``MATERIALIZED`` pins the pair-producing
+    subquery (often an n² similarity scan) to one evaluation instead of
+    once per recursion step — 14× on the kNN-components oracle."""
     return f"""
-    WITH RECURSIVE pairs AS ({pairs_sql}),
-    edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
+    WITH RECURSIVE __cc_pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM __cc_pairs
       UNION
-      SELECT doc_b, doc_a FROM pairs
+      SELECT doc_b, doc_a FROM __cc_pairs
     ),
     reach(u, v) AS (
       SELECT u, v FROM edges

@@ -55,7 +55,7 @@ def _dbscan_oracle() -> str:
     """
     cc = connected_components_oracle_sql(core_edges)
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE {_COS_SQL} >= {_DB_TAU}

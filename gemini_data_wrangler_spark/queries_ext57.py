@@ -45,16 +45,16 @@ _SN_DIST = 2
 @register(
     "er_sorted_neighborhood",
     f"""
-    WITH c AS (
+    WITH c AS MATERIALIZED (
       SELECT c_custkey, c_name FROM customer WHERE c_custkey <= {_SN_KEY_CAP}
-    ), s AS (
+    ), s AS MATERIALIZED (
       SELECT c_custkey, c_name,
              row_number() OVER (ORDER BY c_name, c_custkey) AS rn
       FROM c
-    ), cand AS (
+    ), cand AS MATERIALIZED (
       SELECT a.c_custkey AS ka, b.c_custkey AS kb
       FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + {_SN_W}
-    ), truth AS (
+    ), truth AS MATERIALIZED (
       SELECT a.c_custkey AS ka, b.c_custkey AS kb
       FROM c a JOIN c b ON a.c_custkey < b.c_custkey
       WHERE levenshtein(a.c_name, b.c_name) <= {_SN_DIST}

@@ -39,7 +39,7 @@ def _modularity_oracle() -> str:
     pairs = ngram_jaccard_oracle_sql("documents", "doc_id", "text", n=5, threshold=0.8)
     cc = connected_components_oracle_sql("SELECT doc_a, doc_b FROM pairs")
     return f"""
-    WITH pairs AS ({pairs}),
+    WITH pairs AS MATERIALIZED ({pairs}),
     comp AS ({cc}),
     m AS (SELECT count(*) AS m FROM pairs),
     internal AS (
