@@ -120,6 +120,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext76,
         queries_ext77,
         queries_ext78,
+        queries_ext79,
         queries_tpch,
     )
 

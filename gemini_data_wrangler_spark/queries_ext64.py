@@ -184,7 +184,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemini_data_wrangler_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    # localCheckpoint: the MinHash+verify pair pipeline is referenced five
+    # times below (both union branches, both wedge sides, the anti-join);
+    # without materialization Spark executes each branch independently.
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8).localCheckpoint()
     adj = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
     ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))

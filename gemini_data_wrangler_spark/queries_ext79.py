@@ -1,0 +1,363 @@
+"""Round-2 extensions, batch 79: graph-navigable ANN (beam search over the
+kNN graph), Johnson-Lindenstrauss random projection with an exact
+cross-engine oracle, and a CCNet-style stupid-backoff trigram LM filter.
+
+Scale notes:
+- GRAPH ANN is the NSW/HNSW-family search shape re-expressed as batched
+  DataFrame iteration: the kNN graph (n·degree edges, built once by the
+  tiled exact kernel) is the index; each search round joins the frontier
+  against the edge table (shuffle keyed on node id), scores the new
+  candidates against the broadcast query block, and keeps a beam per
+  query. Rounds = hops (fixed), frontier ≤ queries × beam — the loop
+  state is tiny regardless of corpus size, and the edge join is the only
+  big-data touch per round. At 1000 executors the edge table is
+  pre-bucketed by src so every hop is a co-located join; the graph build
+  itself reuses `knn_directed`'s cogrouped tile kernel (no driver
+  materialization, no all-pairs).
+- JL PROJECTION is a pure-JVM expression (transform over the output
+  dims, aggregate over the input dims): zero shuffles, zero Python rows,
+  embarrassingly parallel — the standard dimensionality cut before an
+  ANN index at 100 TB. The sign matrix is a closed-form integer formula,
+  so DuckDB reproduces the projection bit-for-bit and the oracle checks
+  VALUES (per-vector original/projected norms), not just a bound.
+- STUPID BACKOFF (Brants et al. 2007) is the perplexity-proxy corpus
+  filter CCNet popularized, with the backoff chain trigram → bigram →
+  unigram → OOV floor. Counts are three partial-aggregated groupBys over
+  the train split; scoring joins each eval trigram against the count
+  tables (all shuffle-keyed equi-joins Catalyst plans as broadcast when
+  the n-gram tables are small, sort-merge when they are not) — linear in
+  tokens, the shape that survives a trillion-token corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gemini_data_wrangler_spark.queries import register
+from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_sf_tables(spark, sf_dir)[name]
+
+
+# ---------------------------------------------------------------------------
+# Graph-navigable ANN: beam search over the exact kNN graph
+# ---------------------------------------------------------------------------
+_GANN_K = 10
+_GANN_DEGREE = 8
+_GANN_BEAM = 12
+_GANN_HOPS = 4
+_GANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def graph_ann_beam_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = _GANN_K,
+    degree: int = _GANN_DEGREE,
+    beam: int = _GANN_BEAM,
+    hops: int = _GANN_HOPS,
+) -> DataFrame:
+    """Approximate top-k by best-first beam search over the directed kNN
+    graph — the navigable-small-world search primitive (NSW / HNSW layer
+    0) as deterministic DataFrame iteration.
+
+    Every query starts at the same entry node (the minimum vec id, the
+    analogue of HNSW's fixed entry point); each round expands the beam's
+    out-edges, scores only UNSEEN nodes (anti-join against the visited
+    set), and keeps the `beam` best new nodes per query as the next
+    frontier. After `hops` rounds the answer is the top-k of everything
+    ever scored. Deterministic: ties break on (sim desc, vec_id asc) and
+    the graph itself is the exact kNN graph.
+
+    Output: query_id, vec_id, sim (round 6), rank (1..k).
+    """
+    from gemini_data_wrangler_spark.functions.vectors import cosine_similarity
+    from gemini_data_wrangler_spark.operators.similarity import knn_directed
+
+    graph = (
+        knn_directed(embeddings, k=degree)
+        .select(F.col("query_id").alias("_src"), F.col("vec_id").alias("_dst"))
+        .localCheckpoint()
+    )
+    q = F.broadcast(queries.select("query_id", F.col("query_vec").alias("_qv")))
+    vecs = embeddings.select(F.col("vec_id").alias("node"), F.col("embedding").alias("_nv"))
+    # Fixed entry point: one scalar (same class of collect as the CC
+    # convergence probe — a single aggregate, not data on the driver).
+    entry = embeddings.agg(F.min("vec_id")).collect()[0][0]
+
+    def score(nodes: DataFrame) -> DataFrame:
+        return (
+            nodes.join(vecs, "node")
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                "node",
+                F.round(cosine_similarity(F.col("_qv"), F.col("_nv")), 6).alias("sim"),
+            )
+        )
+
+    visited = score(
+        queries.select("query_id").withColumn("node", F.lit(entry).cast("bigint"))
+    ).localCheckpoint()
+    frontier = visited.select("query_id", "node")
+    by_sim = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
+    for _ in range(hops):
+        neigh = (
+            frontier.join(graph, frontier["node"] == graph["_src"])
+            .select("query_id", F.col("_dst").alias("node"))
+            .distinct()
+        )
+        fresh = neigh.join(visited.select("query_id", "node"), ["query_id", "node"], "left_anti")
+        scored = score(fresh).localCheckpoint()
+        visited = visited.union(scored).localCheckpoint()
+        frontier = (
+            scored.withColumn("_r", F.row_number().over(by_sim))
+            .filter(F.col("_r") <= beam)
+            .select("query_id", "node")
+        )
+    return (
+        visited.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(by_sim))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("node").alias("vec_id"), "sim", "rank")
+    )
+
+
+@register("similarity_graph_ann_topk", None)  # approximate: rows-only check
+def similarity_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gemini_data_wrangler_spark.operators.similarity import queries_from_ids
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return graph_ann_beam_topk(emb, queries_from_ids(emb, _GANN_QUERY_IDS))
+
+
+_GANN_RECALL_ORACLE = (
+    "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id IN ({ids})"
+).format(ids=", ".join(str(i) for i in _GANN_QUERY_IDS))
+
+
+@register("similarity_graph_ann_recall", _GANN_RECALL_ORACLE)
+def similarity_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 gate for the graph-ANN search vs the exact brute-force
+    top-k, reduced to an oracle-checkable TRUE column (same contract as
+    `similarity_lsh_recall`): a navigability regression below the floor
+    becomes a driver hash MISMATCH instead of a self-attested pass."""
+    from gemini_data_wrangler_spark.operators.similarity import (
+        cosine_topk,
+        queries_from_ids,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = queries_from_ids(emb, _GANN_QUERY_IDS)
+    exact = cosine_topk(emb, q, k=_GANN_K).select("query_id", "vec_id")
+    approx = graph_ann_beam_topk(emb, q).select("query_id", "vec_id")
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    n_hit = (
+        exact.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    return n_exact.join(n_hit, "query_id", "left").select(
+        "query_id",
+        ((F.coalesce("_h", F.lit(0)) / F.col("_n")) >= 0.6).alias("recall_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection with an exact value oracle
+# ---------------------------------------------------------------------------
+_JL_IN = 64
+_JL_OUT = 16
+# Deterministic ±1 sign matrix as closed-form integer arithmetic — the i*j
+# cross term keeps the parity non-linear in (i, j), and both engines
+# evaluate the identical expression, so the projection is cross-checkable
+# value-for-value (not just a distortion bound).
+_JL_SIGN = (
+    "(1 - 2 * (((CAST(i AS BIGINT) * 73856093 + CAST(j AS BIGINT) * 19349663"
+    " + CAST(i AS BIGINT) * CAST(j AS BIGINT) * 83492791) % 97) % 2))"
+)
+
+
+@register(
+    "embedding_jl_projection",
+    f"""
+    WITH p AS MATERIALIZED (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS orig_norm,
+             [list_sum([CAST(embedding[i] AS DOUBLE) * {_JL_SIGN}
+                        for i in generate_series(1, {_JL_IN})]) / sqrt({_JL_OUT})
+              for j in generate_series(1, {_JL_OUT})] AS proj
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(orig_norm, 6) AS orig_norm,
+           round(sqrt(list_sum(list_transform(proj, x -> x * x))), 6) AS proj_norm,
+           round(sqrt(list_sum(list_transform(proj, x -> x * x))) / orig_norm, 4)
+             AS norm_ratio
+    FROM p
+    """,
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection {_JL_IN}→{_JL_OUT} dims with a
+    deterministic Rademacher (±1/√k) matrix, reporting each vector's
+    original vs projected L2 norm — the distortion the JL lemma bounds.
+    The whole computation is one JVM expression per row (transform over
+    output dims × aggregate over input dims): no shuffle, no Python, no
+    matrix broadcast — the cheapest possible pre-ANN dimensionality cut
+    at any corpus size."""
+    emb = _table(spark, sf_dir, "embeddings")
+    proj = F.expr(
+        f"transform(sequence(1, {_JL_OUT}), j -> "
+        f"  aggregate(sequence(1, {_JL_IN}), 0D, (acc, i) -> "
+        f"    acc + CAST(element_at(embedding, i) AS DOUBLE) * {_JL_SIGN}) "
+        f"  / sqrt({_JL_OUT}))"
+    )
+    orig_norm = F.expr(
+        "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    proj_norm = F.expr("sqrt(aggregate(_proj, 0D, (acc, x) -> acc + x * x))")
+    return (
+        emb.select("vec_id", orig_norm.alias("_on"), proj.alias("_proj"))
+        .select(
+            "vec_id",
+            F.round("_on", 6).alias("orig_norm"),
+            F.round(proj_norm, 6).alias("proj_norm"),
+            F.round(proj_norm / F.col("_on"), 4).alias("norm_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff trigram LM scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+_SB_ALPHA = 0.4
+_SB_EVAL_MOD = 97  # doc_id % 97 == 0 → eval split (mirrors decontam's carve)
+
+
+@register(
+    "lm_stupid_backoff_logprob",
+    rf"""
+    WITH raw AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), tok AS MATERIALIZED (
+      SELECT doc_id, unnest([{{'pos': i, 'w': t[i]}} for i in generate_series(1, len(t))],
+                            recursive := true)
+      FROM raw
+    ), tri AS MATERIALIZED (
+      SELECT doc_id, pos,
+             lag(w, 2) OVER win AS w1, lag(w, 1) OVER win AS w2, w AS w3
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), c_tri AS MATERIALIZED (
+      SELECT w1, w2, w3, count(*) AS c FROM tri
+      WHERE doc_id % {_SB_EVAL_MOD} != 0 AND w1 IS NOT NULL GROUP BY w1, w2, w3
+    ), c_bi AS MATERIALIZED (
+      SELECT w2 AS wa, w3 AS wb, count(*) AS c FROM tri
+      WHERE doc_id % {_SB_EVAL_MOD} != 0 AND w2 IS NOT NULL GROUP BY w2, w3
+    ), c_uni AS MATERIALIZED (
+      SELECT w3 AS w, count(*) AS c FROM tri
+      WHERE doc_id % {_SB_EVAL_MOD} != 0 GROUP BY w3
+    ), n AS (SELECT sum(c) AS n FROM c_uni),
+    scored AS (
+      SELECT e.doc_id,
+             CASE
+               WHEN ct.c IS NOT NULL
+                 THEN CAST(ct.c AS DOUBLE) / cbc.c
+               WHEN cb.c IS NOT NULL
+                 THEN {_SB_ALPHA} * CAST(cb.c AS DOUBLE) / cu2.c
+               WHEN cu3.c IS NOT NULL
+                 THEN {_SB_ALPHA} * {_SB_ALPHA} * CAST(cu3.c AS DOUBLE) / n.n
+               ELSE {_SB_ALPHA} * {_SB_ALPHA} * 0.5 / n.n
+             END AS p
+      FROM tri e
+      LEFT JOIN c_tri ct ON e.w1 = ct.w1 AND e.w2 = ct.w2 AND e.w3 = ct.w3
+      LEFT JOIN c_bi cbc ON e.w1 = cbc.wa AND e.w2 = cbc.wb
+      LEFT JOIN c_bi cb ON e.w2 = cb.wa AND e.w3 = cb.wb
+      LEFT JOIN c_uni cu2 ON e.w2 = cu2.w
+      LEFT JOIN c_uni cu3 ON e.w3 = cu3.w
+      CROSS JOIN n
+      WHERE e.doc_id % {_SB_EVAL_MOD} = 0 AND e.w1 IS NOT NULL
+    )
+    SELECT doc_id, count(*) AS n_scored, round(avg(ln(p)), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average token log-probability under a stupid-backoff
+    trigram LM (Brants et al. 2007: score = c₃/c₂ if the trigram was seen,
+    else α·(bigram score), else α²·(unigram MLE), else an α²·0.5/N OOV
+    floor) trained on the train split (doc_id % {_SB_EVAL_MOD} != 0) and
+    scored on the eval split — the CCNet-style LM quality filter, exact
+    and fully SQL-checkable because stupid backoff never normalizes.
+
+    Scale: three grouped counts over the train tokens (map-side partial
+    agg), then eval trigrams join the count tables on their n-gram keys;
+    every join is a shuffle-keyed equi-join AQE converts to broadcast
+    whenever a count table is small. Linear in tokens end to end."""
+    docs = _table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w")
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tok.select(
+        "doc_id",
+        "pos",
+        F.lag("w", 2).over(by_pos).alias("w1"),
+        F.lag("w", 1).over(by_pos).alias("w2"),
+        F.col("w").alias("w3"),
+    )
+    is_train = F.col("doc_id") % _SB_EVAL_MOD != 0
+    train = tri.filter(is_train)
+    c_tri = (
+        train.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    c_bi = (
+        train.filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w2").alias("wa"), F.col("w3").alias("wb"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    c_uni = train.groupBy(F.col("w3").alias("w")).agg(F.count(F.lit(1)).alias("cu"))
+    n_total = train.agg(F.count(F.lit(1)).alias("n"))
+    ev = tri.filter(~is_train & F.col("w1").isNotNull())
+    scored = (
+        ev.join(c_tri, ["w1", "w2", "w3"], "left")
+        .join(
+            c_bi.select(F.col("wa").alias("w1"), F.col("wb").alias("w2"), F.col("cb").alias("cbc")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c_bi.select(F.col("wa").alias("w2"), F.col("wb").alias("w3"), "cb"),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c_uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2", "left")
+        .join(c_uni.select(F.col("w").alias("w3"), F.col("cu").alias("cu3")), "w3", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c3").isNotNull(),
+                F.col("c3").cast("double") / F.col("cbc"),
+            )
+            .when(
+                F.col("cb").isNotNull(),
+                F.lit(_SB_ALPHA) * F.col("cb").cast("double") / F.col("cu2"),
+            )
+            .when(
+                F.col("cu3").isNotNull(),
+                F.lit(_SB_ALPHA * _SB_ALPHA) * F.col("cu3").cast("double") / F.col("n"),
+            )
+            .otherwise(F.lit(_SB_ALPHA * _SB_ALPHA) * F.lit(0.5) / F.col("n"))
+            .alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg(F.log("p")), 4).alias("avg_logprob"),
+    )

@@ -1,0 +1,77 @@
+"""Property tests for extension batch 79: graph-ANN beam search recall,
+JL projection distortion, stupid-backoff scoring invariants."""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_ORACLE
+
+
+def _q(name):
+    from gemini_data_wrangler_spark.queries import registry
+
+    return registry()[name][0]
+
+
+def test_graph_ann_recall_floor(spark):
+    """Beam search over the exact kNN graph must recover >= 60% of the
+    brute-force top-10 for every probe query (the oracle-checked gate),
+    and the rows-only top-k output must be well-formed."""
+    rows = _q("similarity_graph_ann_recall")(spark, SF_ORACLE).collect()
+    assert rows and all(r["recall_ok"] for r in rows)
+
+    topk = _q("similarity_graph_ann_topk")(spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), qid
+        sims = [r["sim"] for r in sorted(rs, key=lambda x: x["rank"])]
+        assert sims == sorted(sims, reverse=True), qid
+        assert all(r["vec_id"] != qid for r in rs), qid
+
+
+def test_jl_projection_distortion_bounded(spark):
+    """Rademacher JL projection 64->16: norm ratios concentrate around 1
+    (E[ratio^2] = 1); every ratio finite and positive, mean ratio within
+    a loose concentration band."""
+    rows = _q("embedding_jl_projection")(spark, SF_ORACLE).collect()
+    assert rows
+    ratios = [r["norm_ratio"] for r in rows]
+    assert all(math.isfinite(x) and x > 0 for x in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+
+
+def test_stupid_backoff_logprobs_negative_and_scored(spark):
+    """Stupid backoff scores are probabilities-ish in (0, 1+alpha range):
+    avg log-prob must be <= ~0 and every eval doc with >= 3 tokens gets a
+    row; n_scored = token_count - 2 for those docs."""
+    from pyspark.sql import functions as F
+
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    rows = _q("lm_stupid_backoff_logprob")(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 97 == 0
+        assert r["n_scored"] >= 1
+        # stupid backoff scores can exceed 1 only when c3 == cbc (p = 1);
+        # log p <= 0 always holds for the per-token scores
+        assert r["avg_logprob"] <= 0.0001, r
+
+    docs = load_sf_tables(spark, SF_ORACLE)["documents"]
+    expect = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            "doc_id",
+            (F.size(F.split(F.trim("text"), r"\s+")) - 2).alias("want"),
+        )
+        .filter(F.col("want") >= 1)
+        .collect()
+    )
+    got = {r["doc_id"]: r["n_scored"] for r in rows}
+    for e in expect:
+        assert got.get(e["doc_id"]) == e["want"], e
