@@ -98,6 +98,22 @@ def _hot(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(sc.defaultParallelism, key).persist()
 
 
+def _hot_shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Shingle a corpus with the heavy per-row hashing AFTER a round-robin
+    spread of the raw (id, text) rows.
+
+    Ordering matters: written as scan→shingle→repartition, the shingle
+    expression runs inside the scan stage — a single-split parquet file
+    computes every array on one core. Repartitioning the raw rows first
+    moves the substring+xxhash work past the exchange, so it parallelizes
+    regardless of the source's split count. Persisted because every caller
+    feeds it to at least two plan branches (signatures + exact verify).
+    """
+    sc = df.sparkSession.sparkContext
+    raw = df.select(id_col, text_col).repartition(sc.defaultParallelism, id_col)
+    return with_shingles(raw, text_col, n).select(id_col, "_shingles").persist()
+
+
 def _verify_jaccard(
     candidates: DataFrame,  # columns: doc_a, doc_b
     shingled: DataFrame,  # columns: <id_col>, _shingles
@@ -160,7 +176,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    shingled = _hot(with_shingles(df, text_col, n).select(id_col, "_shingles"), id_col)
+    shingled = _hot_shingled(df, id_col, text_col, n)
     ex = shingled.select(F.col(id_col), F.explode("_shingles").alias("_g"))
     # Global document frequency per shingle — one cheap agg. Its row count
     # is the DISTINCT SHINGLE VOCABULARY, typically orders of magnitude
@@ -262,21 +278,30 @@ def minhash_signatures(
     id_col: str,
     num_perm: int = 126,
 ) -> DataFrame:
-    """MinHash signature per doc: explode shingles, hash each ONCE with
-    xxhash64, then take per-doc minima of ``num_perm`` affine transforms
-    (universal hashing) — one shuffle, k cheap aggregates, no re-hashing.
+    """MinHash signature per doc, entirely ROW-LOCAL: hash each shingle
+    ONCE with xxhash64 into ``_hs``, then fold ``num_perm`` affine
+    transforms (universal hashing) to scalar minima with ``aggregate`` —
+    zero shuffle, zero intermediate arrays, same arithmetic as the
+    textbook explode+groupBy formulation (which shuffles |doc|·|shingle|
+    rows — the former suite hotspot) but embarrassingly parallel at any
+    corpus size.
 
-    Output: <id_col>, _sig (array<bigint> of length num_perm).
+    Output: <id_col>, _sig (array<bigint> of length num_perm). Docs with
+    an empty shingle set get no row (mirrors the explode semantics).
     """
-    ex = shingled.select(F.col(id_col), F.explode("_shingles").alias("_g")).select(
-        F.col(id_col), F.pmod(F.xxhash64("_g"), F.lit(_P)).alias("_h")
+    hashed = shingled.filter(F.size("_shingles") > 0).withColumn(
+        "_hs", F.expr(f"transform(_shingles, g -> pmod(xxhash64(g), {_P}))")
     )
-    mins = [
-        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_P))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(_perm_params(num_perm))
-    ]
-    agg = ex.groupBy(id_col).agg(*mins)
-    return agg.select(F.col(id_col), F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("_sig"))
+    sig = F.array(
+        *[
+            F.expr(
+                f"aggregate(_hs, CAST({_P} AS BIGINT),"
+                f" (m, h) -> least(m, pmod({a} * h + {b}, {_P})))"
+            )
+            for a, b in _perm_params(num_perm)
+        ]
+    )
+    return hashed.select(F.col(id_col), sig.alias("_sig"))
 
 
 def minhash_lsh_pairs(
@@ -301,8 +326,8 @@ def minhash_lsh_pairs(
     whenever LSH recall holds (verified against the exact oracle in tests).
     """
     rows = num_perm // bands
-    shingled = _hot(with_shingles(df, text_col, n).select(id_col, "_shingles"), id_col)
-    sig = minhash_signatures(shingled, id_col, num_perm)
+    shingled = _hot_shingled(df, id_col, text_col, n)
+    sig = _hot(minhash_signatures(shingled, id_col, num_perm), id_col)
     # band hash = xxhash64 over the band's slice of the signature
     band_rows = sig.select(
         F.col(id_col),
@@ -329,7 +354,25 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_jaccard(candidates, shingled, id_col, threshold)
+    # Two-tier verify. Band collisions admit a heavy tail of low-similarity
+    # candidates (P(candidate | j=0.3) ≈ 14% at r=4); exact verification
+    # hauls the full shingle arrays, so first screen candidates with the
+    # signature-agreement ESTIMATE (num_perm longs per doc, ~16x lighter).
+    # Cutoff = threshold − 0.25 ≈ 5σ below the true-positive band
+    # (σ = √(j(1−j)/num_perm) ≈ 0.05 at num_perm=64): misses are ~1e-7
+    # per true pair, while ~all sub-threshold collisions are dropped
+    # before they touch a shingle array.
+    est_cut = max(threshold - 0.25, 0.0)
+    sig_a = sig.select(F.col(id_col).alias("doc_a"), F.col("_sig").alias("_ga"))
+    sig_b = sig.select(F.col(id_col).alias("doc_b"), F.col("_sig").alias("_gb"))
+    agree = F.expr("size(filter(zip_with(_ga, _gb, (x, y) -> x = y), b -> b))")
+    screened = (
+        candidates.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .filter(agree >= F.lit(est_cut * num_perm))
+        .select("doc_a", "doc_b")
+    )
+    return _verify_jaccard(screened, shingled, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -376,7 +419,7 @@ def simhash_pairs(
 
     Output: doc_a, doc_b, jaccard.
     """
-    shingled = _hot(with_shingles(df, text_col, n).select(id_col, "_shingles"), id_col)
+    shingled = _hot_shingled(df, id_col, text_col, n)
     sims = simhash_bits(shingled, id_col)
     width = 64 // chunks
     chunk_rows = sims.select(

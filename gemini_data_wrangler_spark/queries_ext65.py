@@ -60,11 +60,23 @@ def _pois_case_sql(expr: str) -> str:
     return f"CASE {whens} ELSE 7 END"
 
 
+def _pois_case_on(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < '{t}' THEN {k}" for k, t in enumerate(_POIS_CUM)
+    )
+    return f"CASE {whens} ELSE 7 END"
+
+
 def _bootstrap_oracle() -> str:
-    pois = _pois_case_sql("CAST(o_orderkey AS VARCHAR) || ':' || CAST(r AS VARCHAR)")
+    # One md5 per (row, block-of-4 replicates): the 32-hex digest is four
+    # independent 8-hex uniforms, so R=100 weights cost 25 hashes per row.
+    wt = _pois_case_on(
+        "substr(md5(CAST(o_orderkey AS VARCHAR) || ':' "
+        "|| CAST((r - 1) // 4 AS VARCHAR)), 1 + 8 * ((r - 1) % 4), 8)"
+    )
     return f"""
     WITH w AS (
-      SELECT r, {pois} AS wt, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      SELECT r, {wt} AS wt, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders CROSS JOIN (SELECT unnest(range(1, {_BOOT_R + 1})) AS r)
     ), means AS (
       SELECT r, sum(wt * cents) / (100.0 * sum(wt)) AS m
@@ -87,27 +99,33 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization, no RNG state, reproducible across engines. Weighted
     sums run in integer cents so replicate means are exact."""
     orders = _table(spark, sf_dir, "orders")
-    reps = orders.select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("r"),
+    n_blocks = (_BOOT_R + 3) // 4
+    case_sql = _pois_case_on("substring(h, 1 + 8 * o, 8)")
+    # 25 md5s per row (one per block of 4 replicates), expanded to the 100
+    # weights as a pure array expression BEFORE the explode — the exploded
+    # rows are narrow (int, int) and partial-aggregate map-side to R rows.
+    wts = F.expr(
+        f"flatten(transform("
+        f"  transform(sequence(0, {n_blocks - 1}),"
+        f"            b -> md5(concat(cast(o_orderkey AS string), ':', cast(b AS string)))),"
+        f"  h -> transform(sequence(0, 3), o -> {case_sql})))"
     )
-    h = F.substring(
-        F.md5(
-            F.concat_ws(":", F.col("o_orderkey").cast("string"), F.col("r").cast("string"))
-        ),
-        1,
-        8,
+    # The x100 weight fan-out dwarfs the input scan; a small parquet lands
+    # in one split, so spread the pre-explode rows across the cluster first
+    # (round-robin of the 2-column input — negligible shuffle).
+    base = orders.select("o_orderkey", "o_totalprice").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    wt = F.lit(7)
-    for k in range(len(_POIS_CUM) - 1, -1, -1):
-        wt = F.when(h < _POIS_CUM[k], F.lit(k)).otherwise(wt)
-    means = (
-        reps.withColumn("wt", wt)
-        .groupBy("r")
-        .agg(
-            (F.sum(F.col("wt") * F.col("cents")) / (100.0 * F.sum("wt"))).alias("m")
+    reps = (
+        base.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.posexplode(wts).alias("idx", "wt"),
         )
+        .filter(F.col("idx") < _BOOT_R)
+        .select((F.col("idx") + 1).alias("r"), "wt", "cents")
+    )
+    means = reps.groupBy("r").agg(
+        (F.sum(F.col("wt") * F.col("cents")) / (100.0 * F.sum("wt"))).alias("m")
     )
     return means.agg(
         F.count(F.lit(1)).alias("n_replicates"),
