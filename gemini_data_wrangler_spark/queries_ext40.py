@@ -146,7 +146,15 @@ def layout_hilbert_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "datediff(to_date(o_orderdate), to_date('1995-01-01')) & 65535"
         ).alias("dy"),
     )
-    h = keyed.withColumn("hval", F.expr(_SPARK_FOLD))
+    # Materialize hval once, post-exchange: the fold is referenced by both
+    # two_level_rank branches (window + block counts) AND twice per row
+    # (rank key + block coarsening); left lazy on a single-split scan the
+    # 16-step recurrence would run up to 4x, single-threaded.
+    h = (
+        keyed.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("hval", F.expr(_SPARK_FOLD))
+        .localCheckpoint()
+    )
     ranked = two_level_rank(
         h,
         key=F.col("hval"),
