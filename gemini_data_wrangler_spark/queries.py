@@ -121,6 +121,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext77,
         queries_ext78,
         queries_ext79,
+        queries_ext80,
         queries_tpch,
     )
 
