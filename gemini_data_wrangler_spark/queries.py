@@ -122,6 +122,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext78,
         queries_ext79,
         queries_ext80,
+        queries_ext81,
         queries_tpch,
     )
 
