@@ -123,6 +123,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext79,
         queries_ext80,
         queries_ext81,
+        queries_ext82,
         queries_tpch,
     )
 
