@@ -124,6 +124,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext80,
         queries_ext81,
         queries_ext82,
+        queries_ext83,
         queries_tpch,
     )
 
