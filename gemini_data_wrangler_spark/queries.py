@@ -125,6 +125,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext81,
         queries_ext82,
         queries_ext83,
+        queries_ext84,
         queries_tpch,
     )
 
