@@ -126,6 +126,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext82,
         queries_ext83,
         queries_ext84,
+        queries_ext85,
         queries_tpch,
     )
 
