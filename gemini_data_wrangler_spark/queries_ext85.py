@@ -34,7 +34,7 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # mSPRT always-valid sequential monitoring of a 50/50 user split
 # ---------------------------------------------------------------------------
-_MSPRT_TAU2 = 0.01  # mixture prior variance on the effect
+_MSPRT_TAU2 = 1.0  # mixture prior variance on the (count-scale) effect
 
 
 @register(
@@ -43,7 +43,7 @@ _MSPRT_TAU2 = 0.01  # mixture prior variance on the effect
     WITH u AS MATERIALIZED (
       SELECT user_id,
              CAST(min(CAST(ts AS DATE)) AS DATE) AS first_day,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+             count(*) FILTER (WHERE event_type = 'purchase') AS m,
              CAST(list_sum(list_transform(range(1, 9), i ->
                   (strpos('0123456789abcdef',
                           substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
@@ -52,23 +52,27 @@ _MSPRT_TAU2 = 0.01  # mixture prior variance on the effect
     ), daily AS (
       SELECT first_day AS day,
              count(*) FILTER (WHERE arm = 0) AS na_d,
-             sum(conv) FILTER (WHERE arm = 0) AS ka_d,
+             sum(m) FILTER (WHERE arm = 0) AS sa_d,
+             sum(m * m) FILTER (WHERE arm = 0) AS qa_d,
              count(*) FILTER (WHERE arm = 1) AS nb_d,
-             sum(conv) FILTER (WHERE arm = 1) AS kb_d
+             sum(m) FILTER (WHERE arm = 1) AS sb_d,
+             sum(m * m) FILTER (WHERE arm = 1) AS qb_d
       FROM u GROUP BY first_day
     ), cum AS MATERIALIZED (
       SELECT day,
-             sum(na_d) OVER w AS na, sum(COALESCE(ka_d, 0)) OVER w AS ka,
-             sum(nb_d) OVER w AS nb, sum(COALESCE(kb_d, 0)) OVER w AS kb
+             sum(na_d) OVER w AS na, sum(COALESCE(sa_d, 0)) OVER w AS sa,
+             sum(COALESCE(qa_d, 0)) OVER w AS qa,
+             sum(nb_d) OVER w AS nb, sum(COALESCE(sb_d, 0)) OVER w AS sb,
+             sum(COALESCE(qb_d, 0)) OVER w AS qb
       FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
     ), lr AS MATERIALIZED (
       SELECT day, na, nb,
-             CAST(ka AS DOUBLE)/na - CAST(kb AS DOUBLE)/nb AS delta,
-             (CAST(ka + kb AS DOUBLE)/(na + nb))
-               * (1.0 - CAST(ka + kb AS DOUBLE)/(na + nb))
-               * (1.0/na + 1.0/nb) AS se2
+             CAST(sa AS DOUBLE)/na - CAST(sb AS DOUBLE)/nb AS delta,
+             ((qa - CAST(sa AS DOUBLE)*sa/na) + (qb - CAST(sb AS DOUBLE)*sb/nb))
+               / (na + nb - 2) * (1.0/na + 1.0/nb) AS se2
       FROM cum
-      WHERE na > 0 AND nb > 0 AND ka + kb > 0 AND ka + kb < na + nb
+      WHERE na > 1 AND nb > 1
+        AND (qa - CAST(sa AS DOUBLE)*sa/na) + (qb - CAST(sb AS DOUBLE)*sb/nb) > 0
     ), lam AS MATERIALIZED (
       SELECT day, na, nb, delta,
              sqrt(se2 / (se2 + {_MSPRT_TAU2}))
@@ -82,13 +86,15 @@ _MSPRT_TAU2 = 0.01  # mixture prior variance on the effect
     """,
 )
 def ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Always-valid p-value trajectory (mixture SPRT) for the purchase
-    conversion difference between the md5-hash 50/50 arms, by user
-    first-seen day: cumulative integer counts per day (prefix-sum window
-    over the bounded day axis), the normal-mixture likelihood ratio per
-    day, and p_t = 1 / running-max(Lambda) — monotone non-increasing, so
-    stopping at any peek preserves the type-I guarantee. The only
-    data-scale pass is the per-user then per-day grouped count."""
+    """Always-valid p-value trajectory (mixture SPRT) for the
+    purchases-per-user difference between the md5-hash 50/50 arms, by
+    user first-seen day: cumulative integer count/sum/sum-of-squares per
+    day (prefix-sum window over the bounded day axis — exact integers,
+    so both engines derive identical means and pooled variances), the
+    normal-mixture likelihood ratio per day, and p_t =
+    1 / running-max(Lambda) — monotone non-increasing, so stopping at
+    any peek preserves the type-I guarantee. The only data-scale pass is
+    the per-user then per-day grouped count."""
     events = _table(spark, sf_dir, "events")
     arm = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
@@ -97,37 +103,49 @@ def ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = events.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("first_day"),
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("m"),
     ).withColumn("arm", arm)
     daily = u.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.when(F.col("arm") == 0, 1)).alias("na_d"),
-        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("ka_d"),
+        F.sum(F.when(F.col("arm") == 0, F.col("m")).otherwise(0)).alias("sa_d"),
+        F.sum(F.when(F.col("arm") == 0, F.col("m") * F.col("m")).otherwise(0)).alias("qa_d"),
         F.count(F.when(F.col("arm") == 1, 1)).alias("nb_d"),
-        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("kb_d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("m")).otherwise(0)).alias("sb_d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("m") * F.col("m")).otherwise(0)).alias("qb_d"),
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
         "day",
         F.sum("na_d").over(w).alias("na"),
-        F.sum("ka_d").over(w).alias("ka"),
+        F.sum("sa_d").over(w).alias("sa"),
+        F.sum("qa_d").over(w).alias("qa"),
         F.sum("nb_d").over(w).alias("nb"),
-        F.sum("kb_d").over(w).alias("kb"),
-    ).filter(
-        (F.col("na") > 0)
-        & (F.col("nb") > 0)
-        # degenerate pooled rates (0 or 1) make se2 = 0; mirror the oracle
-        & (F.col("ka") + F.col("kb") > 0)
-        & (F.col("ka") + F.col("kb") < F.col("na") + F.col("nb"))
+        F.sum("sb_d").over(w).alias("sb"),
+        F.sum("qb_d").over(w).alias("qb"),
     )
-    p_pool = (F.col("ka") + F.col("kb")).cast("double") / (F.col("na") + F.col("nb"))
+    # Division-free positivity guard (ssw * na * nb > 0): predicate
+    # reordering must never evaluate a division on na = 0 rows under ANSI.
+    ga = F.col("qa").cast("double") * F.col("na") - F.col("sa").cast("double") * F.col("sa")
+    gb = F.col("qb").cast("double") * F.col("nb") - F.col("sb").cast("double") * F.col("sb")
+    cum = cum.filter(
+        (F.col("na") > 1)
+        & (F.col("nb") > 1)
+        & (ga * F.col("nb") + gb * F.col("na") > 0)
+    )
+    ssw = (
+        F.col("qa") - F.col("sa").cast("double") * F.col("sa") / F.col("na")
+    ) + (F.col("qb") - F.col("sb").cast("double") * F.col("sb") / F.col("nb"))
     lr = cum.select(
         "day",
         "na",
         "nb",
-        (F.col("ka").cast("double") / F.col("na") - F.col("kb").cast("double") / F.col("nb")).alias(
+        (F.col("sa").cast("double") / F.col("na") - F.col("sb").cast("double") / F.col("nb")).alias(
             "delta"
         ),
-        (p_pool * (1.0 - p_pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))).alias("se2"),
+        (
+            ssw / (F.col("na") + F.col("nb") - 2)
+            * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+        ).alias("se2"),
     )
     lam = lr.select(
         "day",
