@@ -127,6 +127,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext83,
         queries_ext84,
         queries_ext85,
+        queries_ext86,
         queries_tpch,
     )
 

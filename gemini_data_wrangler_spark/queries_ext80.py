@@ -222,11 +222,13 @@ _RANSAC_EPS = 2000.0
       SELECT pk, x, y, s FROM pts
       CROSS JOIN (SELECT unnest(range(1, {_RANSAC_S + 1})) AS s)
     ), picks AS (
+      -- one md5 per (row, s): the 32-hex digest yields two independent
+      -- 8-hex draw keys (prefix for point A, suffix-half for point B)
       SELECT s,
              arg_min(struct_pack(x := x, y := y),
-                     md5(pk || ':' || CAST(s AS VARCHAR) || ':a')) AS pa,
+                     substring(md5(pk || ':' || CAST(s AS VARCHAR)), 1, 8)) AS pa,
              arg_min(struct_pack(x := x, y := y),
-                     md5(pk || ':' || CAST(s AS VARCHAR) || ':b')) AS pb
+                     substring(md5(pk || ':' || CAST(s AS VARCHAR)), 17, 8)) AS pb
       FROM ex GROUP BY s
     ), lines AS (
       SELECT s, (pb.y - pa.y) / (pb.x - pa.x) AS slope,
@@ -275,16 +277,21 @@ def stats_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     ex = pts.select(
-        "pk", "x", "y", F.explode(F.sequence(F.lit(1), F.lit(_RANSAC_S))).alias("s")
+        "pk",
+        "x",
+        "y",
+        F.explode(F.sequence(F.lit(1), F.lit(_RANSAC_S))).alias("s"),
+    ).withColumn(
+        # one md5 per (row, s); prefix/suffix halves are two independent
+        # 8-hex draw keys
+        "_h",
+        F.md5(F.concat_ws(":", "pk", F.col("s").cast("string"))),
     )
 
-    def draw(tag: str):
-        return F.min_by(
-            F.struct("x", "y"),
-            F.md5(F.concat_ws(":", "pk", F.col("s").cast("string"), F.lit(tag))),
-        )
+    def draw(start: int):
+        return F.min_by(F.struct("x", "y"), F.substring("_h", start, 8))
 
-    picks = ex.groupBy("s").agg(draw("a").alias("pa"), draw("b").alias("pb"))
+    picks = ex.groupBy("s").agg(draw(1).alias("pa"), draw(17).alias("pb"))
     slope = (F.col("pb.y") - F.col("pa.y")) / (F.col("pb.x") - F.col("pa.x"))
     lines = (
         picks.filter(F.col("pa.x") != F.col("pb.x"))
