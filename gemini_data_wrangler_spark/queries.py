@@ -128,6 +128,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext84,
         queries_ext85,
         queries_ext86,
+        queries_ext87,
         queries_tpch,
     )
 
