@@ -129,6 +129,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext85,
         queries_ext86,
         queries_ext87,
+        queries_ext88,
         queries_tpch,
     )
 
