@@ -130,6 +130,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext86,
         queries_ext87,
         queries_ext88,
+        queries_ext89,
         queries_tpch,
     )
 
