@@ -7,7 +7,7 @@ Scale notes:
   shuffle-keyed aggregate over the edge list (partial map-side sums) and
   the normalizer is a single scalar aggregate — the loop state is two
   score tables, localCheckpointed per round to truncate lineage (swap
-  for reliable checkpoint on a cluster). 12 fixed rounds; DuckDB unrolls
+  for reliable checkpoint on a cluster). 8 fixed rounds; DuckDB unrolls
   the same sequence in MATERIALIZED layers. Per-node double sums are
   order-dependent across engines in the last ulp, but the iteration is
   self-correcting (converges to the principal singular vectors), so
@@ -35,7 +35,7 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # HITS on the customer-supplier co-order bipartite graph
 # ---------------------------------------------------------------------------
-_HITS_ITERS = 12
+_HITS_ITERS = 8
 _HITS_TOP = 10
 
 
