@@ -52,6 +52,10 @@ engines and passes through untouched.
 | ``SELECT DISTINCT ON (k) ...``     | row_number window wrapper (requires ORDER BY for determinism → else error) |
 | ``USING SAMPLE n% / n ROWS``       | ``TABLESAMPLE (n PERCENT / n ROWS)`` (+ ``REPEATABLE(seed)``; reservoir/bernoulli/system methods accepted) |
 | ``ASOF [LEFT] JOIN``               | refused → explicit error (use the native as-of operator; textual rewrite cannot preserve semantics for arbitrary projections) |
+| ``string_agg(x[, sep][ORDER BY o])`` | ``listagg(x, sep) [WITHIN GROUP (ORDER BY o)]`` |
+| ``date_diff('part', a, b)``        | boundary-exact arithmetic per part (DuckDB counts boundaries crossed, not complete intervals; 'week' refused) |
+| ``strpos(s, sub)``                 | ``instr(s, sub)`` |
+| ``CAST(x AS VARCHAR)`` (bare)      | ``CAST(x AS STRING)`` |
 """
 
 from __future__ import annotations
@@ -444,6 +448,8 @@ _FN_RENAMES = [
     (re.compile(r"\blist_min\s*\(", re.IGNORECASE), "array_min("),
     # Same argument order and prefix-match semantics.
     (re.compile(r"\bstarts_with\s*\(", re.IGNORECASE), "startswith("),
+    # 1-based position of substring, identical argument order.
+    (re.compile(r"\bstrpos\s*\(", re.IGNORECASE), "instr("),
     # Same "any element in common" semantics (both null-safe on empties).
     (re.compile(r"\blist_has_any\s*\(", re.IGNORECASE), "arrays_overlap("),
 ]
@@ -632,6 +638,97 @@ def _rewrite_list_aggregate(masked: str, literals: list[str]) -> str:
     return _rewrite_two_arg(masked, _LIST_AGGREGATE_RE, build)
 
 
+_STRING_AGG_RE = re.compile(r"\bstring_agg\s*\(", re.IGNORECASE)
+_ORDER_IN_ARG_RE = re.compile(r"\s+ORDER\s+BY\s+", re.IGNORECASE)
+
+
+def _rewrite_string_agg(sql: str) -> str:
+    """``string_agg(x[, sep][ ORDER BY o])`` → ``listagg(x, sep)
+    [WITHIN GROUP (ORDER BY o)]``. DuckDB's default separator is ','."""
+    pos = 0
+    while True:
+        m = _STRING_AGG_RE.search(sql, pos)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.end() - 1)
+        close = _find_matching(sql, open_idx, "(", ")")
+        if close < 0:
+            return sql
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : close])]
+        if not 1 <= len(args) <= 2:
+            pos = m.end()
+            continue
+        order = None
+        om = _ORDER_IN_ARG_RE.search(args[-1])
+        if om:
+            order = args[-1][om.end() :].strip()
+            args[-1] = args[-1][: om.start()].strip()
+            if not args[-1]:
+                args.pop()
+        sep = args[1] if len(args) == 2 else "','"
+        repl = f"listagg({args[0]}, {sep})"
+        if order:
+            repl += f" WITHIN GROUP (ORDER BY {order})"
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+
+_DATE_DIFF_RE = re.compile(r"\bdate_?diff\s*\(", re.IGNORECASE)
+_BARE_VARCHAR_RE = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
+
+# DuckDB's date_diff counts PART BOUNDARIES crossed, which differs from
+# Spark's timestampdiff (complete intervals). Each unit maps to the exact
+# boundary arithmetic instead; 'week' boundaries have no clean Spark
+# counterpart and are refused.
+_DATE_DIFF_TEMPLATES = {
+    "day": "datediff(cast({b} as date), cast({a} as date))",
+    "month": "((year({b}) * 12 + month({b})) - (year({a}) * 12 + month({a})))",
+    "year": "(year({b}) - year({a}))",
+    "quarter": "((year({b}) * 4 + quarter({b})) - (year({a}) * 4 + quarter({a})))",
+    "hour": "(unix_micros(cast({b} as timestamp)) div 3600000000"
+    " - unix_micros(cast({a} as timestamp)) div 3600000000)",
+    "minute": "(unix_micros(cast({b} as timestamp)) div 60000000"
+    " - unix_micros(cast({a} as timestamp)) div 60000000)",
+    "second": "(unix_micros(cast({b} as timestamp)) div 1000000"
+    " - unix_micros(cast({a} as timestamp)) div 1000000)",
+}
+
+
+def _rewrite_date_diff(masked: str, literals: list[str]) -> str:
+    """3-arg ``date_diff('part', a, b)`` → boundary-exact Spark arithmetic
+    (DuckDB counts boundaries crossed, NOT complete intervals — Spark's
+    timestampdiff would silently disagree at month ends). 2-arg datediff
+    (already Spark-compatible) is left untouched."""
+    pos = 0
+    while True:
+        m = _DATE_DIFF_RE.search(masked, pos)
+        if not m:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close = _find_matching(masked, open_idx, "(", ")")
+        if close < 0:
+            return masked
+        args = [a.strip() for a in _split_top_level(masked[open_idx + 1 : close])]
+        if len(args) != 3:
+            pos = m.end()
+            continue
+        ph = re.fullmatch(r"\x00(\d+)\x00", args[0])
+        if not ph:
+            raise ValueError(
+                "date_diff with a non-literal part cannot be translated; "
+                "inline the part as a string literal"
+            )
+        unit = literals[int(ph.group(1))][1:-1].lower().rstrip("s")
+        tmpl = _DATE_DIFF_TEMPLATES.get(unit)
+        if tmpl is None:
+            raise ValueError(
+                f"date_diff({unit!r}, ...) boundary semantics have no exact "
+                "Spark counterpart (DuckDB counts part boundaries crossed); "
+                "supported parts: " + ", ".join(sorted(_DATE_DIFF_TEMPLATES))
+            )
+        repl = tmpl.format(a=args[1], b=args[2])
+        masked = masked[: m.start()] + repl + masked[close + 1 :]
+
+
 def _rewrite_list_sum(sql: str) -> str:
     while True:
         m = _LIST_SUM_RE.search(sql)
@@ -728,6 +825,11 @@ def duckdb_to_spark_sql(sql: str) -> str:
             else f"unix_millis(cast({arg} as timestamp))"
         ),
     )
+    # Bare VARCHAR (DuckDB's default string type) needs a length in Spark;
+    # map to STRING. Parameterized VARCHAR(n) is Spark-valid and untouched.
+    masked = _BARE_VARCHAR_RE.sub("STRING", masked)
+    masked = _rewrite_date_diff(masked, literals)
+    masked = _rewrite_string_agg(masked)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_using_sample(masked)
     out = _rewrite_qualify(masked)

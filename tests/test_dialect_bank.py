@@ -228,6 +228,43 @@ BANK = [
         LIMIT 2
         """,
     ),
+    (
+        "string_agg_default_sep",
+        """
+        SELECT o_orderstatus, string_agg(CAST(o_orderkey AS VARCHAR))
+                 AS agg_keys
+        FROM (SELECT * FROM orders WHERE o_orderkey < 40) t
+        GROUP BY o_orderstatus
+        """,
+    ),
+    (
+        "string_agg_ordered",
+        """
+        SELECT o_orderstatus,
+               string_agg(CAST(o_orderkey AS VARCHAR), '|'
+                          ORDER BY o_orderkey DESC) AS agg_keys
+        FROM (SELECT * FROM orders WHERE o_orderkey < 40) t
+        GROUP BY o_orderstatus
+        """,
+    ),
+    (
+        "date_diff_day_and_month",
+        """
+        SELECT o_orderkey,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                 AS dd,
+               date_diff('month', DATE '1995-01-31', CAST(o_orderdate AS DATE))
+                 AS md
+        FROM orders WHERE o_orderkey < 50
+        """,
+    ),
+    (
+        "strpos_positions",
+        """
+        SELECT c_custkey, strpos(c_name, '1') AS pos1
+        FROM customer WHERE c_custkey < 30
+        """,
+    ),
 ]
 
 
