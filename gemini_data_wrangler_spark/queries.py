@@ -131,6 +131,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext87,
         queries_ext88,
         queries_ext89,
+        queries_ext90,
         queries_tpch,
     )
 
