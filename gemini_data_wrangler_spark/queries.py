@@ -132,6 +132,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext88,
         queries_ext89,
         queries_ext90,
+        queries_ext91,
         queries_tpch,
     )
 
