@@ -133,6 +133,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext89,
         queries_ext90,
         queries_ext91,
+        queries_ext92,
         queries_tpch,
     )
 

@@ -219,16 +219,22 @@ _RANSAC_EPS = 2000.0
              CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
       FROM lineitem
     ), ex AS (
+      -- hypothesis draws come from a 10% deterministic key-sample; the
+      -- md5 draw-key work shrinks 10x while inlier counting still runs
+      -- over every point
       SELECT pk, x, y, s FROM pts
       CROSS JOIN (SELECT unnest(range(1, {_RANSAC_S + 1})) AS s)
+      WHERE CAST(split_part(pk, ':', 1) AS BIGINT) % 10 = 0
     ), picks AS (
       -- one md5 per (row, s): the 32-hex digest yields two independent
-      -- 8-hex draw keys (prefix for point A, suffix-half for point B)
+      -- 16-hex draw keys (prefix for point A, suffix half for point B;
+      -- 8 hex collides at ~0.4% per draw and ties break differently per
+      -- engine)
       SELECT s,
              arg_min(struct_pack(x := x, y := y),
-                     substring(md5(pk || ':' || CAST(s AS VARCHAR)), 1, 8)) AS pa,
+                     substring(md5(pk || ':' || CAST(s AS VARCHAR)), 1, 16)) AS pa,
              arg_min(struct_pack(x := x, y := y),
-                     substring(md5(pk || ':' || CAST(s AS VARCHAR)), 17, 8)) AS pb
+                     substring(md5(pk || ':' || CAST(s AS VARCHAR)), 17, 16)) AS pb
       FROM ex GROUP BY s
     ), lines AS (
       SELECT s, (pb.y - pa.y) / (pb.x - pa.x) AS slope,
@@ -276,7 +282,11 @@ def stats_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
-    ex = pts.select(
+    # hypothesis draws from a 10% deterministic key-sample (inlier
+    # counting below still scans every point)
+    ex = pts.filter(
+        F.split(F.col("pk"), ":").getItem(0).cast("bigint") % 10 == 0
+    ).select(
         "pk",
         "x",
         "y",
@@ -289,7 +299,7 @@ def stats_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def draw(start: int):
-        return F.min_by(F.struct("x", "y"), F.substring("_h", start, 8))
+        return F.min_by(F.struct("x", "y"), F.substring("_h", start, 16))
 
     picks = ex.groupBy("s").agg(draw(1).alias("pa"), draw(17).alias("pb"))
     slope = (F.col("pb.y") - F.col("pa.y")) / (F.col("pb.x") - F.col("pa.x"))
