@@ -134,6 +134,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext90,
         queries_ext91,
         queries_ext92,
+        queries_ext93,
         queries_tpch,
     )
 
