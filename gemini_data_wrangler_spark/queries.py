@@ -135,6 +135,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext91,
         queries_ext92,
         queries_ext93,
+        queries_ext94,
         queries_tpch,
     )
 
