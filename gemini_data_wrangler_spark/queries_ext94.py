@@ -128,13 +128,10 @@ _MDE_ZB = 0.8416212335729143  # z_{0.80}
 @register(
     "ab_mde_curve",
     f"""
-    WITH u AS MATERIALIZED (
-      SELECT user_id, CAST(min(CAST(ts AS DATE)) AS DATE) AS first_day,
-             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS conv
-      FROM events GROUP BY user_id
-    ), daily AS (
-      SELECT first_day AS day, count(*) AS n_d, sum(conv) AS k_d
-      FROM u GROUP BY first_day
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_d,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k_d
+      FROM events GROUP BY CAST(ts AS DATE)
     ), cum AS (
       SELECT day,
              sum(n_d) OVER w AS n, sum(k_d) OVER w AS k
@@ -149,20 +146,17 @@ _MDE_ZB = 0.8416212335729143  # z_{0.80}
     """,
 )
 def ab_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Experiment-planning curve: for each cumulative day of user
-    accrual, the minimum detectable absolute lift in signup conversion
-    at alpha=0.05 (two-sided) / power=0.80 under a 50/50 split —
-    (z_a+z_b)*sqrt(2 p(1-p)/(n/2)). Integer cumulative counts over the
-    bounded day axis and fixed z constants: no inverse-CDF evaluation,
-    exact parity. The first table every experimentation platform shows
-    before launch."""
+    """Experiment-planning curve: for each cumulative day of event
+    accrual, the minimum detectable absolute lift in the per-event
+    purchase rate at alpha=0.05 (two-sided) / power=0.80 under a 50/50
+    split — (z_a+z_b)*sqrt(2 p(1-p)/(n/2)). Integer cumulative counts
+    over the bounded day axis and fixed z constants: no inverse-CDF
+    evaluation, exact parity. The first table every experimentation
+    platform shows before launch."""
     events = _table(spark, sf_dir, "events")
-    u = events.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("first_day"),
-        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("conv"),
-    )
-    daily = u.groupBy(F.col("first_day").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_d"), F.sum("conv").alias("k_d")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k_d"),
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
@@ -214,9 +208,10 @@ _TD_Q = 0.9
 def stats_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical upper-tail dependence at q={_TD_Q} between order value
     and line count: P(Y in its top decile | X in its top decile). Under
-    independence this equals 1-q; a large ratio over the baseline is
-    copula-level dependence that correlation can miss. Exact percentile
-    thresholds (one pass) then integer joint-exceedance counts."""
+    independence this equals 1-q; a ratio above (below) the baseline is
+    upper-tail co-movement (anti-dependence) that a correlation
+    coefficient cannot see. Exact percentile thresholds (one pass) then
+    integer joint-exceedance counts."""
     orders = _table(spark, sf_dir, "orders")
     lineitem = _table(spark, sf_dir, "lineitem")
     o = (

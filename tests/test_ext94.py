@@ -47,12 +47,34 @@ def test_mde_curve_monotone(spark):
     assert rows[-1]["mde_abs"] < rows[0]["mde_abs"]
     for r in rows:
         assert 0 < r["mde_abs"] < 2
+        assert 0 < r["base_rate"] < 1
 
 
 def test_tail_dependence_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
     row = _q("stats_tail_dependence")(spark, SF_ORACLE).collect()[0]
     assert 0 <= row["lambda_upper"] <= 1
     assert row["n_joint"] <= row["n_x_tail"]
-    # order value is the sum of line extended prices, so more lines =>
-    # higher value: expect strong positive tail dependence
-    assert row["lambda_upper"] > row["independence_baseline"]
+    # brute-force recomputation from the joined rows
+    import numpy as np
+
+    t = load_sf_tables(spark, SF_ORACLE)
+    o = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .groupBy(t["orders"]["o_orderkey"], F.col("o_totalprice").alias("x"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    xs = np.array([r["x"] for r in o])
+    ys = np.array([float(r["y"]) for r in o])
+    tx = np.percentile(xs, 90)
+    ty = np.percentile(ys, 90)
+    n_x = int((xs > tx).sum())
+    n_j = int(((xs > tx) & (ys > ty)).sum())
+    assert row["n_x_tail"] == n_x
+    assert row["n_joint"] == n_j
+    assert abs(row["lambda_upper"] - n_j / n_x) < 1e-5
