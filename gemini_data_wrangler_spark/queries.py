@@ -136,6 +136,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext92,
         queries_ext93,
         queries_ext94,
+        queries_ext95,
         queries_tpch,
     )
 
