@@ -137,6 +137,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext93,
         queries_ext94,
         queries_ext95,
+        queries_ext96,
         queries_tpch,
     )
 
