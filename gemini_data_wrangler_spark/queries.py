@@ -138,6 +138,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext94,
         queries_ext95,
         queries_ext96,
+        queries_ext97,
         queries_tpch,
     )
 

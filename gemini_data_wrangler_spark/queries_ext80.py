@@ -101,7 +101,10 @@ def _logit_spark_deviance() -> str:
     return f"2.0D * aggregate(cells, 0.0D, (a, c) -> a + {term})"
 
 
-def _logit_oracle() -> str:
+def _logit_oracle(final_select: str | None = None) -> str:
+    """DuckDB IRLS layers; ``final_select`` (FROM it{N} CROSS JOIN cells)
+    overrides the default coefficient/deviance output — reused by the
+    partial-dependence query in batch 97."""
     p = "(1.0/(1.0 + exp(-(b0 + b1*c.x1 + b2*c.x2))))"
     w = f"(c.n * {p} * (1.0 - {p}))"
     r = f"(c.k - c.n * {p})"
@@ -136,6 +139,11 @@ def _logit_oracle() -> str:
         f" + CASE WHEN c.k < c.n THEN (c.n - c.k) * ln((c.n - c.k) / (c.n * (1.0 - {p})))"
         " ELSE 0.0 END)"
     )
+    default_select = (
+        "SELECT round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,"
+        f" round(2.0 * {s(dev_term)}, 4) AS deviance, n_cells"
+        f" FROM it{_LOGIT_ITERS} CROSS JOIN cells"
+    )
     return f"""
     WITH grid AS MATERIALIZED (
       SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS x1,
@@ -151,10 +159,7 @@ def _logit_oracle() -> str:
       FROM grid
     ),
     {", ".join(layers)}
-    SELECT round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
-           round(2.0 * {s(dev_term)}, 4) AS deviance,
-           n_cells
-    FROM it{_LOGIT_ITERS} CROSS JOIN cells
+    {final_select or default_select}
     """
 
 
