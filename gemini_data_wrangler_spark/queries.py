@@ -139,6 +139,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext95,
         queries_ext96,
         queries_ext97,
+        queries_ext98,
         queries_tpch,
     )
 
