@@ -140,6 +140,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext96,
         queries_ext97,
         queries_ext98,
+        queries_ext99,
         queries_tpch,
     )
 
