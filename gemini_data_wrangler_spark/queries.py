@@ -141,6 +141,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext97,
         queries_ext98,
         queries_ext99,
+        queries_ext100,
         queries_tpch,
     )
 
