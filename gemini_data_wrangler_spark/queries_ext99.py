@@ -124,3 +124,35 @@ def corpus_neardup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("neardup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index
+# ---------------------------------------------------------------------------
+@register(
+    "agg_theil_index",
+    """
+    WITH pos AS (SELECT c_acctbal AS v FROM customer WHERE c_acctbal > 0)
+    SELECT count(*) AS n,
+           round(avg(v), 4) AS mean_balance,
+           round(avg(v / (SELECT avg(v) FROM pos)
+                     * ln(v / (SELECT avg(v) FROM pos))), 6) AS theil_t
+    FROM pos
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index over positive account balances: E[(v/mu) ln(v/mu)]
+    — the entropy-based inequality measure that, unlike Gini, decomposes
+    additively across subgroups. Two cheap aggregates (the mean, then
+    one normalized-log pass); completes the Gini / Atkinson / Lorenz
+    inequality family."""
+    cust = _table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).select(F.col("c_acctbal").alias("v"))
+    mu = pos.agg(F.avg("v").alias("mu"))
+    j = pos.crossJoin(F.broadcast(mu))
+    r = F.col("v") / F.col("mu")
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 4).alias("mean_balance"),
+        F.round(F.avg(r * F.log(r)), 6).alias("theil_t"),
+    )
