@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "parity":
+        from gemini_data_wrangler_spark.parity import main as parity_main
+
+        return parity_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     owned = spark is None
