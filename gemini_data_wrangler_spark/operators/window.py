@@ -113,11 +113,14 @@ def two_level_rank(
     tiebreaks: list[Column],
     block: Column,
     out_col: str = "_grank",
+    parts: list[str] | None = None,
 ) -> DataFrame:
     """Dense global row_number over (key, *tiebreaks) WITHOUT a
     single-partition window: ``block`` must be an order-preserving
-    coarsening of ``key`` (e.g. ``key >> 24`` or ``key div 64``) — every
-    row of a lower block sorts before every row of a higher block, so
+    coarsening of (key, *tiebreaks) (e.g. ``key >> 24``, ``key div 64``,
+    or a ``struct(key, coarse_tiebreak)`` when the leading key is heavily
+    tied) — every row of a lower block sorts before every row of a higher
+    block, so
 
       global_rank = (# rows in lower blocks) + within-block row_number.
 
@@ -125,18 +128,29 @@ def two_level_rank(
     the carry prefix runs over the per-block count table (metadata-sized).
     Same shape as `pack_sequences` / `ops_watermark_sizing`'s prefix sums.
 
+    ``parts`` (optional, column NAMES already on ``df``) restarts the rank
+    per group — the distributed equivalent of
+    ``row_number() OVER (PARTITION BY parts ORDER BY key, tiebreaks)``:
+    the within window partitions on (parts, block) and the carry prefix is
+    computed per group over its own block counts.
+
     Returns ``df`` with ``out_col`` added (cols ``_blk`` consumed).
     """
+    parts = parts or []
     base = df.withColumn("_blk", block).withColumn("_key", key)
-    w_in = Window.partitionBy("_blk").orderBy(F.col("_key"), *tiebreaks)
+    w_in = Window.partitionBy(*parts, "_blk").orderBy(F.col("_key"), *tiebreaks)
     within = base.withColumn("_wrank", F.row_number().over(w_in))
-    counts = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
-    w_blocks = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    counts = base.groupBy(*parts, "_blk").agg(F.count(F.lit(1)).alias("_bn"))
+    w_blocks = (
+        Window.partitionBy(*parts)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     carry = counts.select(
-        "_blk", F.coalesce(F.sum("_bn").over(w_blocks), F.lit(0)).alias("_carry")
+        *parts, "_blk", F.coalesce(F.sum("_bn").over(w_blocks), F.lit(0)).alias("_carry")
     )
     return (
-        within.join(F.broadcast(carry), "_blk")
+        within.join(F.broadcast(carry), [*parts, "_blk"])
         .withColumn(out_col, F.col("_carry") + F.col("_wrank"))
         .drop("_blk", "_key", "_wrank", "_carry")
     )

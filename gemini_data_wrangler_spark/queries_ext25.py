@@ -219,8 +219,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     word ranks. Natural corpora sit near slope −1 with high R²; synthetic
     or templated text breaks the line — a one-row corpus-health metric
     (pairs with `text_ngram_novelty` / `dq_benford_digits` as generation
-    screens). One exploded count, one ranking window over the (small)
-    vocabulary, six running sums for the regression."""
+    screens). One exploded count; the top-1k head is pruned
+    distributedly FIRST (orderBy+limit → TakeOrderedAndProject, each
+    task keeps a local top-1k) so the ranking window's single-task frame
+    is constant-bounded — never the corpus-growing full vocabulary."""
     docs = _table(spark, sf_dir, "documents")
     freq = (
         docs.select(
@@ -229,12 +231,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = freq.select(
+    head = freq.orderBy(F.col("f").desc(), F.col("w").asc()).limit(_ZIPF_TOP)
+    ranked = head.select(
         "f",
         F.row_number()
         .over(Window.orderBy(F.col("f").desc(), F.col("w").asc()))
         .alias("r"),
-    ).filter(F.col("r") <= _ZIPF_TOP)
+    )
     lf = F.log(F.col("f").cast("double"))
     lr = F.log(F.col("r").cast("double"))
     return ranked.agg(

@@ -249,16 +249,28 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     user owns all activity. Closed-form Σ i·xᵢ over the ascending-sorted
     per-user table (tie order cancels: equal x contribute identically
     for any permutation of their ranks). Raw events collapse to one row
-    per user FIRST; the ranking window sees only that small table."""
+    per user FIRST; the rank over that table is the distributed
+    two-level shape (`two_level_rank`, block = (count, user_id>>10) — a
+    struct coarsening that spreads the heavy count-ties of a power-law
+    activity distribution across user sub-blocks), and n/tot come from a
+    broadcast 1-row aggregate — no user-population-sized single-task
+    window anywhere."""
+    from gemini_data_wrangler_spark.operators.window import two_level_rank
+
     events = _table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    w_all = Window.partitionBy()
-    ranked = per_user.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "user_id")).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("x").over(w_all).alias("tot"),
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
     )
+    ranked = two_level_rank(
+        per_user,
+        key=F.col("x"),
+        tiebreaks=[F.col("user_id")],
+        block=F.struct(
+            F.col("x").alias("b0"), F.shiftright("user_id", 10).alias("b1")
+        ),
+        out_col="i",
+    ).crossJoin(F.broadcast(totals)).select("x", "i", "n", "tot")
     return ranked.agg(
         F.max("n").alias("n_users"),
         F.round(

@@ -242,16 +242,30 @@ def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per group + one aggregate. The standard pattern for pairwise
     statistics at scale — sort once, weight by rank, never materialize
     pairs (the test proves equality against the brute-force pair mean
-    on a subset)."""
+    on a subset).
+
+    Scale: o_orderpriority has ~5 values, so a plain PARTITION BY window
+    funnels n/5 rows through single tasks; instead the per-group rank is
+    the grouped two-level shape (`two_level_rank(parts=[grp])`, block =
+    floor(price) value buckets), fully hash-distributed, and the group
+    sizes are a broadcast 5-row aggregate."""
+    from gemini_data_wrangler_spark.operators.window import two_level_rank
+
     orders = _table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    r = orders.select(
+    base = orders.select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").alias("x"),
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "o_orderkey",
     )
+    sizes = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    r = two_level_rank(
+        base,
+        key=F.col("x"),
+        tiebreaks=[F.col("o_orderkey")],
+        block=F.floor("x").cast("long"),
+        out_col="i",
+        parts=["grp"],
+    ).join(F.broadcast(sizes), "grp")
     return r.groupBy("grp").agg(
         F.first("n").alias("n"),
         F.round(

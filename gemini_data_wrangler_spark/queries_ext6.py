@@ -255,19 +255,27 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus never shuffles on words — the vocabulary (distinct
     words + counts, vastly smaller than the token stream) is built with one
     partial-aggregated exchange, ranked, and broadcast back; encoding is
-    then map-side + one doc_id-keyed aggregation. The rank window is a
-    single task over the VOCABULARY only; a billion-entry vocabulary would
-    use the same two-level prefix-rank trick as ``pack_sequences``."""
-    from pyspark.sql import Window
+    then map-side + one doc_id-keyed aggregation. The word-id rank is the
+    two-level distributed shape (`two_level_rank`): block = (count, word
+    2-char prefix) — an order-preserving coarsening of (c desc, w asc)
+    that spreads even a Zipf tail (where most words tie at c=1) across
+    prefix sub-blocks — so no vocabulary-sized single-task window
+    anywhere; the carry prefix runs over the metadata-sized per-block
+    count table only."""
+    from gemini_data_wrangler_spark.operators.window import two_level_rank
 
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w")
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    vocab = freq.withColumn(
-        "wid", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
-    ).select("w", "wid")
+    vocab = two_level_rank(
+        freq,
+        key=-F.col("c"),
+        tiebreaks=[F.col("w").asc()],
+        block=F.struct((-F.col("c")).alias("b0"), F.substring("w", 1, 2).alias("b1")),
+        out_col="wid",
+    ).select("w", F.col("wid").cast("int").alias("wid"))
     return (
         tok.join(F.broadcast(vocab), "w")
         .groupBy("doc_id")

@@ -237,28 +237,30 @@ _COVERAGE_KS = (100, 500, 1000, 5000)
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-mass coverage of the top-k vocabulary for k ∈ {100, 500,
     1000, 5000} — the curve that sizes a tokenizer's vocab before
-    training. Frequencies aggregate to |vocab| rows first; one ordered
-    cumulative sum (freq desc, token tiebreak) and a threshold probe
-    per k. Integer token-mass sums are exact; the share is a single
-    division, so no cross-engine FP drift."""
+    training. Frequencies aggregate to |vocab| rows first; only the
+    top max(k)=5000 head is ever ranked — pruned distributedly via
+    TakeOrderedAndProject (orderBy+limit), so the single-task ordered
+    window sees a CONSTANT-bounded frame regardless of corpus vocabulary
+    size; the denominator is a broadcast 1-row global total. Integer
+    token-mass sums are exact; the share is a single division, so no
+    cross-engine FP drift."""
     docs = _table(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    total = freq.agg(F.sum("f").alias("total"))
+    # TakeOrderedAndProject: each task keeps its local top-5000, driver
+    # merges — never a full sort, never a vocabulary-sized window frame.
+    head = freq.orderBy(F.col("f").desc(), F.col("w")).limit(max(_COVERAGE_KS))
     w_rank = Window.orderBy(F.col("f").desc(), F.col("w"))
-    ranked = freq.select(
+    ranked = head.select(
         "f",
         F.row_number().over(w_rank).alias("r"),
         F.sum("f")
         .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum"),
-        F.sum("f").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
-    )
+    ).crossJoin(F.broadcast(total))
     ks = F.explode(F.array(*[F.lit(k) for k in _COVERAGE_KS])).alias("k")
     return (
         ranked.crossJoin(ranked.sparkSession.range(1).select(ks).select("k"))

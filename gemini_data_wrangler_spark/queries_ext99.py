@@ -50,11 +50,30 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     total balance held by the bottom k deciles (deterministic ntile,
     integer-cents sums — exact parity). The distributional picture the
     Gini/Atkinson scalars summarize; a curve hugging the diagonal means
-    equality."""
+    equality.
+
+    Scale: the decile assignment is the distributed two-level rank
+    (`two_level_rank`, block = floor(acctbal) — order-preserving value
+    buckets) + the closed-form `ntile_from_rank`, so no customer-sized
+    single-task window; only the 10-row decile table sees ordered
+    windows."""
+    from gemini_data_wrangler_spark.operators.window import (
+        ntile_from_rank,
+        two_level_rank,
+    )
+
     cust = _table(spark, sf_dir, "customer")
-    pos = cust.filter(F.col("c_acctbal") > 0).select(
+    filt = cust.filter(F.col("c_acctbal") > 0)
+    n_tot = filt.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = two_level_rank(
+        filt,
+        key=F.col("c_acctbal"),
+        tiebreaks=[F.col("c_custkey")],
+        block=F.floor("c_acctbal").cast("long"),
+    )
+    pos = ranked.crossJoin(F.broadcast(n_tot)).select(
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
-        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("decile"),
+        ntile_from_rank(F.col("_grank"), F.col("_n"), 10).alias("decile"),
     )
     d = pos.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
