@@ -156,6 +156,30 @@ def two_level_rank(
     )
 
 
+def distributed_ntile(
+    df: DataFrame,
+    k: int,
+    key: Column,
+    tiebreaks: list[Column],
+    block: Column,
+    out_col: str = "_ntile",
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY key, tiebreaks)`` without a single-task
+    data-sized window: two-level distributed rank + the closed-form
+    `ntile_from_rank` split, with the row count as a broadcast 1-row
+    aggregate. Exactly matches SQL ntile (first n mod k buckets get the
+    extra row). Returns ``df`` plus ``out_col``; see `two_level_rank` for
+    the ``block`` contract (order-preserving coarsening of the sort key).
+    """
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = two_level_rank(df, key, tiebreaks, block, out_col="_grank")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(out_col, ntile_from_rank(F.col("_grank"), F.col("_n"), k))
+        .drop("_grank", "_n")
+    )
+
+
 def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
     """SQL ntile(k) bucket from a 1-based global rank: the first
     ``n_rows mod k`` buckets hold ``ceil(n/k)`` rows, the rest floor —

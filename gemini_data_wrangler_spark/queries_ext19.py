@@ -144,20 +144,30 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    return rfm.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .alias("m_score"),
+    # Each quintile is the distributed two-level rank + closed-form ntile
+    # (`distributed_ntile`) — no customer-population-sized single-task
+    # window. Blocks: recency day values spread on their own; frequency
+    # (few distinct, heavy ties) sub-blocks on custkey; monetary uses
+    # floor-value buckets.
+    from gemini_data_wrangler_spark.operators.window import distributed_ntile
+
+    out = distributed_ntile(
+        rfm, 5, F.col("recency_days"), [F.col("o_custkey")],
+        F.col("recency_days"), "r_score",
+    )
+    out = distributed_ntile(
+        out, 5, -F.col("frequency"), [F.col("o_custkey")],
+        F.struct((-F.col("frequency")).alias("b0"),
+                 F.shiftright("o_custkey", 10).alias("b1")),
+        "f_score",
+    )
+    out = distributed_ntile(
+        out, 5, -F.col("monetary"), [F.col("o_custkey")],
+        F.floor(-F.col("monetary")).cast("long"), "m_score",
+    )
+    return out.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 

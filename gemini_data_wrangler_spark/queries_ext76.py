@@ -203,16 +203,26 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight of evidence per acctbal decile against the BUILDING label
     (WoE = ln(%good/%bad)) with the per-bin information-value term —
     the credit-scoring / feature-screening standard. Deciles come from
-    ntile over a deterministic (value, key) order; at cluster scale the
-    same bins come from the distributed two-level rank
-    (`operators/window.py`) instead of a global sort — stated here, the
-    window form kept for oracle equivalence. One grouped count per bin
-    + a broadcast totals row."""
+    ntile over a deterministic (value, key) order, computed as the
+    distributed two-level rank + closed-form split (`distributed_ntile`,
+    block = floor(acctbal) value buckets) — no customer-sized
+    single-task window. One grouped count per bin + a broadcast totals
+    row."""
+    from gemini_data_wrangler_spark.operators.window import distributed_ntile
+
     cust = _table(spark, sf_dir, "customer")
-    ranked = cust.select(
-        (F.col("c_mktsegment") == "BUILDING").alias("is_good"),
-        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("bin"),
-    )
+    ranked = distributed_ntile(
+        cust.select(
+            (F.col("c_mktsegment") == "BUILDING").alias("is_good"),
+            "c_acctbal",
+            "c_custkey",
+        ),
+        10,
+        F.col("c_acctbal"),
+        [F.col("c_custkey")],
+        F.floor("c_acctbal").cast("long"),
+        "bin",
+    ).select("is_good", "bin")
     bins = ranked.groupBy("bin").agg(
         F.count(F.when(F.col("is_good"), 1)).alias("n_good"),
         F.count(F.when(~F.col("is_good"), 1)).alias("n_bad"),

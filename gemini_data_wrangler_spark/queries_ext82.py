@@ -205,14 +205,24 @@ def quality_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists in identical order."""
     from pyspark.sql import Window
 
+    from gemini_data_wrangler_spark.operators.window import distributed_ntile
+
     orders = _table(spark, sf_dir, "orders")
-    scored = orders.select(
-        F.col("o_totalprice").alias("score"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
-        F.ntile(_PLATT_BINS)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("b"),
-    )
+    # Percentile bins via distributed two-level rank + closed-form ntile
+    # (block = floor(price)) — no orders-sized single-task window.
+    scored = distributed_ntile(
+        orders.select(
+            F.col("o_totalprice").alias("score"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        _PLATT_BINS,
+        F.col("o_totalprice"),
+        [F.col("o_orderkey")],
+        F.floor("o_totalprice").cast("long"),
+        "b",
+    ).select("score", "y", "b")
     grid = scored.groupBy("b").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("k"),

@@ -349,11 +349,19 @@ def ab_propensity_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFra
             )
         ).alias("e"),
     )
-    ranked = ps.select(
-        "tr",
-        "y",
-        F.ntile(_PS_STRATA).over(Window.orderBy("e", "tr", "y")).alias("stratum"),
-    )
+    # Strata via distributed two-level rank + closed-form ntile (block =
+    # 256 propensity-value buckets) — no unit-population-sized
+    # single-task window.
+    from gemini_data_wrangler_spark.operators.window import distributed_ntile
+
+    ranked = distributed_ntile(
+        ps.select("tr", "y", "e"),
+        _PS_STRATA,
+        F.col("e"),
+        [F.col("tr"), F.col("y")],
+        F.floor(F.col("e") * 256).cast("long"),
+        "stratum",
+    ).select("tr", "y", "stratum")
     strata = ranked.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0)).alias("y1"),

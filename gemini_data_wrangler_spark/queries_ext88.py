@@ -83,13 +83,23 @@ def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums (exact parity), and the output is the stepwise
     monotone calibration map. The relational restatement of an
     'inherently sequential' algorithm via its closed-form identity."""
+    from gemini_data_wrangler_spark.operators.window import distributed_ntile
+
     orders = _table(spark, sf_dir, "orders")
-    scored = orders.select(
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
-        F.ntile(_ISO_BINS)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("b"),
-    )
+    # Percentile bins via distributed two-level rank + closed-form ntile
+    # (block = floor(price)) — no orders-sized single-task window.
+    scored = distributed_ntile(
+        orders.select(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        _ISO_BINS,
+        F.col("o_totalprice"),
+        [F.col("o_orderkey")],
+        F.floor("o_totalprice").cast("long"),
+        "b",
+    ).select("y", "b")
     bins = scored.groupBy("b").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
     ).persist()

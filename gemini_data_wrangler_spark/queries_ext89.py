@@ -189,15 +189,26 @@ def ab_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q(k) = sum(y1 - y0*n1/n0) — the uplift model's decision curve.
     Integer counts, exact ratios, one grouped pass after the window."""
     orders = _table(spark, sf_dir, "orders")
-    unit = orders.select(
-        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
-        .otherwise(0)
-        .alias("tr"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
-        F.ntile(_QINI_DECILES)
-        .over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
-        .alias("d"),
-    )
+    # Score deciles via distributed two-level rank + closed-form ntile
+    # (key = -price for DESC, block = floor(-price)) — no orders-sized
+    # single-task window.
+    from gemini_data_wrangler_spark.operators.window import distributed_ntile
+
+    unit = distributed_ntile(
+        orders.select(
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        _QINI_DECILES,
+        -F.col("o_totalprice"),
+        [F.col("o_orderkey").asc()],
+        F.floor(-F.col("o_totalprice")).cast("long"),
+        "d",
+    ).select("tr", "y", "d")
     dec = unit.groupBy("d").agg(
         F.sum("tr").alias("n1"),
         F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0)).alias("y1"),
