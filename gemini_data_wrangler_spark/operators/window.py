@@ -156,6 +156,59 @@ def two_level_rank(
     )
 
 
+def two_level_cumsum(
+    df: DataFrame,
+    key: Column,
+    tiebreaks: list[Column],
+    block: Column,
+    sums: dict[str, Column],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed ``sum(col) OVER (ORDER BY key, tiebreaks ROWS BETWEEN
+    UNBOUNDED PRECEDING AND {CURRENT ROW | 1 PRECEDING})`` for each
+    ``out_name -> col`` in ``sums`` — the prefix-sum sibling of
+    `two_level_rank`: within-block running sums are hash-partitioned on
+    the block, the cross-block carry is a prefix over the metadata-sized
+    per-block totals table, broadcast back. ``block`` must be an
+    order-preserving coarsening of the sort key (same contract as
+    `two_level_rank`). Use for ECDF / threshold sweeps over
+    distinct-value histograms whose cardinality grows with the data.
+    """
+    base = df.withColumn("_blk", block).withColumn("_key", key)
+    end = 0 if inclusive else -1
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy(F.col("_key"), *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    within = base.select(
+        "*",
+        *[
+            F.coalesce(F.sum(col).over(w_in), F.lit(0)).alias(f"_w_{name}")
+            for name, col in sums.items()
+        ],
+    )
+    totals = base.groupBy("_blk").agg(
+        *[F.sum(col).alias(f"_t_{name}") for name, col in sums.items()]
+    )
+    w_blocks = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = totals.select(
+        "_blk",
+        *[
+            F.coalesce(F.sum(f"_t_{name}").over(w_blocks), F.lit(0)).alias(
+                f"_c_{name}"
+            )
+            for name in sums
+        ],
+    )
+    out = within.join(F.broadcast(carry), "_blk")
+    for name in sums:
+        out = out.withColumn(name, F.col(f"_c_{name}") + F.col(f"_w_{name}"))
+    return out.drop(
+        "_blk", "_key", *[f"_w_{n}" for n in sums], *[f"_c_{n}" for n in sums]
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     k: int,

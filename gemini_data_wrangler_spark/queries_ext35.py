@@ -161,10 +161,19 @@ def corpus_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = grid.select(
-        (F.sum("ca").over(w) / float(n_a)).alias("fa"),
-        (F.sum("cb").over(w) / float(n_b)).alias("fb"),
+    # Distributed prefix sums (`two_level_cumsum`, block = v>>6): the
+    # ECDF pass stays hash-partitioned as the merged value grid grows.
+    from gemini_data_wrangler_spark.operators.window import two_level_cumsum
+
+    ecdf = two_level_cumsum(
+        grid,
+        key=F.col("v"),
+        tiebreaks=[],
+        block=F.shiftright("v", 6),
+        sums={"cum_a": F.col("ca"), "cum_b": F.col("cb")},
+    ).select(
+        (F.col("cum_a") / float(n_a)).alias("fa"),
+        (F.col("cum_b") / float(n_b)).alias("fb"),
     )
     d = F.max(F.abs(F.col("fa") - F.col("fb")))
     lam = d * F.lit(float(n_a * n_b / (n_a + n_b))) ** 0.5

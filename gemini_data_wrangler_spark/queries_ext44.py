@@ -100,9 +100,18 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").alias("np_s"),
         (F.count(F.lit(1)) - F.sum("pos")).alias("nn_s"),
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    sweep = by_score.withColumn(
-        "nn_below", F.coalesce(F.sum("nn_s").over(w), F.lit(0))
+    # Distributed prefix sum (`two_level_cumsum`, block = score/64
+    # value buckets): the sweep's ordered pass is hash-partitioned even
+    # when the distinct-score histogram grows with the corpus.
+    from gemini_data_wrangler_spark.operators.window import two_level_cumsum
+
+    sweep = two_level_cumsum(
+        by_score,
+        key=F.col("score"),
+        tiebreaks=[],
+        block=F.floor(F.col("score") * 64).cast("long"),
+        sums={"nn_below": F.col("nn_s")},
+        inclusive=False,
     )
     return sweep.agg(
         F.round(

@@ -137,8 +137,19 @@ def dq_mann_whitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("isa")).alias("nb_v"),
         F.count(F.lit(1)).alias("t_v"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    sweep = hist.withColumn("below", F.coalesce(F.sum("t_v").over(w), F.lit(0)))
+    # Distributed prefix sum (`two_level_cumsum`, block = v>>6 length
+    # buckets) — the ordered pass stays hash-partitioned as the
+    # distinct-length histogram grows.
+    from gemini_data_wrangler_spark.operators.window import two_level_cumsum
+
+    sweep = two_level_cumsum(
+        hist,
+        key=F.col("v"),
+        tiebreaks=[],
+        block=F.shiftright("v", 6),
+        sums={"below": F.col("t_v")},
+        inclusive=False,
+    )
     agg = sweep.agg(
         F.sum("na_v").alias("na"),
         F.sum("nb_v").alias("nb"),

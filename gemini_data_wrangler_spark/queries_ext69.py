@@ -174,10 +174,19 @@ def feature_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = h.agg(
         F.sum("p_v").alias("tp"), F.sum("n_v").alias("tn")
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    # Distributed prefix sums (`two_level_cumsum`, block = x/64 price
+    # buckets) — the cut sweep stays hash-partitioned as the
+    # distinct-price histogram grows.
+    from gemini_data_wrangler_spark.operators.window import two_level_cumsum
+
     sweep = (
-        h.withColumn("pl", F.sum("p_v").over(w))
-        .withColumn("nl", F.sum("n_v").over(w))
+        two_level_cumsum(
+            h,
+            key=F.col("x"),
+            tiebreaks=[],
+            block=F.floor(F.col("x") / 64).cast("long"),
+            sums={"pl": F.col("p_v"), "nl": F.col("n_v")},
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "x",

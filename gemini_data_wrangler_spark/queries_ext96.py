@@ -201,13 +201,18 @@ def stats_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"),
     )
     tot = cnt.agg(F.sum("cx").alias("n"), F.sum("cy").alias("m"))
-    w = Window.orderBy("z").rowsBetween(Window.unboundedPreceding, 0)
-    cum = cnt.select(
-        "z",
-        "c",
-        F.sum("cx").over(w).alias("fx"),
-        F.sum("cy").over(w).alias("fy"),
-    )
+    # Distributed prefix sums (`two_level_cumsum`, block = floor(z)
+    # value buckets) — hash-partitioned CDF pass over the distinct-value
+    # axis.
+    from gemini_data_wrangler_spark.operators.window import two_level_cumsum
+
+    cum = two_level_cumsum(
+        cnt,
+        key=F.col("z"),
+        tiebreaks=[],
+        block=F.floor("z").cast("long"),
+        sums={"fx": F.col("cx"), "fy": F.col("cy")},
+    ).select("z", "c", "fx", "fy")
     j = cum.crossJoin(F.broadcast(tot))
     gap = F.col("fx").cast("double") / F.col("n") - F.col("fy").cast("double") / F.col(
         "m"
