@@ -342,11 +342,14 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("_term_s"), 6).alias("bm25"))
     )
+    # Head-prune first (orderBy+limit → TakeOrderedAndProject) so the
+    # rank window's single-task frame is K rows, not the corpus.
+    head = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        _BM25_TOPK
+    )
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_TOPK)
-        .select("doc_id", "bm25", "rank")
+    return head.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "bm25", "rank"
     )
 
 

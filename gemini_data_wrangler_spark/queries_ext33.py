@@ -180,10 +180,11 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("sa").asc(), F.col("sb").asc())
+    # Top-K edge budget via orderBy+limit (TakeOrderedAndProject: each
+    # task keeps a local top-K) — no pair-table-sized single-task window.
     edges = (
-        co.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= _KCORE_TOPK)
+        co.orderBy(F.col("c").desc(), F.col("sa").asc(), F.col("sb").asc())
+        .limit(_KCORE_TOPK)
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
     )
     return k_core(edges, _KCORE_K)

@@ -184,9 +184,10 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_phrase = scored.groupBy("phrase").agg(
         F.round(F.max("score"), 4).alias("score"), F.count(F.lit(1)).alias("n_occ")
     )
-    r = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("phrase")))
+    # Top-K via orderBy+limit (TakeOrderedAndProject) — no phrase-table-
+    # sized single-task window.
     return (
-        by_phrase.withColumn("r", r)
-        .filter(F.col("r") <= _RAKE_TOPK)
+        by_phrase.orderBy(F.col("score").desc(), F.col("phrase"))
+        .limit(_RAKE_TOPK)
         .select("phrase", "score", "n_occ")
     )

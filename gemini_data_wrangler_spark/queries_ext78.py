@@ -88,10 +88,11 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("sa").asc(), F.col("sb").asc())
+    # Top-K edge budget via orderBy+limit (TakeOrderedAndProject) — no
+    # pair-table-sized single-task window.
     e0 = (
-        co.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= _CLO_TOPK)
+        co.orderBy(F.col("c").desc(), F.col("sa").asc(), F.col("sb").asc())
+        .limit(_CLO_TOPK)
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
     )
     sym = (

@@ -97,12 +97,11 @@ def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sa", "sb", "d")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("c"), "sa", "sb", "d")
+    # Top-K edge budget via orderBy+limit (TakeOrderedAndProject) — no
+    # pair-table-sized single-task window.
     e = (
-        co.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= _TR_TOPK)
+        co.orderBy(F.desc("c"), "sa", "sb", "d")
+        .limit(_TR_TOPK)
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"), "d")
         .localCheckpoint()
     )
