@@ -55,23 +55,31 @@ def inventory_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC classification: parts ranked by revenue, cumulative
     revenue share cut at 80% (A) and 95% (B) — the inventory-control
     read of the 80/20 rule. The raw lineitem table collapses to one row
-    per part FIRST; the running-share window runs over that small
-    aggregate (a global window over raw fact rows would single-partition
-    the heaviest table — over the per-key aggregate it is metadata-sized,
-    and at extreme part counts the same two-level prefix-sum as
-    `ops_watermark_sizing` applies)."""
+    per part FIRST; the running share is the distributed two-level
+    prefix sum (`two_level_cumsum`, block = floor(revenue) value
+    buckets, descending via negated key) with the grand total as a
+    broadcast 1-row aggregate — no part-population-sized single-task
+    window even at extreme part counts."""
+    from gemini_data_wrangler_spark.operators.window import two_level_cumsum
+
     li = _table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
             "revenue"
         )
     )
-    w_run = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
-    ranked = rev.withColumn(
-        "cum_share", F.sum("revenue").over(w_run) / F.sum("revenue").over(w_all)
+    tot = rev.agg(F.sum("revenue").alias("_tot"))
+    ranked = (
+        two_level_cumsum(
+            rev,
+            key=-F.col("revenue"),
+            tiebreaks=[F.col("l_partkey").asc()],
+            block=F.floor(-F.col("revenue")).cast("long"),
+            sums={"_cum": F.col("revenue")},
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cum_share", F.col("_cum") / F.col("_tot"))
+        .drop("_cum", "_tot")
     )
     return ranked.select(
         "l_partkey",

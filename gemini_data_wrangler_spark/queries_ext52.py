@@ -208,9 +208,12 @@ def ops_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond arithmetic, certifying both the sweepline and the
     latency pipelines against each other (ship-before-order rows are
     excluded; they belong to `ops_businessday_latency`'s DQ buckets).
-    The sweepline is one ordered window over boundary points — 2 rows
-    per order, the same two-level-carry shape as
-    `events_peak_concurrency` at scale."""
+    The step-function integral is evaluated by the exact telescoping
+    identity Σᵢ backlogᵢ·(tᵢ₊₁−tᵢ) = Σⱼ δⱼ·(t_max−tⱼ) — each +1/-1
+    boundary contributes its distance to the horizon end — so the
+    sweepline needs NO ordered window at all: one broadcast max and one
+    windowless integer sum over the boundary points, fully distributed
+    at any scale."""
     li = _table(spark, sf_dir, "lineitem")
     orders = _table(spark, sf_dir, "orders")
     first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship"))
@@ -225,13 +228,9 @@ def ops_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = d.select(F.col("a").alias("t"), F.lit(1).alias("delta")).unionAll(
         d.select(F.col("b").alias("t"), F.lit(-1).alias("delta"))
     )
-    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
-    wl = Window.orderBy("t", "delta")
-    sweep = pts.withColumn("backlog", F.sum("delta").over(w)).withColumn(
-        "nxt", F.lead("t").over(wl)
-    )
-    integral = sweep.filter(F.col("nxt").isNotNull()).agg(
-        F.sum(F.col("backlog") * (F.col("nxt") - F.col("t"))).alias("area_us")
+    mx = pts.agg(F.max("t").alias("t_max"))
+    integral = pts.crossJoin(F.broadcast(mx)).agg(
+        F.sum(F.col("delta") * (F.col("t_max") - F.col("t"))).alias("area_us")
     )
     direct = d.agg(
         F.count(F.lit(1)).alias("n"),

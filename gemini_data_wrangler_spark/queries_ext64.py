@@ -73,11 +73,20 @@ def quality_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").alias("np_s"),
         (F.count(F.lit(1)) - F.sum("pos")).alias("nf_s"),
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sweep = by_score.withColumn("tp_cum", F.sum("np_s").over(w)).withColumn(
-        "n_cum", F.sum(F.col("np_s") + F.col("nf_s")).over(w)
+    # Distributed prefix sums (`two_level_cumsum`, descending via
+    # negated key, block = score/64 value buckets) — the threshold sweep
+    # stays hash-partitioned as the distinct-score histogram grows.
+    from gemini_data_wrangler_spark.operators.window import two_level_cumsum
+
+    sweep = two_level_cumsum(
+        by_score,
+        key=-F.col("score"),
+        tiebreaks=[],
+        block=F.floor(-F.col("score") * 64).cast("long"),
+        sums={
+            "tp_cum": F.col("np_s"),
+            "n_cum": F.col("np_s") + F.col("nf_s"),
+        },
     )
     return sweep.agg(
         F.round(
