@@ -33,9 +33,11 @@ def pagerank(
     node-sized rank table (both hash-partitioned on the source key — the
     partitioning is reused every round) and one dst-keyed aggregation with
     map-side partial sums. Rank state is one row per node; the edge list is
-    scanned from cache each round. Dangling mass is a scalar aggregate —
-    computed per round only when dangling nodes exist at all (detected
-    once upfront), so symmetric graphs pay nothing.
+    scanned from cache each round. Dangling mass is a broadcast 1-row
+    aggregate folded INTO the iteration's plan (crossJoin) — never a
+    driver-side ``collect`` — and is built only when dangling nodes exist
+    at all (detected once upfront), so symmetric graphs pay nothing and an
+    iteration is pure plan with no mid-round driver sync.
 
     Output: ``node`` (bigint), ``rank`` (double), summing to ~1.
     """
@@ -61,14 +63,6 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(iterations):
-        dangling_mass = 0.0
-        if has_dangling:
-            dangling_mass = (
-                ranks.join(outdeg, "node", "left_anti")
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-                or 0.0
-            )
         contribs = (
             e.join(
                 ranks.join(outdeg, "node").withColumnRenamed("node", "_s"),
@@ -78,18 +72,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling_mass / n))
-                ).alias("rank"),
+        new = nodes.join(contribs, "node", "left")
+        redistributed = F.lit(0.0)
+        if has_dangling:
+            dm = ranks.join(outdeg, "node", "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
             )
-            .localCheckpoint()
-        )
+            new = new.crossJoin(F.broadcast(dm))
+            redistributed = F.col("_dm") / n
+        ranks = new.select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("_in"), F.lit(0.0)) + redistributed)
+            ).alias("rank"),
+        ).localCheckpoint()
     return ranks
 
 
