@@ -7,13 +7,22 @@ corpus is trillions of tokens — this collapse is the scale step), then
 iterate on that small table:
 
   1. count adjacent symbol pairs weighted by word frequency
-     (explode + map-side-combined groupBy),
-  2. take the globally most frequent pair (one TakeOrderedAndProject;
-     the two-scalar collect is a per-round probe, same convention as the
-     PageRank dangling-mass read),
-  3. apply the merge to every word's symbol sequence with a pure-JVM
-     left-to-right fold (``aggregate`` with an array accumulator — the
-     same greedy semantics as the reference BPE implementations; no UDF).
+     (explode + map-side-combined groupBy), plus per-pair trigram
+     bounds (max count of any triple extending the pair left/right),
+  2. take a BATCH of merges per round from one top-K probe
+     (TakeOrderedAndProject, one driver read per round, not per merge):
+     the maximal contiguous desc-sorted prefix that is pairwise
+     symbol-disjoint and whose every later member's count strictly
+     exceeds the trigram bound of every earlier member. Disjointness
+     means earlier merges cannot change a later member's count;
+     contiguity means no skipped higher-count pair could still lead;
+     the trigram bound caps the count of any pair a merge CREATES
+     ((x,ab) ≤ #(x,a,b), (ab,y) ≤ #(a,b,y)) — together the batch is
+     provably identical to taking the merges one at a time,
+  3. apply the whole batch to every word's symbol sequence with chained
+     pure-JVM left-to-right folds (``aggregate`` with an array
+     accumulator — the same greedy semantics as the reference BPE
+     implementations; no UDF), one lineage checkpoint per round.
 
 Iterations are driver-orchestrated; per-round lineage is truncated with
 ``localCheckpoint`` like the other iterative operators (k-means, CC,
@@ -77,8 +86,8 @@ def train_bpe_merges(
         ).alias("syms"),
     ).localCheckpoint()
 
-    merges = []
-    for rank in range(1, n_merges + 1):
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
         pairs = (
             syms.select(
                 "freq",
@@ -93,15 +102,69 @@ def train_bpe_merges(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = pairs.orderBy(
-            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1)
-        row = top.collect()
-        if not row:
+        # Trigram bound: any pair CREATED by merging (a,b) is (x,ab) or
+        # (ab,y), whose count is at most the count of the pre-merge
+        # triple (x,a,b) / (a,b,y). One triple count, reduced twice.
+        tris = (
+            syms.filter(F.size("syms") >= 3)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 2), "
+                        "i -> struct(element_at(syms, i) AS x, "
+                        "element_at(syms, i + 1) AS y, "
+                        "element_at(syms, i + 2) AS z))"
+                    )
+                ).alias("t"),
+            )
+            .groupBy(F.col("t.x").alias("x"), F.col("t.y").alias("y"), F.col("t.z").alias("z"))
+            .agg(F.sum("freq").alias("tcnt"))
+            .localCheckpoint()
+        )
+        rb = tris.groupBy(F.col("x").alias("a"), F.col("y").alias("b")).agg(
+            F.max("tcnt").alias("_rb")
+        )
+        lb = tris.groupBy(F.col("y").alias("a"), F.col("z").alias("b")).agg(
+            F.max("tcnt").alias("_lb")
+        )
+        top = (
+            pairs.join(rb, ["a", "b"], "left")
+            .join(lb, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                "cnt",
+                F.greatest(
+                    F.coalesce("_rb", F.lit(0)), F.coalesce("_lb", F.lit(0))
+                ).alias("bound"),
+            )
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(max(2, min(16, n_merges - len(merges))))
+            .collect()
+        )
+        if not top:
             break
-        a, b, cnt = row[0]["a"], row[0]["b"], row[0]["cnt"]
-        merges.append((rank, a, b, int(cnt)))
-        syms = syms.select("freq", _merge_fold(a, b).alias("syms")).localCheckpoint()
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        new_bound = 0
+        for r in top:
+            if batch and (
+                r["a"] in used
+                or r["b"] in used
+                or r["cnt"] <= new_bound
+                or len(merges) + len(batch) >= n_merges
+            ):
+                break
+            batch.append((r["a"], r["b"], int(r["cnt"])))
+            used.update((r["a"], r["b"]))
+            new_bound = max(new_bound, int(r["bound"]))
+        for a, b, cnt in batch:
+            merges.append((len(merges) + 1, a, b, cnt))
+        folded = syms
+        for a, b, _ in batch:
+            folded = folded.select("freq", _merge_fold(a, b).alias("syms"))
+        syms = folded.localCheckpoint()
 
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count long"

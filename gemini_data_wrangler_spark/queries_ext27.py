@@ -41,14 +41,64 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _BPE_MERGES = 8
 
-@register("vocab_bpe_merges", None)
+
+def _bpe_merges_oracle(n: int) -> str:
+    """Sequential BPE re-derivation in pure DuckDB: n unrolled CTE
+    levels, each = pair count → top-1 (count desc, lex tie-break) →
+    greedy merge applied via a string-accumulator `list_reduce` fold
+    (chr(31)-delimited; suffix test anchors on the delimiter so symbol
+    boundaries never false-match) — the same left-to-right greedy
+    semantics as the Spark-side JVM fold in `operators/bpe.py`."""
+    parts = [
+        """WITH vocab AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+), s0 AS MATERIALIZED (
+  SELECT freq, list_append(string_split(word, ''), '▁') AS l FROM vocab
+)"""
+    ]
+    for k in range(1, n + 1):
+        parts.append(
+            f""", p{k} AS (
+  SELECT list_extract(l, i) AS a, list_extract(l, i + 1) AS b,
+         sum(freq) AS cnt
+  FROM (SELECT freq, l, unnest(range(1, len(l))) AS i FROM s{k - 1})
+  GROUP BY a, b
+), t{k} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+)"""
+        )
+        if k < n:
+            parts.append(
+                f""", s{k} AS MATERIALIZED (
+  SELECT s.freq, string_split(
+    list_reduce(s.l, (acc, x) -> CASE
+      WHEN x = t.b AND acc = t.a THEN t.a || t.b
+      WHEN x = t.b AND ends_with(acc, chr(31) || t.a)
+        THEN substr(acc, 1, length(acc) - length(t.a)) || t.a || t.b
+      ELSE acc || chr(31) || x END), chr(31)) AS l
+  FROM s{k - 1} s CROSS JOIN t{k} t
+)"""
+            )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM t{k}"
+        for k in range(1, n + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register("vocab_bpe_merges", _bpe_merges_oracle(_BPE_MERGES))
 def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First {_BPE_MERGES} BPE merges learned from the documents corpus
     (word-frequency formulation, Sennrich et al. 2016). Deterministic:
-    count-desc, pair-lexicographic tie-break. Rows-only (iterative greedy
-    argmax is not one SQL query); `tests/test_ext27.py` asserts the merge
-    table equals an independent pure-Python BPE reference, and
-    `vocab_bpe_fertility` below is oracle-checked end-to-end."""
+    count-desc, pair-lexicographic tie-break. Oracle: a DuckDB-side
+    sequential re-derivation (unrolled CTE per merge, greedy fold via
+    `list_reduce`) — two independent implementations of the greedy
+    algorithm must emit the identical merge table; `tests/test_ext27.py`
+    additionally asserts equality with a pure-Python BPE reference."""
     from gemini_data_wrangler_spark.operators.bpe import train_bpe_merges
 
     return train_bpe_merges(
