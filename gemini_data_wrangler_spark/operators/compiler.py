@@ -343,10 +343,31 @@ def compile_stage(
         return input_df().orderBy(*cols).limit(n)
 
     if t == "SAMPLE":
-        # {table, fraction, seed?} — Bernoulli sample, seeded for
-        # reproducibility. Per-partition independent draws: no shuffle.
+        # {table, fraction, seed?, method?, keyColumn?} — Bernoulli
+        # sample. method="hash" + keyColumn draws the uniform from
+        # md5(seed || key) (hex folded to uint32, midpoint offset — the
+        # same engine-portable idiom as privacy_dp_counts), so the SAME
+        # rows are selected on every engine and every run: the
+        # reproducible-sampling mode a training pipeline wants for
+        # holdout splits. Default falls back to Spark's seeded RNG
+        # (per-partition independent draws; no shuffle either way).
         fraction = float(d.get("fraction", 0.1))
         seed = int(d.get("seed", 42))
+        if d.get("method") == "hash":
+            key = d["keyColumn"]
+            unif = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(str(seed)), F.col(key).cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                + 0.5
+            ) / 4294967296.0
+            return input_df().filter(unif < fraction)
         return input_df().sample(fraction=fraction, seed=seed)
 
     if t == "WINDOW":

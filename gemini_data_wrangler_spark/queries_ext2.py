@@ -351,13 +351,34 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("count_distinct_approx", None)  # HLL++ estimates differ per engine: rows-only
+@register(
+    "count_distinct_approx",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers_exact,
+           abs(approx_count_distinct(o_custkey)
+               - count(DISTINCT o_custkey)) * 1.0
+             <= 0.06 * count(DISTINCT o_custkey) AS approx_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approx_count_distinct = HyperLogLog++ with partial merge — constant
     # memory per group at any scale, the 100 TB stand-in for COUNT(DISTINCT).
+    # Sketch bits differ per engine, so the hash-checked contract is the
+    # GUARANTEE: each engine's own estimate must sit within 3×rsd of the
+    # shared exact anchor — a mismatch means someone's HLL math broke.
     orders = _table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx")
+        F.count_distinct("o_custkey").alias("n_customers_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.count_distinct("o_custkey")
+            )
+            * 1.0
+            <= 0.06 * F.count_distinct("o_custkey")
+        ).alias("approx_ok"),
     )
 
 
@@ -385,13 +406,38 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("percentile_approx", None)  # t-digest/GK sketch estimates: rows-only
+@register(
+    "percentile_approx",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           approx_quantile(o_totalprice, 0.5)
+             BETWEEN quantile_cont(o_totalprice, 0.49)
+                 AND quantile_cont(o_totalprice, 0.51) AS p50_ok,
+           approx_quantile(o_totalprice, 0.95)
+             BETWEEN quantile_cont(o_totalprice, 0.94)
+                 AND quantile_cont(o_totalprice, 0.96) AS p95_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def percentile_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approx_percentile (Greenwald-Khanna) — single-pass, bounded memory;
     # the scale path when exact percentile's full sort is too expensive.
+    # Sketches differ per engine, so the hash-checked contract is the rank
+    # guarantee: each engine's own estimate must land inside the exact
+    # ±0.01-quantile envelope around the target rank.
     orders = _table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)").alias("p_approx")
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "approx_percentile(o_totalprice, 0.5, 10000) "
+            "BETWEEN percentile(o_totalprice, 0.49) "
+            "AND percentile(o_totalprice, 0.51)"
+        ).alias("p50_ok"),
+        F.expr(
+            "approx_percentile(o_totalprice, 0.95, 10000) "
+            "BETWEEN percentile(o_totalprice, 0.94) "
+            "AND percentile(o_totalprice, 0.96)"
+        ).alias("p95_ok"),
     )
 
 
@@ -459,16 +505,41 @@ def range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Sampling (SAMPLE stage) — seeded Bernoulli; engines draw differently, so
-# the oracle checks the pipeline downstream of a deterministic filter-sample.
+# Sampling (SAMPLE stage) — the registered query uses the deterministic
+# hash-Bernoulli mode (md5(seed||key) uniform, engine-portable), so the
+# SAME rows are drawn by Spark and the DuckDB oracle and the whole sample →
+# group pipeline is hash-checked end-to-end; the seeded-RNG mode stays
+# covered by tests/test_compiler.py.
 # ---------------------------------------------------------------------------
-@register("sample_orders", None)  # RNG differs across engines: rows-only
+@register(
+    "sample_orders",
+    """
+    WITH s AS (
+      SELECT o_orderstatus FROM orders
+      WHERE (list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef',
+                       substring(md5('42' || CAST(o_orderkey AS VARCHAR)), i, 1))
+                - 1) * power(16, 8 - i))) + 0.5) / 4294967296.0 < 0.1
+    )
+    SELECT o_orderstatus, count(*) AS cnt FROM s GROUP BY o_orderstatus
+    """,
+)
 def sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stages(
         spark,
         sf_dir,
         [
-            {"id": "stage_0", "type": "SAMPLE", "data": {"table": "orders", "fraction": 0.1, "seed": 42}},
+            {
+                "id": "stage_0",
+                "type": "SAMPLE",
+                "data": {
+                    "table": "orders",
+                    "fraction": 0.1,
+                    "seed": 42,
+                    "method": "hash",
+                    "keyColumn": "o_orderkey",
+                },
+            },
             {
                 "id": "stage_1",
                 "type": "GROUP",
