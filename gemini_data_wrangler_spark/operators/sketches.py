@@ -8,8 +8,12 @@ built with one map-side-combined aggregation each, merging is a
 driver participation, no opaque binary blobs, trivially storable as
 parquet state (which is what the streaming incremental variant does).
 
-Hash family: ``xxhash64(value, seed=row)`` — row-seeded, JVM-evaluated,
-identical on every executor and across batch/streaming runs.
+Hash family: md5(row || value) hex-folded to uint32 (``conv(substr(md5,
+1, 8), 16, 10)``) — row-seeded, JVM-evaluated, identical on every
+executor and across batch/streaming runs, AND engine-portable: any SQL
+engine with md5 re-derives the exact same counter table, which is what
+lets the driver's DuckDB oracle hash-check the full sketch end-to-end
+(see ``sketch_count_min_heavy_hitters``) instead of trusting it.
 """
 
 from __future__ import annotations
@@ -27,7 +31,18 @@ def cms_buckets(col: str) -> F.Column:
     """Array of the value's bucket index in every sketch row."""
     return F.array(
         *[
-            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(CMS_WIDTH)).cast("int")
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(str(i)), F.col(col).cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CMS_WIDTH
+            ).cast("int")
             for i in range(CMS_DEPTH)
         ]
     )

@@ -334,15 +334,56 @@ def _cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cand, counters, "w")
 
 
-@register("sketch_count_min_heavy_hitters", None)
+_CMS_BUCKET_SQL = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substring(md5(CAST(r AS VARCHAR) || w), i, 1)) - 1)"
+    " * power(16, 8 - i))) AS BIGINT) % {width}"
+)
+
+
+def _cms_hh_oracle() -> str:
+    """Full DuckDB re-derivation of the count-min sketch: same md5-folded
+    row-seeded hash family as ``operators/sketches.py::cms_buckets``, same
+    depth/width, same min-over-rows estimate — bucket collisions and all.
+    (Spark builds per-source counter tables and union-merges them; the
+    merge is a plain sum per (row, bucket), so the merged table equals the
+    global count the oracle computes directly.)"""
+    from gemini_data_wrangler_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    bucket = _CMS_BUCKET_SQL.format(width=CMS_WIDTH)
+    return rf"""
+    WITH words AS MATERIALIZED (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+    ), keyed AS MATERIALIZED (
+      SELECT r, w, {bucket} AS bucket
+      FROM words CROSS JOIN range({CMS_DEPTH}) t(r)
+    ), counters AS MATERIALIZED (
+      SELECT r, bucket, count(*) AS cnt FROM keyed GROUP BY r, bucket
+    ), cand AS (
+      SELECT w, count(*) AS exact_count FROM words GROUP BY w
+      ORDER BY exact_count DESC, w ASC LIMIT {HH_K}
+    ), cand_keyed AS (
+      SELECT c.w, t.r, {bucket.replace('md5(CAST(r AS VARCHAR) || w)',
+                                       'md5(CAST(t.r AS VARCHAR) || c.w)')} AS bucket
+      FROM cand c CROSS JOIN range({CMS_DEPTH}) t(r)
+    )
+    SELECT k.w AS word, min(coalesce(ct.cnt, 0)) AS est_count
+    FROM cand_keyed k LEFT JOIN counters ct
+      ON ct.r = k.r AND ct.bucket = k.bucket
+    GROUP BY k.w
+    """
+
+
+@register("sketch_count_min_heavy_hitters", _cms_hh_oracle())
 def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy-hitter frequency estimates from per-source
     count-min counter tables (see ``_cms_counters`` for the mergeable-
     sketch scale story). Estimates are upper bounds within eps·N with
     probability ≥ 1 − e^-depth per query; the bound is asserted exactly by
-    ``sketch_count_min_bound_check`` and in tests. Rows-only here (the
-    estimate depends on xxhash64 bucket collisions, which no other engine
-    reproduces); deterministic under the fixed seeds."""
+    ``sketch_count_min_bound_check`` and in tests. The hash family is the
+    engine-portable md5 fold, so the DuckDB oracle re-derives the ENTIRE
+    sketch — counter table, bucket collisions, min-estimate — and the
+    driver hash-checks the estimates themselves, not just the bound."""
     return _cms_estimates(spark, sf_dir).select("w", "est_count").withColumnRenamed(
         "w", "word"
     )
