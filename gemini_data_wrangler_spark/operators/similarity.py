@@ -284,10 +284,19 @@ def kmeans_lloyd(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    # Deterministic init: the k smallest stride-sampled ids (orderBy +
+    # limit → TakeOrderedAndProject), cell_id = dense 0..k-1 rank — the
+    # rank window runs over k rows only, and the whole init is
+    # reproducible on any engine (the DuckDB oracle for
+    # `embedding_kmeans` re-derives it exactly).
     centroids = (
         vecs.filter((F.col("_id") % init_stride) == 0)
+        .orderBy("_id")
         .limit(k)
-        .select(F.monotonically_increasing_id().alias("cell_id"), F.col("_v").alias("_c"))
+        .select(
+            (F.row_number().over(Window.orderBy("_id")) - 1).alias("cell_id"),
+            F.col("_v").alias("_c"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):

@@ -473,15 +473,85 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# K-means centroid training (iterative — rows-only check; determinism and
-# monotone inertia asserted in tests/test_ext_stages.py)
+# K-means centroid training (iterative — oracle: unrolled fixed-iteration
+# Lloyd CTE; determinism and monotone inertia additionally asserted in
+# tests/test_ext_stages.py)
 # ---------------------------------------------------------------------------
-@register("embedding_kmeans", None)
+def _kmeans_oracle(k: int = 8, iters: int = 3, stride: int = 50, dim: int = 64) -> str:
+    """Unrolled Lloyd re-derivation in DuckDB: deterministic stride init
+    (k smallest ids ≡ vec_id % stride = 0, dense 0..k-1 cell ids), per
+    iteration assign-by-max-cosine (tie → lower cell_id, same formula as
+    `functions/vectors.py::cosine_similarity`: double-cast elements,
+    sequential accumulation) then element-wise means. Centroids compare
+    as DECIMAL(18,6) so sub-ulp summation-order noise cannot flip the
+    hash."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), i -> "
+            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+            f"(sqrt(list_sum(list_transform({a}, x -> "
+            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            f"sqrt(list_sum(list_transform({b}, x -> "
+            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        )
+
+    parts = [
+        f"""WITH vecs AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS c
+  FROM (SELECT vec_id, v FROM vecs WHERE vec_id % {stride} = 0
+        ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for j in range(1, iters + 1):
+        parts.append(
+            f""", a{j} AS MATERIALIZED (
+  SELECT v, cell_id FROM (
+    SELECT s.v, c.cell_id,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY {cos("s.v", "c.c")} DESC, c.cell_id) AS rn
+    FROM vecs s CROSS JOIN c{j - 1} c
+  ) WHERE rn = 1
+), c{j} AS MATERIALIZED (
+  SELECT cell_id, list(m ORDER BY pos) AS c, max(n) AS n_members FROM (
+    SELECT cell_id, pos, avg(val) AS m, count(*) AS n FROM (
+      SELECT cell_id, unnest(v) AS val, unnest(range(1, {dim} + 1)) AS pos
+      FROM a{j}
+    ) GROUP BY cell_id, pos
+  ) GROUP BY cell_id
+)"""
+        )
+    return (
+        "".join(parts)
+        + f"""
+SELECT cell_id,
+       list_transform(c, x -> CAST(round(x, 6) AS DECIMAL(18,6))) AS centroid,
+       n_members
+FROM c{iters}"""
+    )
+
+
+@register("embedding_kmeans", _kmeans_oracle())
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native Lloyd k-means (k=8, 3 iterations, stride init).
+    The oracle is a fully unrolled Lloyd CTE in DuckDB — two independent
+    implementations of the same deterministic algorithm must converge to
+    the identical centroid table (compared at DECIMAL(18,6) to absorb
+    summation-order noise in the means)."""
     from gemini_data_wrangler_spark.operators.similarity import kmeans_lloyd
 
     emb = _table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(emb, k=8, max_iter=3)
+    cents = kmeans_lloyd(emb, k=8, max_iter=3)
+    return cents.select(
+        "cell_id",
+        F.transform(
+            "centroid", lambda x: F.round(x, 6).cast("decimal(18,6)")
+        ).alias("centroid"),
+        "n_members",
+    )
 
 
 # ---------------------------------------------------------------------------

