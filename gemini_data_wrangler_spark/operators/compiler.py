@@ -24,6 +24,7 @@ Faithfulness notes (SURVEY.md §7.4):
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -250,7 +251,17 @@ def compile_stage(
 
         # The reference's planner emits DuckDB SQL (server/index.js:269);
         # rewrite its known dialect-isms so migrated flows run unchanged.
-        return spark.sql(duckdb_to_spark_sql(str(sql)))
+        # COLUMNS('re') expansion is schema-dependent: supply the catalog's
+        # temp-view schemas, lazily (one listTables pass) and only when the
+        # token actually appears — every other rewrite is schema-free.
+        text = str(sql)
+        table_columns = None
+        if re.search(r"\bCOLUMNS\s*\(", text, re.IGNORECASE):
+            table_columns = {
+                t2.name: spark.table(t2.name).columns
+                for t2 in spark.catalog.listTables()
+            }
+        return spark.sql(duckdb_to_spark_sql(text, table_columns))
 
     if t == "LOAD":
         # In the engine, LOAD resolves an already-registered table (the

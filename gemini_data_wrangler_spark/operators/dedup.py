@@ -355,13 +355,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Two-tier verify. Band collisions admit a heavy tail of low-similarity
-    # candidates (P(candidate | j=0.3) ≈ 14% at r=4); exact verification
-    # hauls the full shingle arrays, so first screen candidates with the
-    # signature-agreement ESTIMATE (num_perm longs per doc, ~16x lighter).
-    # Cutoff = threshold − 0.25 ≈ 5σ below the true-positive band
-    # (σ = √(j(1−j)/num_perm) ≈ 0.05 at num_perm=64): misses are ~1e-7
-    # per true pair, while ~all sub-threshold collisions are dropped
-    # before they touch a shingle array.
+    # candidates (P(candidate | j≈0.3) ≈ 14% at the r=4 default); exact
+    # verification hauls the full shingle arrays, so first screen
+    # candidates with the signature-agreement ESTIMATE (num_perm longs per
+    # doc, ~16x lighter). The screen makes the candidate filter
+    # probabilistic-but-negligible rather than exact: cutoff =
+    # threshold − 0.25 sits ≈ 0.25/σ standard deviations below the
+    # true-positive band (σ = √(j(1−j)/num_perm) — ≈5σ/~1e-7 miss per
+    # true pair at the num_perm=64 default, tighter for larger num_perm);
+    # ~all sub-threshold collisions are dropped before they touch a
+    # shingle array.
     est_cut = max(threshold - 0.25, 0.0)
     sig_a = sig.select(F.col(id_col).alias("doc_a"), F.col("_sig").alias("_ga"))
     sig_b = sig.select(F.col(id_col).alias("doc_b"), F.col("_sig").alias("_gb"))

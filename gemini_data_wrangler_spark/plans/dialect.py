@@ -51,9 +51,12 @@ engines and passes through untouched.
 | ``str[i:j]`` slicing               | unsupported → explicit error |
 | ``SELECT DISTINCT ON (k) ...``     | row_number window wrapper (requires ORDER BY for determinism → else error) |
 | ``USING SAMPLE n% / n ROWS``       | ``TABLESAMPLE (n PERCENT / n ROWS)`` (+ ``REPEATABLE(seed)``; reservoir/bernoulli/system methods accepted) |
-| ``ASOF [LEFT] JOIN``               | refused → explicit error (use the native as-of operator; textual rewrite cannot preserve semantics for arbitrary projections) |
+| ``ASOF [LEFT] JOIN``               | correlated ``[LEFT] JOIN LATERAL (... ORDER BY <ineq operand> LIMIT 1)`` keeping the right alias (projections untouched); operator-level as-of (operators/temporal.py) remains the tuned path |
+| ``PIVOT t ON c IN (...) USING agg``| SQL-standard ``PIVOT`` clause (IN list required; dynamic column discovery refused) |
+| ``UNPIVOT t ON ... INTO NAME/VALUE`` | SQL-standard ``UNPIVOT`` clause |
+| ``COLUMNS('re')`` / ``COLUMNS(*)`` | explicit column list (needs caller-supplied table schemas; refused without) |
 | ``string_agg(x[, sep][ORDER BY o])`` | ``listagg(x, sep) [WITHIN GROUP (ORDER BY o)]`` |
-| ``date_diff('part', a, b)``        | boundary-exact arithmetic per part (DuckDB counts boundaries crossed, not complete intervals; 'week' refused) |
+| ``date_diff('part', a, b)``        | boundary-exact arithmetic per part (DuckDB counts boundaries crossed, not complete intervals; 'week' refused; sub-day units pin DuckDB v1.0.0's trunc-toward-zero epoch division, incl. pre-epoch) |
 | ``strpos(s, sub)``                 | ``instr(s, sub)`` |
 | ``CAST(x AS VARCHAR)`` (bare)      | ``CAST(x AS STRING)`` |
 """
@@ -679,6 +682,19 @@ _BARE_VARCHAR_RE = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
 # Spark's timestampdiff (complete intervals). Each unit maps to the exact
 # boundary arithmetic instead; 'week' boundaries have no clean Spark
 # counterpart and are refused.
+#
+# Sub-day units divide epoch micros with Spark's `div` (truncation toward
+# zero). For post-1970 timestamps this equals boundary counting; ACROSS
+# the epoch trunc(-0.5h)=0 merges the two hours straddling 1970-01-01
+# 00:00 into one bucket. That is ALSO exactly what DuckDB v1.0.0 (the
+# oracle engine) computes — empirically pinned in the
+# `date_diff_pre_epoch_sub_day` bank entry (tests/test_dialect_bank.py)
+# across hour/minute/second, pre-epoch and epoch-straddling — so `div` is
+# deliberate; a floor-division "fix" here would DIVERGE from the oracle.
+# Epoch-micros boundaries coincide with wall-clock part boundaries
+# because the session timezone is pinned UTC (see `session.get_spark`); a
+# non-UTC session with a fractional-hour offset would need
+# wall-clock-derived boundaries instead.
 _DATE_DIFF_TEMPLATES = {
     "day": "datediff(cast({b} as date), cast({a} as date))",
     "month": "((year({b}) * 12 + month({b})) - (year({a}) * 12 + month({a})))",
@@ -725,7 +741,9 @@ def _rewrite_date_diff(masked: str, literals: list[str]) -> str:
                 "Spark counterpart (DuckDB counts part boundaries crossed); "
                 "supported parts: " + ", ".join(sorted(_DATE_DIFF_TEMPLATES))
             )
-        repl = tmpl.format(a=args[1], b=args[2])
+        # Plain replace, not str.format: argument expressions may contain
+        # braces (e.g. a struct literal) that .format would choke on.
+        repl = tmpl.replace("{a}", args[1]).replace("{b}", args[2])
         masked = masked[: m.start()] + repl + masked[close + 1 :]
 
 
@@ -746,22 +764,313 @@ def _rewrite_list_sum(sql: str) -> str:
         )
 
 
-def duckdb_to_spark_sql(sql: str) -> str:
+_ASOF_TERMINATOR_RE = re.compile(
+    r"\b(WHERE|GROUP|ORDER|LIMIT|QUALIFY|HAVING|WINDOW|UNION|INTERSECT|"
+    r"EXCEPT|JOIN|INNER|LEFT|RIGHT|FULL|CROSS|ASOF|POSITIONAL|ANTI|SEMI)\b",
+    re.IGNORECASE,
+)
+_INEQ_RE = re.compile(r"(<=|>=|<|>)")
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+
+
+def _scan_on_condition(masked: str, start: int) -> int:
+    """End index (exclusive) of a join's ON condition starting at
+    ``start``: the first top-level clause keyword, unbalanced ')', or
+    end of string."""
+    depth = 0
+    i = start
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0:
+            m = _ASOF_TERMINATOR_RE.match(masked, i)
+            if m and (i == 0 or not masked[i - 1].isalnum() and masked[i - 1] != "_"):
+                return i
+        i += 1
+    return len(masked)
+
+
+def _rewrite_asof(masked: str) -> str:
+    """``A ASOF [LEFT] JOIN B b ON a.k = b.k AND a.ts >= b.ts`` → a
+    correlated LATERAL subquery: per left row, the right rows satisfying
+    the full ON condition, ordered by the right-side inequality operand
+    toward the as-of boundary, LIMIT 1 — exactly DuckDB's nearest-match
+    semantics, with the right alias preserved so projections need no
+    rewriting. Spark plans the lateral as a join + per-key ranking; for
+    operator-level use the engine's native as-of (operators/temporal.py)
+    is the tuned path."""
+    while True:
+        m = _ASOF_RE.search(masked)
+        if not m:
+            return masked
+        is_left = re.search(r"\bLEFT\b", m.group(0), re.IGNORECASE) is not None
+        # --- right-hand table expression + alias ----------------------
+        i = m.end()
+        while i < len(masked) and masked[i].isspace():
+            i += 1
+        if i < len(masked) and masked[i] == "(":
+            close = _find_matching(masked, i, "(", ")")
+            if close < 0:
+                raise ValueError("ASOF JOIN: unbalanced right-side subquery")
+            rhs = masked[i : close + 1]
+            i = close + 1
+        else:
+            mm = _IDENT_RE.match(masked, i)
+            if not mm:
+                raise ValueError("ASOF JOIN: cannot parse right-side table")
+            rhs = mm.group(0)
+            i = mm.end()
+            while i < len(masked) and masked[i] == ".":
+                mm = _IDENT_RE.match(masked, i + 1)
+                if not mm:
+                    break
+                rhs += "." + mm.group(0)
+                i = mm.end()
+        # optional alias
+        j = i
+        while j < len(masked) and masked[j].isspace():
+            j += 1
+        alias = rhs.split(".")[-1]
+        mm = _IDENT_RE.match(masked, j)
+        if mm and mm.group(0).upper() == "AS":
+            j = mm.end()
+            while j < len(masked) and masked[j].isspace():
+                j += 1
+            mm = _IDENT_RE.match(masked, j)
+        if mm and mm.group(0).upper() != "ON":
+            alias = mm.group(0)
+            j = mm.end()
+        while j < len(masked) and masked[j].isspace():
+            j += 1
+        mm = _IDENT_RE.match(masked, j)
+        if not mm or mm.group(0).upper() != "ON":
+            raise ValueError("ASOF JOIN requires an explicit ON condition")
+        cond_start = mm.end()
+        cond_end = _scan_on_condition(masked, cond_start)
+        cond = masked[cond_start:cond_end].strip()
+        # --- find the single inequality, derive the sort direction ----
+        terms = re.split(r"\bAND\b", cond, flags=re.IGNORECASE)
+        ineqs = [t for t in terms if _INEQ_RE.search(t) and "=" != _INEQ_RE.search(t).group(0)]
+        if len(ineqs) != 1:
+            raise ValueError(
+                "ASOF JOIN needs exactly one inequality in ON; found "
+                f"{len(ineqs)}"
+            )
+        im = _INEQ_RE.search(ineqs[0])
+        op = im.group(0)
+        lhs_expr = ineqs[0][: im.start()].strip()
+        rhs_expr = ineqs[0][im.end() :].strip()
+        prefix = re.compile(rf"^\s*{re.escape(alias)}\s*\.", re.IGNORECASE)
+        if prefix.match(rhs_expr):
+            right_operand, bounded_above = rhs_expr, op in (">=", ">")
+        elif prefix.match(lhs_expr):
+            right_operand, bounded_above = lhs_expr, op in ("<=", "<")
+        else:
+            raise ValueError(
+                "ASOF JOIN: the inequality must reference the right "
+                f"table's alias ({alias!r}) on one side"
+            )
+        direction = "DESC" if bounded_above else "ASC"
+        # --- assemble the lateral -------------------------------------
+        inner_alias = f"_asof_{alias}"
+        sub = re.sub(
+            rf"\b{re.escape(alias)}\s*\.", f"{inner_alias}.", cond, flags=re.IGNORECASE
+        )
+        key = re.sub(
+            rf"\b{re.escape(alias)}\s*\.",
+            f"{inner_alias}.",
+            right_operand,
+            flags=re.IGNORECASE,
+        )
+        lateral = (
+            f"SELECT * FROM {rhs} {inner_alias} WHERE {sub} "
+            f"ORDER BY {key} {direction} LIMIT 1"
+        )
+        if is_left:
+            repl = f"LEFT JOIN LATERAL ({lateral}) {alias} ON true"
+        else:
+            repl = f"JOIN LATERAL ({lateral}) {alias}"
+        masked = masked[: m.start()] + repl + masked[cond_end:]
+
+
+_PIVOT_STMT_RE = re.compile(r"^\s*PIVOT\s+", re.IGNORECASE)
+_UNPIVOT_STMT_RE = re.compile(r"^\s*UNPIVOT\s+", re.IGNORECASE)
+_AGG_CALL_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*\(", re.IGNORECASE)
+_COLUMNS_RE = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+
+
+def _rewrite_pivot_stmt(masked: str) -> str:
+    """DuckDB's simplified-PIVOT statement
+    ``PIVOT t ON col IN (v1, ...) USING agg(expr) [GROUP BY g, ...]`` →
+    the SQL-standard PIVOT clause Spark parses natively. The IN list is
+    required: DuckDB's dynamic column discovery scans the data, which no
+    static translation can reproduce. (Standard-form ``FROM t PIVOT
+    (...)`` passes through untouched — Spark supports it directly.)"""
+    while True:
+        m = _PIVOT_STMT_RE.search(masked)
+        if not m:
+            return masked
+        rest0 = masked[m.end() :]
+        table, off = _parse_table_expr(rest0)
+        rest = rest0[off:]
+        sm = re.match(
+            r"\s*ON\s+(.*?)\s+USING\s+(.*?)"
+            r"(?:\s+GROUP\s+BY\s+(.*?))?\s*(;|$)",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not sm:
+            raise ValueError(
+                "PIVOT statement: only the simplified form "
+                "'PIVOT t ON col IN (...) USING agg(expr) [GROUP BY ...]' "
+                "is translatable"
+            )
+        on_part, using, group = sm.group(1), sm.group(2), sm.group(3)
+        im = re.match(r"(.*?)\s+IN\s*\((.*)\)\s*$", on_part, re.IGNORECASE | re.DOTALL)
+        if not im:
+            raise ValueError(
+                "PIVOT ON without an IN (...) value list discovers columns "
+                "from the data (DuckDB-dynamic); enumerate the values "
+                "explicitly for a static Spark translation"
+            )
+        col, vals = im.group(1).strip(), im.group(2).strip()
+        am = _AGG_CALL_RE.match(using)
+        if not am:
+            raise ValueError("PIVOT USING must be a single aggregate call")
+        fn = am.group(1)
+        open_idx = using.index("(", am.start())
+        close_idx = _find_matching(using, open_idx, "(", ")")
+        arg = using[open_idx + 1 : close_idx].strip()
+        if group:
+            keys = ", ".join(g.strip() for g in group.split(","))
+            src = f"(SELECT {keys}, {col}, {arg} AS _pivot_arg FROM {table})"
+            pivot = f"SELECT * FROM {src} PIVOT ({fn}(_pivot_arg) FOR {col} IN ({vals}))"
+        else:
+            pivot = f"SELECT * FROM {table} PIVOT ({fn}({arg}) FOR {col} IN ({vals}))"
+        masked = (
+            masked[: m.start()]
+            + pivot
+            + rest[sm.end(3) if sm.group(3) else sm.end(2) :]
+        )
+        return masked
+
+
+def _parse_table_expr(text: str) -> tuple[str, int]:
+    """Leading table expression of ``text``: a (qualified) identifier or a
+    parenthesized subquery. Returns (expression, end index)."""
+    i = 0
+    while i < len(text) and text[i].isspace():
+        i += 1
+    if i < len(text) and text[i] == "(":
+        close = _find_matching(text, i, "(", ")")
+        if close < 0:
+            raise ValueError("unbalanced parenthesis in table expression")
+        return text[i : close + 1], close + 1
+    mm = re.match(r"[A-Za-z_][A-Za-z_0-9.]*", text[i:])
+    if not mm:
+        raise ValueError("cannot parse table expression")
+    return mm.group(0), i + mm.end()
+
+
+def _rewrite_unpivot_stmt(masked: str) -> str:
+    """DuckDB's simplified-UNPIVOT statement
+    ``UNPIVOT t ON c1, c2 INTO NAME n VALUE v`` → the SQL-standard
+    UNPIVOT clause (both engines exclude NULL values by default). The
+    source may be a table name or a parenthesized subquery."""
+    while True:
+        m = _UNPIVOT_STMT_RE.search(masked)
+        if not m:
+            return masked
+        rest = masked[m.end() :]
+        table, off = _parse_table_expr(rest)
+        sm = re.match(
+            r"\s*ON\s+(.*?)\s+INTO\s+NAME\s+"
+            r"([A-Za-z_][A-Za-z_0-9]*)\s+VALUE\s+([A-Za-z_][A-Za-z_0-9]*)",
+            rest[off:],
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not sm:
+            raise ValueError(
+                "UNPIVOT statement: only the simplified form "
+                "'UNPIVOT t ON c1, c2, ... INTO NAME n VALUE v' is "
+                "translatable"
+            )
+        cols, name, value = sm.group(1).strip(), sm.group(2), sm.group(3)
+        masked = (
+            masked[: m.start()]
+            + f"SELECT * FROM {table} UNPIVOT ({value} FOR {name} IN ({cols}))"
+            + rest[off + sm.end() :]
+        )
+        return masked
+
+
+def _rewrite_columns_projection(
+    masked: str, literals: list[str], table_columns: dict[str, list[str]] | None
+) -> str:
+    """``COLUMNS('regex')`` / ``COLUMNS(*)`` → an explicit column list.
+
+    Schema-dependent by nature: requires ``table_columns`` (supplied by
+    the CLI / pipeline runner from the loaded tables) and a plain
+    single-table FROM at the same nesting depth; refused otherwise, with
+    the workaround spelled out."""
+    while True:
+        m = _COLUMNS_RE.search(masked)
+        if not m:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close_idx = _find_matching(masked, open_idx, "(", ")")
+        inner = masked[open_idx + 1 : close_idx].strip()
+        if table_columns is None:
+            raise ValueError(
+                "COLUMNS(...) projection needs the table schema; run "
+                "through the CLI/pipeline (which supplies loaded-table "
+                "schemas), or list the columns explicitly"
+            )
+        # locate the FROM table at this nesting depth
+        depth = masked[: m.start()].count("(") - masked[: m.start()].count(")")
+        fm = None
+        for cand in re.finditer(r"\bFROM\s+([A-Za-z_][A-Za-z_0-9]*)", masked[close_idx:], re.IGNORECASE):
+            pre = masked[close_idx : close_idx + cand.start()]
+            if masked[: close_idx].count("(") - masked[: close_idx].count(")") + pre.count("(") - pre.count(")") == depth:
+                fm = cand.group(1)
+                break
+        cols = table_columns.get(fm) if fm else None
+        if cols is None:
+            raise ValueError(
+                "COLUMNS(...) could not be resolved: FROM is not a single "
+                "known table; list the columns explicitly"
+            )
+        if inner == "*":
+            chosen = list(cols)
+        else:
+            ph = re.fullmatch(r"\x00(\d+)\x00", inner)
+            if not ph:
+                raise ValueError(
+                    "COLUMNS(...) supports '*' or a regex string literal"
+                )
+            pat = re.compile(literals[int(ph.group(1))][1:-1])
+            chosen = [c for c in cols if pat.search(c)]
+        if not chosen:
+            raise ValueError("COLUMNS(...) matched no columns")
+        masked = masked[: m.start()] + ", ".join(chosen) + masked[close_idx + 1 :]
+
+
+def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = None) -> str:
     """Rewrite known DuckDB-isms to Spark SQL; raise on constructs with no
-    Spark equivalent rather than letting them fail with a parser error."""
+    Spark equivalent rather than letting them fail with a parser error.
+
+    ``table_columns`` (optional, table name → column list, as the CLI and
+    pipeline runner supply) enables the schema-dependent rewrites:
+    ``COLUMNS('regex')`` / ``COLUMNS(*)`` projection expansion."""
     if _POSITIONAL_RE.search(sql):
         raise ValueError(
             "POSITIONAL JOIN has no Spark equivalent; zip frames with a "
             "row_number window + equi-join instead"
-        )
-    if _ASOF_RE.search(sql):
-        raise ValueError(
-            "ASOF JOIN cannot be rewritten textually without changing "
-            "column scoping for arbitrary projections; use the engine's "
-            "as-of operator (operators: asof_join / nearest-event join — "
-            "see `asof_purchase_last_click`) or spell the window form: "
-            "equi+range join, then QUALIFY row_number() OVER (PARTITION BY "
-            "<left key> ORDER BY <right ts> DESC) = 1"
         )
     if _RECURSIVE_UNNEST_RE.search(sql):
         raise ValueError(
@@ -769,6 +1078,10 @@ def duckdb_to_spark_sql(sql: str) -> str:
             "explode struct fields explicitly instead"
         )
     masked, literals = _mask_strings(sql)
+    masked = _rewrite_asof(masked)
+    masked = _rewrite_pivot_stmt(masked)
+    masked = _rewrite_unpivot_stmt(masked)
+    masked = _rewrite_columns_projection(masked, literals, table_columns)
     if _RECURSIVE_RE.search(masked) and not _UNION_ALL_RE.search(masked):
         raise ValueError(
             "Spark recursive CTEs support only UNION ALL between anchor and "

@@ -79,7 +79,10 @@ def sketch_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame
     # boilerplate-heavy corpora where ~90% of pairs share 20-30% of
     # shingles, while the calibration target is precisely the near-dup
     # set the dedup pipeline acts on.
-    exact = minhash_lsh_pairs(
+    # Named `pairs`, not `exact`: exactness of this set is INHERITED from
+    # the oracle-pinned recall guarantee of dedup_minhash_lsh at the 0.8
+    # threshold (band-collision recall-dependent), not re-proven here.
+    pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=5, threshold=_MH_THRESHOLD
     ).select("doc_a", "doc_b", "jaccard").persist()
     # Signatures are only needed for pair PARTICIPANTS — a tiny fraction
@@ -87,8 +90,8 @@ def sketch_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame
     # subset, not every document (3× the suite's next-heaviest query
     # when computed corpus-wide at sf0.1).
     participants = (
-        exact.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(exact.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     sigs = minhash_signatures(
@@ -111,7 +114,7 @@ def sketch_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame
     ).cast("double") / _MH_K
     sd = F.sqrt(F.col("jaccard") * (1 - F.col("jaccard")) / _MH_K)
     return (
-        exact.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("_sig").alias("_sa")), "doc_a")
+        pairs.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("_sig").alias("_sa")), "doc_a")
         .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("_sig").alias("_sb")), "doc_b")
         .select(
             "doc_a",

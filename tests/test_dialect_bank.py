@@ -265,6 +265,62 @@ BANK = [
         FROM customer WHERE c_custkey < 30
         """,
     ),
+    (
+        "asof_join_last_click_before_purchase",
+        """
+        SELECT p.event_id, p.ts, c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+    ),
+    (
+        "asof_left_join_keeps_unmatched",
+        """
+        SELECT p.event_id, c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'signup') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts > c.ts
+        """,
+    ),
+    (
+        "asof_join_forward_direction",
+        """
+        SELECT p.event_id, n.event_id AS next_error
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') n
+          ON p.user_id = n.user_id AND p.ts < n.ts
+        """,
+    ),
+    (
+        "pivot_statement_status_by_priority",
+        """
+        PIVOT orders ON o_orderstatus IN ('O', 'F', 'P')
+        USING count(o_orderkey) GROUP BY o_orderpriority
+        """,
+    ),
+    (
+        "unpivot_statement_into_name_value",
+        """
+        UNPIVOT (SELECT o_orderkey,
+                        CAST(o_totalprice AS DOUBLE) AS price,
+                        CAST(o_custkey AS DOUBLE) AS cust
+                 FROM orders WHERE o_orderkey < 100)
+        ON price, cust INTO NAME metric VALUE v
+        """,
+    ),
+    (
+        "date_diff_pre_epoch_sub_day",
+        """
+        SELECT date_diff('hour',   TIMESTAMP '1969-12-31 23:30:00', TIMESTAMP '1970-01-01 00:30:00') AS h_cross,
+               date_diff('hour',   TIMESTAMP '1969-12-31 22:30:00', TIMESTAMP '1969-12-31 23:30:00') AS h_pre,
+               date_diff('hour',   TIMESTAMP '1969-12-31 21:30:00', TIMESTAMP '1970-01-01 00:30:00') AS h_multi,
+               date_diff('minute', TIMESTAMP '1969-12-31 23:59:30', TIMESTAMP '1970-01-01 00:00:30') AS m_cross,
+               date_diff('second', TIMESTAMP '1969-12-31 23:59:59.5', TIMESTAMP '1970-01-01 00:00:00.5') AS s_cross,
+               date_diff('minute', TIMESTAMP '1969-12-31 23:58:30', TIMESTAMP '1969-12-31 23:59:30') AS m_pre
+        FROM nation WHERE n_nationkey = 0
+        """,
+    ),
 ]
 
 
@@ -303,10 +359,16 @@ def test_unsupported_constructs_raise():
         duckdb_to_spark_sql("SELECT string_split(s, sep_col) FROM t")
     with pytest.raises(ValueError, match="list_aggregate"):
         duckdb_to_spark_sql("SELECT list_aggregate(l, 'string_agg') FROM t")
-    with pytest.raises(ValueError, match="ASOF"):
+    with pytest.raises(ValueError, match="exactly one inequality"):
         duckdb_to_spark_sql(
-            "SELECT * FROM trades t ASOF JOIN quotes q ON t.ts >= q.ts"
+            "SELECT * FROM t ASOF JOIN q ON t.a >= q.a AND t.b <= q.b"
         )
+    with pytest.raises(ValueError, match="ON condition"):
+        duckdb_to_spark_sql("SELECT * FROM t ASOF JOIN q USING (k)")
+    with pytest.raises(ValueError, match="IN"):
+        duckdb_to_spark_sql("PIVOT cities ON yr USING sum(pop)")
+    with pytest.raises(ValueError, match="schema"):
+        duckdb_to_spark_sql("SELECT COLUMNS('^o_') FROM orders")
     with pytest.raises(ValueError, match="DISTINCT ON"):
         duckdb_to_spark_sql("SELECT DISTINCT ON (k) k, v FROM t")
 
@@ -329,6 +391,36 @@ def test_using_sample_rewrites(spark):
     )
     assert "TABLESAMPLE (50 ROWS)" in out_rows
     assert spark.sql(out_rows).collect()[0]["n"] == 50
+
+
+def test_columns_projection_matches_duckdb(spark, duck):
+    """``COLUMNS('regex')`` expands to an explicit list when the caller
+    supplies table schemas (as the pipeline's CUSTOM stage does) and the
+    result matches DuckDB running the raw text."""
+    sql = "SELECT COLUMNS('key$') FROM orders WHERE o_orderkey < 50"
+    cols = {"orders": spark.table("orders").columns}
+    out = duckdb_to_spark_sql(sql, cols)
+    assert "o_orderkey, o_custkey" in out
+    diag = compare(spark.sql(out), duck, sql)
+    assert diag["ok"], diag
+    star = duckdb_to_spark_sql(
+        "SELECT COLUMNS(*) FROM nation WHERE n_nationkey = 1",
+        {"nation": spark.table("nation").columns},
+    )
+    diag = compare(
+        spark.sql(star), duck, "SELECT COLUMNS(*) FROM nation WHERE n_nationkey = 1"
+    )
+    assert diag["ok"], diag
+
+
+def test_date_diff_brace_args_no_crash():
+    """Argument expressions containing braces must be substituted verbatim
+    (str.format would raise on them), even if Spark later rejects the
+    construct itself."""
+    out = duckdb_to_spark_sql(
+        "SELECT date_diff('day', {'a': DATE '1995-01-01'}.a, o_orderdate) AS d FROM orders"
+    )
+    assert "{'a': DATE '1995-01-01'}.a" in out
 
 
 def test_strings_and_subscripts_untouched():
