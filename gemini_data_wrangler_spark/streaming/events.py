@@ -455,6 +455,56 @@ def streaming_user_lifetime_stats(
     )
 
 
+def streaming_user_lifetime_stats_v1(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Semantic twin of `streaming_user_lifetime_stats` on the State-API-v1
+    operator (``applyInPandasWithState``): same per-user lifetime
+    (event count, value total) counters, same Update-mode output schema,
+    but the v1 Python worker speaks Spark's plain Arrow state channel and
+    needs NO google.protobuf — so this path runs everywhere, while the v2
+    path additionally requires protobuf on the workers (its state server
+    protocol is protobuf-framed). Tests exercise this twin unconditionally
+    and the v2 operator where protobuf is importable; both must converge
+    to the batch per-user totals.
+
+    Scale behavior is identical: one fixed-size state record per key in
+    the state store, Arrow-batched input, watermark-bounded shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, v double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+        )
+
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_ewma_anomaly(
     stream: DataFrame,
     alpha: float = 0.1,

