@@ -455,6 +455,9 @@ _FN_RENAMES = [
     (re.compile(r"\bstrpos\s*\(", re.IGNORECASE), "instr("),
     # Same "any element in common" semantics (both null-safe on empties).
     (re.compile(r"\blist_has_any\s*\(", re.IGNORECASE), "arrays_overlap("),
+    # Same (list, element) argument order. (list_prepend's order is
+    # REVERSED vs array_prepend and handled by a two-arg swap rewrite.)
+    (re.compile(r"\blist_append\s*\(", re.IGNORECASE), "array_append("),
 ]
 # Refusals: close lookalikes whose semantics silently diverge.
 _QUANTILE_DISC_RE = re.compile(r"\bquantile_disc\s*\(", re.IGNORECASE)
@@ -593,11 +596,14 @@ def _rewrite_one_arg(sql: str, pattern: re.Pattern, build) -> str:
         sql = sql[: m.start()] + repl + sql[close + 1 :]
 
 
-def _rewrite_string_split(masked: str, literals: list[str]) -> str:
-    """``string_split(s, sep)`` splits on a LITERAL separator; Spark's
-    ``split`` takes a regex — so the separator literal is regex-escaped in
-    the literals table. A non-literal separator is refused (its runtime
-    value would be interpreted as a regex, silently changing semantics)."""
+def _rewrite_string_split(
+    masked: str, literals: list[str], pattern: re.Pattern | None = None
+) -> str:
+    """``string_split(s, sep)`` (and the ``string_to_array`` alias) splits
+    on a LITERAL separator; Spark's ``split`` takes a regex — so the
+    separator literal is regex-escaped in the literals table. A
+    non-literal separator is refused (its runtime value would be
+    interpreted as a regex, silently changing semantics)."""
 
     def build(args):
         ph = re.fullmatch(r"\x00(\d+)\x00", args[1])
@@ -615,7 +621,7 @@ def _rewrite_string_split(masked: str, literals: list[str]) -> str:
         literals[idx] = f"'{escaped}'"
         return f"split({args[0]}, {args[1]})"
 
-    return _rewrite_two_arg(masked, _STRING_SPLIT_RE, build)
+    return _rewrite_two_arg(masked, pattern or _STRING_SPLIT_RE, build)
 
 
 _LIST_AGG_MAP = {
@@ -1060,6 +1066,263 @@ def _rewrite_columns_projection(
         masked = masked[: m.start()] + ", ".join(chosen) + masked[close_idx + 1 :]
 
 
+_STRUCT_KEY_RE = re.compile(r"^\s*\x00(\d+)\x00\s*:(?!:)")
+_MAP_KW_RE = re.compile(r"\bMAP\s*$", re.IGNORECASE)
+
+
+def _rewrite_struct_literals(masked: str) -> str:
+    """DuckDB struct literals ``{'k': v, ...}`` → ``named_struct('k', v,
+    ...)``; ``MAP {'k': v}`` → ``map('k', v, ...)``. Innermost-first so
+    nested struct values are already rewritten when the outer literal is
+    assembled. Field access (``s.k``) is shared syntax and passes through.
+    Keys must be string literals (DuckDB's only struct-literal key form).
+    """
+    while True:
+        open_idx = None
+        for i, ch in enumerate(masked):
+            if ch == "{":
+                open_idx = i  # keep scanning: the LAST '{' before a '}' is innermost
+            elif ch == "}" and open_idx is not None:
+                break
+        else:
+            return masked
+        close = _find_matching(masked, open_idx, "{", "}")
+        if close < 0:
+            raise ValueError("unbalanced '{' in struct literal")
+        body = masked[open_idx + 1 : close]
+        pairs = []
+        for item in _split_top_level(body):
+            km = _STRUCT_KEY_RE.match(item)
+            if not km:
+                raise ValueError(
+                    "struct literal keys must be string literals "
+                    "('{'key': value}'); computed keys have no Spark "
+                    "named_struct translation"
+                )
+            pairs.append((f"\x00{km.group(1)}\x00", item[km.end() :].strip()))
+        args = ", ".join(f"{k}, {v}" for k, v in pairs)
+        pre = masked[:open_idx]
+        mm = _MAP_KW_RE.search(pre)
+        if mm:
+            masked = pre[: mm.start()] + f"map({args})" + masked[close + 1 :]
+        else:
+            masked = pre + f"named_struct({args})" + masked[close + 1 :]
+
+
+_ARROW_RE = re.compile(r"->>|->")
+# Functions whose second argument is a lambda: a bare-identifier `x -> body`
+# inside these is DuckDB lambda syntax, not JSON extraction.
+_LAMBDA_FNS = {
+    "transform", "filter", "aggregate", "reduce", "forall", "exists",
+    "zip_with", "map_filter", "transform_keys", "transform_values",
+    "list_transform", "list_filter", "array_sort", "list_sort",
+}
+
+
+def _arrow_left_operand(masked: str, end: int) -> int:
+    """Start index of the expression ending (exclusive) at ``end``: a
+    placeholder, (qualified) identifier, or call/paren/subscript chain."""
+    i = end
+    while i > 0 and masked[i - 1].isspace():
+        i -= 1
+    end = i
+    while i > 0:
+        ch = masked[i - 1]
+        if ch in ")]":
+            opener = "(" if ch == ")" else "["
+            depth = 0
+            j = i - 1
+            while j >= 0:
+                if masked[j] == ch:
+                    depth += 1
+                elif masked[j] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                return end  # unbalanced; treat as no operand
+            i = j
+        elif ch == "\x00":
+            j = masked.rfind("\x00", 0, i - 1)
+            if j < 0:
+                return end
+            i = j
+        elif ch.isalnum() or ch in "_.":
+            i -= 1
+        else:
+            break
+    return i
+
+
+def _enclosing_call_name(masked: str, pos: int) -> str | None:
+    """Name of the innermost function call containing ``pos``, if any."""
+    depth = 0
+    for i in range(pos - 1, -1, -1):
+        ch = masked[i]
+        if ch == ")":
+            depth += 1
+        elif ch == "(":
+            if depth == 0:
+                m = re.search(r"([A-Za-z_][A-Za-z_0-9]*)\s*$", masked[:i])
+                return m.group(1).lower() if m else None
+            depth -= 1
+    return None
+
+
+def _rewrite_json_arrows(masked: str, literals: list[str]) -> str:
+    """DuckDB JSON extraction operators over string/JSON columns:
+
+    * ``j ->> 'k'``  → ``get_json_object(j, '$.k')`` (both unquote string
+      scalars and emit JSON text for nested objects);
+    * ``j -> 'k'``   → ``to_json(variant_get(parse_json(j), '$.k'))``
+      (both KEEP JSON form: string scalars stay quoted, objects stay
+      JSON — pinned against DuckDB in the parity bank);
+    * integer operands index arrays 0-based in both engines → ``'$[i]'``.
+
+    Chains rewrite left-to-right, each result becoming the next left
+    operand. A ``->`` whose left side is a bare identifier inside a known
+    lambda-taking function is DuckDB lambda syntax and is left alone."""
+    pos = 0
+    while True:
+        m = _ARROW_RE.search(masked, pos)
+        if not m:
+            return masked
+        op = m.group(0)
+        # right operand: string-literal placeholder or integer literal
+        rm = re.match(r"\s*(\x00(\d+)\x00|\d+)", masked[m.end() :])
+        if not rm:
+            pos = m.end()
+            continue
+        left_start = _arrow_left_operand(masked, m.start())
+        left = masked[left_start : m.start()].strip()
+        if not left:
+            pos = m.end()
+            continue
+        if op == "->" and re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", left):
+            fn = _enclosing_call_name(masked, m.start())
+            if fn in _LAMBDA_FNS:
+                pos = m.end()  # lambda parameter, not JSON extraction
+                continue
+        if rm.group(2) is not None:
+            key = literals[int(rm.group(2))][1:-1]
+            path = key if key.startswith("$") else "$." + key
+        else:
+            path = f"$[{rm.group(1)}]"
+        literals.append(f"'{path}'")
+        ph = f"\x00{len(literals) - 1}\x00"
+        if op == "->>":
+            repl = f"get_json_object({left}, {ph})"
+        else:
+            repl = f"to_json(variant_get(parse_json({left}), {ph}))"
+        masked = (
+            masked[:left_start] + repl + masked[m.end() + rm.end() :]
+        )
+        pos = left_start  # re-scan from here: chains fold left-to-right
+
+
+_JSON_EXTRACT_RE = re.compile(r"\bjson_extract\s*\(", re.IGNORECASE)
+_JSON_EXTRACT_STRING_RE = re.compile(
+    r"\bjson_extract_string\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_json_extract(masked: str, literals: list[str]) -> str:
+    """Function spellings of the arrow operators, same target forms.
+    Paths must be string literals ('k' or '$.k.j'); DuckDB's list-of-paths
+    form is refused."""
+
+    def norm_path(arg: str) -> str | None:
+        ph = re.fullmatch(r"\x00(\d+)\x00", arg)
+        if not ph:
+            raise ValueError(
+                "json_extract with a non-literal or list path cannot be "
+                "translated; inline a single string path literal"
+            )
+        idx = int(ph.group(1))
+        body = literals[idx][1:-1]
+        if not body.startswith("$"):
+            literals[idx] = f"'$.{body}'"
+        return arg
+
+    masked = _rewrite_two_arg(
+        masked,
+        _JSON_EXTRACT_STRING_RE,
+        lambda a: f"get_json_object({a[0]}, {norm_path(a[1])})",
+    )
+    return _rewrite_two_arg(
+        masked,
+        _JSON_EXTRACT_RE,
+        lambda a: (
+            f"to_json(variant_get(parse_json({a[0]}), {norm_path(a[1])}))"
+        ),
+    )
+
+
+_STAR_REPLACE_RE = re.compile(r"\*\s*REPLACE\s*\(", re.IGNORECASE)
+
+
+def _rewrite_star_replace(
+    masked: str, table_columns: dict[str, list[str]] | None
+) -> str:
+    """``SELECT * REPLACE (expr AS col, ...) FROM t`` → the explicit
+    column list with ``expr AS col`` substituted in place. Schema-
+    dependent like COLUMNS(...): requires caller-supplied table schemas
+    and a single-table FROM at the same nesting depth."""
+    while True:
+        m = _STAR_REPLACE_RE.search(masked)
+        if not m:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close = _find_matching(masked, open_idx, "(", ")")
+        if close < 0:
+            raise ValueError("unbalanced parenthesis in * REPLACE (...)")
+        if table_columns is None:
+            raise ValueError(
+                "* REPLACE (...) needs the table schema; run through the "
+                "CLI/pipeline (which supplies loaded-table schemas), or "
+                "list the columns explicitly"
+            )
+        repls = {}
+        for item in _split_top_level(masked[open_idx + 1 : close]):
+            am = re.match(r"(.*)\s+AS\s+([A-Za-z_][A-Za-z_0-9]*)\s*$", item.strip(), re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise ValueError(
+                    "* REPLACE items must be 'expr AS column_name'"
+                )
+            repls[am.group(2).lower()] = am.group(1).strip()
+        base_depth = masked[: m.start()].count("(") - masked[: m.start()].count(")")
+        fm_name = None
+        for cand in re.finditer(
+            r"\bFROM\s+([A-Za-z_][A-Za-z_0-9]*)", masked[close:], re.IGNORECASE
+        ):
+            seg = masked[: close + cand.start()]
+            if seg.count("(") - seg.count(")") == base_depth:
+                fm_name = cand.group(1)
+                break
+        cols = table_columns.get(fm_name) if fm_name else None
+        if cols is None:
+            raise ValueError(
+                "* REPLACE could not be resolved: FROM is not a single "
+                "known table; list the columns explicitly"
+            )
+        unknown = set(repls) - {c.lower() for c in cols}
+        if unknown:
+            raise ValueError(
+                f"* REPLACE names columns not in the table: {sorted(unknown)}"
+            )
+        parts = [
+            f"{repls[c.lower()]} AS {c}" if c.lower() in repls else c
+            for c in cols
+        ]
+        masked = masked[: m.start()] + ", ".join(parts) + masked[close + 1 :]
+
+
+_LEN_RE = re.compile(r"\blen\s*\(", re.IGNORECASE)
+_LIST_PREPEND_RE = re.compile(r"\blist_prepend\s*\(", re.IGNORECASE)
+_STRING_TO_ARRAY_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
+
+
 def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = None) -> str:
     """Rewrite known DuckDB-isms to Spark SQL; raise on constructs with no
     Spark equivalent rather than letting them fail with a parser error.
@@ -1082,6 +1345,15 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     masked = _rewrite_pivot_stmt(masked)
     masked = _rewrite_unpivot_stmt(masked)
     masked = _rewrite_columns_projection(masked, literals, table_columns)
+    masked = _rewrite_star_replace(masked, table_columns)
+    masked = _rewrite_struct_literals(masked)
+    masked = _rewrite_json_arrows(masked, literals)
+    masked = _rewrite_json_extract(masked, literals)
+    if _LEN_RE.search(masked):
+        raise ValueError(
+            "len() is type-overloaded in DuckDB (strings AND lists); Spark "
+            "splits it — write length() for strings or size() for arrays"
+        )
     if _RECURSIVE_RE.search(masked) and not _UNION_ALL_RE.search(masked):
         raise ValueError(
             "Spark recursive CTEs support only UNION ALL between anchor and "
@@ -1114,7 +1386,12 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     masked = _INTDIV_RE.sub(" div ", masked)
     masked = _rewrite_strftime(masked, literals)
     masked = _rewrite_string_split(masked, literals)
+    masked = _rewrite_string_split(masked, literals, _STRING_TO_ARRAY_RE)
     masked = _rewrite_list_aggregate(masked, literals)
+    # list_prepend(elem, list) → array_prepend(list, elem): reversed args.
+    masked = _rewrite_two_arg(
+        masked, _LIST_PREPEND_RE, lambda a: f"array_prepend({a[1]}, {a[0]})"
+    )
     # list_has_all(haystack, needles) → every needle contained (Spark has
     # no direct equivalent; forall + array_contains is exact).
     masked = _rewrite_two_arg(

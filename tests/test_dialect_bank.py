@@ -310,6 +310,49 @@ BANK = [
         """,
     ),
     (
+        "json_arrow_operators",
+        """
+        SELECT event_id, props ->> 'k' AS k_str, props -> 'k' AS k_json
+        FROM events WHERE event_id < 200
+        """,
+    ),
+    (
+        "json_extract_functions",
+        """
+        SELECT event_id,
+               json_extract(props, 'k') AS j,
+               json_extract_string(props, '$.k') AS s
+        FROM events WHERE event_id < 100
+        """,
+    ),
+    (
+        "json_arrow_chain",
+        """
+        SELECT doc_id,
+               ('{"a": {"b": ' || CAST(doc_id AS VARCHAR) || '}}') -> 'a' ->> 'b' AS b
+        FROM documents WHERE doc_id < 20
+        """,
+    ),
+    (
+        "struct_literal_field_access",
+        """
+        SELECT n_nationkey,
+               {'name': n_name, 'region': n_regionkey}.name AS nm,
+               {'outer': {'inner': n_regionkey}}.outer.inner AS r
+        FROM nation
+        """,
+    ),
+    (
+        "list_append_prepend_string_to_array",
+        """
+        SELECT n_nationkey,
+               list_append([n_regionkey], CAST(n_nationkey AS BIGINT)) AS ap,
+               list_prepend(CAST(n_nationkey AS BIGINT), [n_regionkey]) AS pre,
+               string_to_array(n_name, 'A') AS parts
+        FROM nation
+        """,
+    ),
+    (
         "date_diff_pre_epoch_sub_day",
         """
         SELECT date_diff('hour',   TIMESTAMP '1969-12-31 23:30:00', TIMESTAMP '1970-01-01 00:30:00') AS h_cross,
@@ -413,14 +456,49 @@ def test_columns_projection_matches_duckdb(spark, duck):
     assert diag["ok"], diag
 
 
-def test_date_diff_brace_args_no_crash():
-    """Argument expressions containing braces must be substituted verbatim
-    (str.format would raise on them), even if Spark later rejects the
-    construct itself."""
+def test_star_replace_matches_duckdb(spark, duck):
+    """``SELECT * REPLACE (expr AS col)`` expands to the explicit column
+    list (schema-supplied, like COLUMNS) and matches DuckDB."""
+    sql = (
+        "SELECT * REPLACE (upper(n_name) AS n_name, n_regionkey + 100 AS n_regionkey) "
+        "FROM nation WHERE n_nationkey < 10"
+    )
+    out = duckdb_to_spark_sql(sql, {"nation": spark.table("nation").columns})
+    # Untouched columns (n_nationkey) survive in position; replaced ones carry
+    # the substituted expression.
+    assert "upper(n_name) AS n_name" in out and "SELECT n_nationkey," in out
+    diag = compare(spark.sql(out), duck, sql)
+    assert diag["ok"], diag
+
+
+def test_star_replace_and_len_refusals():
+    with pytest.raises(ValueError, match="REPLACE"):
+        duckdb_to_spark_sql("SELECT * REPLACE (1 AS x) FROM t")  # no schema
+    with pytest.raises(ValueError, match="length\\(\\) for strings"):
+        duckdb_to_spark_sql("SELECT len(s) FROM t")
+
+
+def test_lambda_arrows_left_alone(spark, duck):
+    """A `->` whose left side is a lambda parameter inside a HOF is DuckDB
+    lambda syntax — must NOT be rewritten as JSON extraction, even with a
+    string-literal body."""
+    sql = "SELECT list_transform([1, 2], x -> 'c') AS l"
+    out = duckdb_to_spark_sql(sql)
+    assert "x -> 'c'" in out
+    assert [list(r.l) for r in spark.sql(out).collect()] == [
+        list(t[0]) for t in duck.execute(sql).fetchall()
+    ]
+
+
+def test_date_diff_struct_args_no_crash():
+    """A struct-literal argument flows through date_diff substitution
+    (plain replace, not str.format — braces in argument text must never
+    crash) and the struct itself translates to named_struct."""
     out = duckdb_to_spark_sql(
         "SELECT date_diff('day', {'a': DATE '1995-01-01'}.a, o_orderdate) AS d FROM orders"
     )
-    assert "{'a': DATE '1995-01-01'}.a" in out
+    assert "named_struct('a', DATE '1995-01-01').a" in out
+    assert "datediff" in out
 
 
 def test_strings_and_subscripts_untouched():
