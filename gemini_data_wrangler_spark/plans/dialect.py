@@ -59,6 +59,33 @@ engines and passes through untouched.
 | ``date_diff('part', a, b)``        | boundary-exact arithmetic per part (DuckDB counts boundaries crossed, not complete intervals; 'week' refused; sub-day units pin DuckDB v1.0.0's trunc-toward-zero epoch division, incl. pre-epoch) |
 | ``strpos(s, sub)``                 | ``instr(s, sub)`` |
 | ``CAST(x AS VARCHAR)`` (bare)      | ``CAST(x AS STRING)`` |
+| ``j -> 'k'`` / ``j ->> 'k'``       | ``to_json(variant_get(parse_json(j), '$.k'))`` / ``get_json_object(j, '$.k')`` (ints index arrays; lambda arrows inside HOFs untouched) |
+| ``json_extract[_string](j, p)``    | same targets as the arrow forms (literal single path only) |
+| ``{'k': v}`` / ``MAP {'k': v}``    | ``named_struct('k', v)`` / ``map('k', v)`` (innermost-first) |
+| ``SELECT * REPLACE (e AS c)``      | explicit column list with ``e AS c`` substituted (schema-supplied) |
+| ``len(x)``                         | refused → explicit error (type-overloaded: length() for strings, size() for arrays) |
+| ``regexp_replace(s, p, r, 'g')``   | 3-arg Spark call; ``i``/``s``/``m`` options fold into ``(?flags)``; first-match-only (no ``'g'``) refused — Spark replaces every match |
+| ``date_part('dow'/'isodow'/'epoch', x)`` | ``dayofweek(x)-1`` / ``weekday(x)+1`` / fractional epoch seconds (numbering diverges); shared fields pass through, ``datepart`` renamed |
+| ``epoch(ts)``                      | ``unix_micros(cast(ts as timestamp)) / 1e6`` |
+| ``x SIMILAR TO 'p'``               | ``x RLIKE '^(?:p)$'`` (DuckDB anchors the full string; ``%`` is a literal) |
+| ``list_slice(l, a, b)``            | ``slice`` with normalized absolute bounds (1-based end-inclusive, negatives from end, clamped; step form refused) |
+| ``list_unique(l)``                 | ``size(array_distinct(filter(l, not null)))`` (it COUNTS, not dedups) |
+| ``list_concat(a, b)``              | NULL-as-empty ``concat`` via CASE |
+| ``struct_pack(k := v)``            | ``named_struct('k', v)`` |
+| ``list_/array_cosine_similarity`` etc. | exact double HOF expansions (dot, norms, L2) |
+| ``time_bucket(INTERVAL 'n u', ts)``| origin-anchored epoch/month arithmetic (origins 2000-01-03 / 2000-01-01; pmod keeps floor pre-origin; origin/offset args refused) |
+| ``editdist3``/``prefix``/``suffix``| ``levenshtein``/``startswith``/``endswith`` |
+| ``list_position``/``list_indexof`` | ``array_position`` (both 0-when-absent) |
+| ``ORDER BY ALL`` / ``TRY_CAST``    | pass through (Spark-native) |
+| ``lag(x IGNORE NULLS)`` etc.       | ``lag(x) IGNORE NULLS`` (modifier moves outside the call) |
+| ``FROM [t,] unnest(l) AS z(u)``    | ``[LATERAL] explode(l) AS z(u)`` (comma/JOIN → LATERAL; leading item → TVF) |
+| ``x[i]`` subscript                 | ``try_element_at(x, i)`` (DuckDB is 1-based/NULL-OOB/negative-from-end; Spark ``[]`` is 0-based — silent off-by-one otherwise). String-literal keys (``m['k']``) stay subscripts |
+| ``extract(dow/isodow/epoch FROM x)`` | renumbered arithmetic (same spelling, shifted values in Spark) |
+| ``dayofweek``/``weekday``/``isodow``/``dayname``/``monthname`` | ``dayofweek(x)-1`` / same / ``weekday(x)+1`` / ``date_format`` full names (DuckDB: 0=Sunday & full names; Spark: 1=Sunday, 0=MONDAY, 3-letter names) |
+| ``list(x [ORDER BY x])``           | ``collect_list(x)`` / ``array_sort(collect_list(x))`` (other inline orderings refused) |
+| ``group_concat`` / ``week``        | ``string_agg`` path / ``weekofyear`` |
+| ``product()``                      | refused → explicit error (no zero/negative-safe Spark equivalent) |
+| ``ORDER BY x`` (bare/ASC keys)     | ``ORDER BY x NULLS LAST`` everywhere (statement, OVER, WITHIN GROUP): DuckDB defaults nulls-last, Spark ascending defaults nulls-FIRST — silent row flips under LIMIT; DESC agrees and is untouched |
 """
 
 from __future__ import annotations
@@ -458,6 +485,17 @@ _FN_RENAMES = [
     # Same (list, element) argument order. (list_prepend's order is
     # REVERSED vs array_prepend and handled by a two-arg swap rewrite.)
     (re.compile(r"\blist_append\s*\(", re.IGNORECASE), "array_append("),
+    # Levenshtein alias (same cost model: unit insert/delete/substitute).
+    (re.compile(r"\beditdist3\s*\(", re.IGNORECASE), "levenshtein("),
+    # Boolean prefix/suffix tests, same argument order.
+    (re.compile(r"\bprefix\s*\(", re.IGNORECASE), "startswith("),
+    (re.compile(r"\bsuffix\s*\(", re.IGNORECASE), "endswith("),
+    # Both return the 1-based first position, 0 when absent.
+    (re.compile(r"\blist_position\s*\(", re.IGNORECASE), "array_position("),
+    (re.compile(r"\blist_indexof\s*\(", re.IGNORECASE), "array_position("),
+    (re.compile(r"\barray_length\s*\(", re.IGNORECASE), "size("),
+    # Shared extract fields (dow/isodow/epoch already special-cased).
+    (re.compile(r"\bdatepart\s*\(", re.IGNORECASE), "date_part("),
 ]
 # Refusals: close lookalikes whose semantics silently diverge.
 _QUANTILE_DISC_RE = re.compile(r"\bquantile_disc\s*\(", re.IGNORECASE)
@@ -1323,6 +1361,546 @@ _LIST_PREPEND_RE = re.compile(r"\blist_prepend\s*\(", re.IGNORECASE)
 _STRING_TO_ARRAY_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
 
 
+def _rewrite_call(masked: str, pattern: re.Pattern, build) -> str:
+    """Generic ``fn(...)`` rewrite: ``build(match, args) -> replacement``
+    (or None to leave the call site untouched). A replacement that must
+    keep the same function name embeds ``\\x01`` after the name so it
+    cannot re-match; markers are stripped at the end of the pipeline."""
+    pos = 0
+    while True:
+        m = pattern.search(masked, pos)
+        if not m:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close = _find_matching(masked, open_idx, "(", ")")
+        if close < 0:
+            return masked
+        args = [a.strip() for a in _split_top_level(masked[open_idx + 1 : close])]
+        repl = build(m, args)
+        if repl is None:
+            pos = m.end()
+            continue
+        masked = masked[: m.start()] + repl + masked[close + 1 :]
+
+
+_ORDER_BY_KW_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+# Words that end an ORDER BY clause at depth 0 (frame specs, limits, set
+# ops). CASE/END etc. inside items are untouched — they are not listed.
+_OB_TERMINATORS = {
+    "LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS",
+    "WINDOW", "UNION", "INTERSECT", "EXCEPT", "QUALIFY", "HAVING",
+}
+
+
+def _rewrite_order_by_nulls(masked: str) -> str:
+    """DuckDB's default null order is NULLS LAST in BOTH directions;
+    Spark's ascending default is NULLS FIRST — an ORDER BY ... LIMIT over
+    a nullable key silently returns different rows. DESC agrees (both
+    last), so only bare/ASC sort keys get an explicit ``NULLS LAST``.
+    Applies to every ORDER BY: statement-level, OVER (...) windows, and
+    WITHIN GROUP — the numbering divergence is the same in each."""
+    pos = 0
+    while True:
+        m = _ORDER_BY_KW_RE.search(masked, pos)
+        if not m:
+            return masked
+        i = m.end()
+        depth = 0
+        item_start = i
+        spans = []
+        while i < len(masked):
+            ch = masked[i]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                spans.append((item_start, i))
+                item_start = i + 1
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                wm = re.match(r"[A-Za-z_][A-Za-z_0-9]*", masked[i:])
+                if wm.group(0).upper() in _OB_TERMINATORS:
+                    break
+                i += len(wm.group(0)) - 1
+            i += 1
+        spans.append((item_start, i))
+        clause_end = i
+        new_items = []
+        for s, e in spans:
+            txt = masked[s:e]
+            core = txt.strip()
+            if (
+                not core
+                or core.upper() == "ALL"
+                or re.search(r"\bNULLS\s+(FIRST|LAST)$", core, re.IGNORECASE)
+                or re.search(r"\bDESC$", core, re.IGNORECASE)
+            ):
+                new_items.append(txt)
+            else:
+                stripped = txt.rstrip()
+                new_items.append(stripped + " NULLS LAST" + txt[len(stripped):])
+        repl = ",".join(new_items)
+        masked = masked[: m.end()] + repl + masked[clause_end:]
+        pos = m.end() + len(repl)
+
+
+_EXTRACT_DIVERGENT_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(dow|isodow|epoch)\s+FROM\b", re.IGNORECASE
+)
+
+
+def _rewrite_extract_fields(masked: str) -> str:
+    """``EXTRACT(dow/isodow/epoch FROM x)`` — same spelling, different
+    numbers: DuckDB dow is 0=Sunday (Spark: 1), DuckDB isodow is
+    1=Monday..7 (Spark weekday: 0=Monday), epoch is not a Spark field."""
+    while True:
+        m = _EXTRACT_DIVERGENT_RE.search(masked)
+        if not m:
+            return masked
+        open_idx = masked.index("(", m.start())
+        close = _find_matching(masked, open_idx, "(", ")")
+        if close < 0:
+            return masked
+        expr = masked[m.end() : close].strip()
+        field = m.group(1).lower()
+        if field == "dow":
+            repl = f"(dayofweek\x01({expr}) - 1)"
+        elif field == "isodow":
+            repl = f"(weekday\x01({expr}) + 1)"
+        else:
+            repl = f"(unix_micros(cast({expr} as timestamp)) / 1e6)"
+        masked = masked[: m.start()] + repl + masked[close + 1 :]
+
+
+# Same-name date functions whose numbering/format diverges. Markers keep
+# the emitted Spark calls from re-matching.
+_DAYOFWEEK_RE = re.compile(r"\b(?:dayofweek|weekday)\s*\(", re.IGNORECASE)
+_ISODOW_RE = re.compile(r"\bisodow\s*\(", re.IGNORECASE)
+_DAYNAME_RE = re.compile(r"\b(day|month)name\s*\(", re.IGNORECASE)
+_PRODUCT_RE = re.compile(r"\bproduct\s*\(", re.IGNORECASE)
+_LIST_AGG_FN_RE = re.compile(r"\blist\s*\(", re.IGNORECASE)
+_ORDER_BY_TAIL_RE = re.compile(
+    r"(.*\S)\s+ORDER\s+BY\s+(.+?)\s*(ASC|DESC)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_day_fns(masked: str, literals: list[str]) -> str:
+    """DuckDB ``dayofweek``/``weekday`` both mean 0=Sunday; Spark's
+    ``dayofweek`` is 1=Sunday and its ``weekday`` is 0=MONDAY — the same
+    spellings, shifted numbers. ``isodow`` is 1=Monday..7. ``dayname``/
+    ``monthname`` give full names (Spark's give 3-letter)."""
+    masked = _rewrite_one_arg(
+        masked, _DAYOFWEEK_RE, lambda m, a: f"(dayofweek\x01({a}) - 1)"
+    )
+    masked = _rewrite_one_arg(
+        masked, _ISODOW_RE, lambda m, a: f"(weekday\x01({a}) + 1)"
+    )
+
+    def dayname(m, a):
+        fmt = "'EEEE'" if m.group(1).lower() == "day" else "'MMMM'"
+        literals.append(fmt)
+        return f"date_format({a}, \x00{len(literals) - 1}\x00)"
+
+    return _rewrite_one_arg(masked, _DAYNAME_RE, dayname)
+
+
+def _rewrite_list_agg_fn(masked: str) -> str:
+    """DuckDB's ``list(x)`` aggregate → ``collect_list(x)``; the inline
+    ``list(x ORDER BY x)`` form translates when the sort key is the
+    collected expression itself (→ ``array_sort(collect_list(x))``),
+    otherwise it is refused (Spark aggregates take no inline ORDER BY and
+    collect_list order is nondeterministic)."""
+
+    def build(m, args):
+        if len(args) != 1:
+            return None
+        om = _ORDER_BY_TAIL_RE.fullmatch(args[0])
+        if not om:
+            return f"collect_list({args[0]})"
+        expr, key, direction = om.group(1), om.group(2), om.group(3) or ""
+        if key.strip() == expr.strip() and direction.upper() != "DESC":
+            return f"array_sort(collect_list({expr}))"
+        raise ValueError(
+            "list(x ORDER BY k) translates only when k is x ascending "
+            "(array_sort over collect_list); any other inline ordering "
+            "has no Spark aggregate equivalent — sort in a window or "
+            "after collecting"
+        )
+
+    return _rewrite_call(masked, _LIST_AGG_FN_RE, build)
+
+
+def _rewrite_subscripts(masked: str) -> str:
+    """DuckDB ``x[i]`` is 1-BASED with NULL out-of-bounds and negative
+    indices counting from the end; Spark ``x[i]`` is 0-based — the worst
+    kind of silent off-by-one for a migrated flow. Spark's
+    ``try_element_at`` has exactly DuckDB's semantics, so every
+    non-string-key subscript rewrites to it. String-literal keys
+    (``m['k']``) stay as subscripts: Spark map access matches, and
+    DuckDB's list-wrapped map subscript has no Spark equivalent anyway."""
+    pos = 0
+    while True:
+        idx = masked.find("[", pos)
+        if idx < 0:
+            return masked
+        if not _is_subscript(masked, idx):
+            pos = idx + 1
+            continue
+        close = _find_matching(masked, idx, "[", "]")
+        if close < 0:
+            return masked
+        body = masked[idx + 1 : close].strip()
+        if re.fullmatch(r"\x00\d+\x00", body):
+            pos = close + 1  # string key: map/struct access, shared syntax
+            continue
+        left_start = _arrow_left_operand(masked, idx)
+        left = masked[left_start:idx].strip()
+        if not left:
+            pos = close + 1
+            continue
+        # Index 0 is NULL in DuckDB but an error for try_element_at even
+        # in try mode — nullif guards it (skipped for nonzero literals).
+        if not re.fullmatch(r"-?[1-9]\d*", body):
+            body = f"nullif({body}, 0)"
+        repl = f"try_element_at({left}, {body})"
+        masked = masked[:left_start] + repl + masked[close + 1 :]
+        pos = left_start + len(repl)
+
+
+_IGNORE_NULLS_FNS_RE = re.compile(
+    r"\b(lag|lead|first_value|last_value|nth_value|any_value|first|last)"
+    r"\s*\(",
+    re.IGNORECASE,
+)
+_NULLS_MODIFIER_RE = re.compile(
+    r"(.*\S)\s+(IGNORE|RESPECT)\s+NULLS\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _rewrite_ignore_nulls(masked: str) -> str:
+    """DuckDB puts the nulls modifier INSIDE the call — ``lag(x IGNORE
+    NULLS)``; Spark takes it outside — ``lag(x) IGNORE NULLS``. Same
+    keyword, one paren over."""
+
+    def build(m, args):
+        if not args:
+            return None
+        nm = _NULLS_MODIFIER_RE.fullmatch(args[-1])
+        if not nm:
+            return None
+        inner = ", ".join(args[:-1] + [nm.group(1)])
+        return f"{m.group(1)}({inner}) {nm.group(2).upper()} NULLS"
+
+    return _rewrite_call(masked, _IGNORE_NULLS_FNS_RE, build)
+
+
+_UNNEST_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+_TABLE_ALIAS_RE = re.compile(
+    r"\s+(?:AS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*\(\s*[A-Za-z_][A-Za-z_0-9]*\s*\)"
+)
+
+
+def _rewrite_from_unnest(masked: str) -> str:
+    """FROM-clause ``unnest(l) AS z(u)``: after a comma it becomes a
+    correlated ``LATERAL explode(...)``; as the leading FROM item, the
+    plain ``explode`` table-valued function. (A bare select-list
+    ``unnest(...)`` is renamed to ``explode`` later.)"""
+    pos = 0
+    while True:
+        m = _UNNEST_RE.search(masked, pos)
+        if not m:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close = _find_matching(masked, open_idx, "(", ")")
+        if close < 0:
+            return masked
+        am = _TABLE_ALIAS_RE.match(masked, close + 1)
+        if not am:
+            pos = m.end()
+            continue
+        i = m.start() - 1
+        while i >= 0 and masked[i].isspace():
+            i -= 1
+        prev_word = re.search(r"([A-Za-z_]+)\s*$", masked[: i + 1])
+        body = masked[open_idx + 1 : close]
+        if i >= 0 and masked[i] == ",":
+            repl = f"LATERAL explode({body})"
+        elif prev_word and prev_word.group(1).upper() == "JOIN":
+            repl = f"LATERAL explode({body})"
+        elif prev_word and prev_word.group(1).upper() == "FROM":
+            repl = f"explode({body})"
+        else:
+            pos = m.end()
+            continue
+        masked = masked[: m.start()] + repl + masked[close + 1 :]
+        pos = m.start() + len(repl)
+
+
+_REGEXP_REPLACE_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
+
+
+def _rewrite_regexp_replace(masked: str, literals: list[str]) -> str:
+    """DuckDB ``regexp_replace`` replaces only the FIRST match unless the
+    ``'g'`` option is given; Spark's replaces every match (its optional
+    4th argument is a start POSITION — same name, different meaning, so
+    passing through would silently change results both ways). Translate
+    the ``'g'`` form to Spark's 3-arg call, fold ``i``/``s``/``m`` options
+    into inline regex flags, and refuse first-match-only calls."""
+    first_match_msg = (
+        "DuckDB regexp_replace replaces only the FIRST match while Spark "
+        "replaces every one — a silent divergence; add the 'g' option for "
+        "global replace (translatable), or express a single replacement "
+        "with instr()/substring() arithmetic"
+    )
+
+    def build(m, args):
+        if len(args) == 3:
+            raise ValueError(first_match_msg)
+        if len(args) != 4:
+            return None
+        ph = re.fullmatch(r"\x00(\d+)\x00", args[3])
+        if not ph:
+            raise ValueError(
+                "regexp_replace options must be a string literal"
+            )
+        opts = literals[int(ph.group(1))].strip("'").lower()
+        if "g" not in opts:
+            raise ValueError(first_match_msg)
+        flags = "".join(sorted(set(opts) - {"g"}))
+        if not set(flags) <= {"i", "s", "m"}:
+            raise ValueError(
+                f"regexp_replace options {opts!r} have no Spark equivalent "
+                "(translatable: g, i, s, m)"
+            )
+        pat = args[1]
+        if flags:
+            pp = re.fullmatch(r"\x00(\d+)\x00", pat)
+            if pp:
+                body = literals[int(pp.group(1))][1:-1]
+                literals[int(pp.group(1))] = f"'(?{flags}){body}'"
+            else:
+                pat = f"concat('(?{flags})', {pat})"
+        return f"regexp_replace\x01({args[0]}, {pat}, {args[2]})"
+
+    return _rewrite_call(masked, _REGEXP_REPLACE_RE, build)
+
+
+_DATE_PART_RE = re.compile(r"\bdate_?part\s*\(", re.IGNORECASE)
+_EPOCH_FN_RE = re.compile(r"\bepoch\s*\(", re.IGNORECASE)
+
+
+def _rewrite_date_part(masked: str, literals: list[str]) -> str:
+    """Fields whose numbering diverges: DuckDB ``dow`` is 0=Sunday while
+    Spark's is 1=Sunday; DuckDB ``isodow`` is 1=Monday..7 (Spark's
+    ``weekday`` is 0=Monday..6); ``epoch`` (fractional seconds) is not a
+    Spark extract field at all. Shared fields pass through (``datepart``
+    spelled without the underscore is renamed afterwards)."""
+
+    def build(m, args):
+        if len(args) != 2:
+            return None
+        ph = re.fullmatch(r"\x00(\d+)\x00", args[0])
+        if not ph:
+            return None
+        part = literals[int(ph.group(1))].strip("'").lower()
+        if part == "dow":
+            return f"(dayofweek({args[1]}) - 1)"
+        if part == "isodow":
+            return f"(weekday({args[1]}) + 1)"
+        if part == "epoch":
+            return (
+                f"(unix_micros(cast({args[1]} as timestamp)) / 1e6)"
+            )
+        return None
+
+    return _rewrite_call(masked, _DATE_PART_RE, build)
+
+
+_SIMILAR_TO_RE = re.compile(r"\b(NOT\s+)?SIMILAR\s+TO\b", re.IGNORECASE)
+
+
+def _rewrite_similar_to(masked: str, literals: list[str]) -> str:
+    """``expr SIMILAR TO 'pattern'`` — DuckDB treats the pattern as a
+    full-string-anchored regex (no LIKE wildcards: ``%`` is a literal);
+    Spark RLIKE is partial-match, so anchor with ``^(?:...)$``."""
+    while True:
+        m = _SIMILAR_TO_RE.search(masked)
+        if not m:
+            return masked
+        rm = re.match(r"\s*\x00(\d+)\x00", masked[m.end() :])
+        if not rm:
+            raise ValueError(
+                "SIMILAR TO needs a string-literal pattern to translate "
+                "(the anchors must be added at rewrite time)"
+            )
+        idx = int(rm.group(1))
+        literals[idx] = f"'^(?:{literals[idx][1:-1]})$'"
+        op = "NOT RLIKE" if m.group(1) else "RLIKE"
+        masked = masked[: m.start()] + op + masked[m.end() :]
+
+
+_LIST_SLICE_RE = re.compile(r"\b(?:list|array)_slice\s*\(", re.IGNORECASE)
+_LIST_UNIQUE_RE = re.compile(r"\blist_unique\s*\(", re.IGNORECASE)
+_LIST_CONCAT_RE = re.compile(r"\blist_(?:concat|cat)\s*\(", re.IGNORECASE)
+_STRUCT_PACK_RE = re.compile(r"\bstruct_pack\s*\(", re.IGNORECASE)
+
+
+def _rewrite_list_slice(masked: str) -> str:
+    """``list_slice(l, begin, end)``: 1-based, END-INCLUSIVE, negative
+    indices count from the end, out-of-range clamps to empty — vs Spark
+    ``slice(l, start, LENGTH)``. Normalize both bounds to absolute
+    positions and clamp the derived length at 0."""
+
+    def build(m, args):
+        if len(args) == 4:
+            raise ValueError(
+                "list_slice with a step argument has no Spark equivalent"
+            )
+        if len(args) != 3:
+            return None
+        l, a, b = args
+        ai = f"(CASE WHEN ({a}) < 0 THEN size({l}) + ({a}) + 1 ELSE ({a}) END)"
+        bi = f"(CASE WHEN ({b}) < 0 THEN size({l}) + ({b}) + 1 ELSE ({b}) END)"
+        start = f"greatest({ai}, 1)"
+        return f"slice({l}, {start}, greatest({bi} - {start} + 1, 0))"
+
+    return _rewrite_call(masked, _LIST_SLICE_RE, build)
+
+
+def _rewrite_struct_pack(masked: str) -> str:
+    """``struct_pack(k := v, ...)`` → ``named_struct('k', v, ...)``."""
+
+    def build(m, args):
+        pairs = []
+        for item in args:
+            im = re.match(
+                r"([A-Za-z_][A-Za-z_0-9]*)\s*:=\s*(.+)$", item, re.DOTALL
+            )
+            if not im:
+                raise ValueError(
+                    "struct_pack arguments must be `name := value`"
+                )
+            pairs.append((im.group(1), im.group(2).strip()))
+        return (
+            "named_struct("
+            + ", ".join(f"'{k}', {v}" for k, v in pairs)
+            + ")"
+        )
+
+    return _rewrite_call(masked, _STRUCT_PACK_RE, build)
+
+
+# Vector math over embedding lists (list_* and array_* spellings): exact
+# double-typed HOF expansions — the shim's bridge for DuckDB's VSS-style
+# queries over the embeddings table.
+_VEC_FN_RE = re.compile(
+    r"\b(?:list|array)_(cosine_similarity|cosine_distance|inner_product|"
+    r"dot_product|negative_inner_product|distance)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_vector_fns(masked: str) -> str:
+    def dot(a, b):
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "cast(0 as double), (s, v) -> s + v)"
+        )
+
+    def norm(v):
+        return (
+            f"sqrt(aggregate(transform({v}, x -> x * x), "
+            "cast(0 as double), (s, v) -> s + v))"
+        )
+
+    def build(m, args):
+        if len(args) != 2:
+            return None
+        kind = m.group(1).lower()
+        a, b = args
+        if kind in ("inner_product", "dot_product"):
+            return dot(a, b)
+        if kind == "negative_inner_product":
+            return f"(- {dot(a, b)})"
+        if kind == "cosine_similarity":
+            return f"({dot(a, b)} / ({norm(a)} * {norm(b)}))"
+        if kind == "cosine_distance":
+            return f"(1.0 - {dot(a, b)} / ({norm(a)} * {norm(b)}))"
+        return (
+            f"sqrt(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as double), (s, v) -> s + v))"
+        )
+
+    return _rewrite_call(masked, _VEC_FN_RE, build)
+
+
+_TIME_BUCKET_RE = re.compile(r"\btime_bucket\s*\(", re.IGNORECASE)
+# DuckDB's documented origins: 2000-01-03 00:00:00 (a Monday) for
+# sub-month widths, 2000-01-01 for month-quantized widths.
+_TB_ORIGIN_SEC = 946857600
+_TB_UNIT_SEC = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _rewrite_time_bucket(masked: str, literals: list[str]) -> str:
+    """``time_bucket(INTERVAL 'n unit', ts)`` → origin-anchored epoch
+    arithmetic (``pmod`` keeps floor semantics before the origin).
+    Month/year widths bucket on the month index instead. The result is a
+    TIMESTAMP even for DATE inputs (DuckDB preserves DATE); three-argument
+    origin/offset forms are refused."""
+
+    def build(m, args):
+        if len(args) != 2:
+            raise ValueError(
+                "time_bucket with an explicit origin/offset is not "
+                "translated; use the two-argument form"
+            )
+        iv, ts = args
+        im = re.fullmatch(r"INTERVAL\s+\x00(\d+)\x00", iv, re.IGNORECASE)
+        if im:
+            body = literals[int(im.group(1))].strip("'").strip()
+        else:
+            um = re.fullmatch(r"INTERVAL\s+(\d+\s+[A-Za-z]+)", iv, re.IGNORECASE)
+            if not um:
+                raise ValueError(
+                    "time_bucket needs a literal INTERVAL bucket width"
+                )
+            body = um.group(1)
+        bm = re.fullmatch(
+            r"(\d+)\s*(second|minute|hour|day|week|month|year)s?",
+            body,
+            re.IGNORECASE,
+        )
+        if not bm:
+            raise ValueError(
+                f"unsupported time_bucket width '{body}' (single-unit "
+                "second/minute/hour/day/week/month/year widths translate)"
+            )
+        n, unit = int(bm.group(1)), bm.group(2).lower()
+        if unit in ("month", "year"):
+            months = n * (12 if unit == "year" else 1)
+            mi = f"((year({ts}) - 2000) * 12 + month({ts}) - 1)"
+            return (
+                f"cast(add_months(DATE '2000-01-01', "
+                f"{mi} - pmod({mi}, {months})) as timestamp)"
+            )
+        width = n * _TB_UNIT_SEC[unit]
+        t = f"unix_seconds(cast({ts} as timestamp))"
+        return (
+            f"timestamp_seconds({t} - pmod({t} - {_TB_ORIGIN_SEC}, {width}))"
+        )
+
+    return _rewrite_call(masked, _TIME_BUCKET_RE, build)
+
+
 def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = None) -> str:
     """Rewrite known DuckDB-isms to Spark SQL; raise on constructs with no
     Spark equivalent rather than letting them fail with a parser error.
@@ -1383,6 +1961,7 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
             "'^' is POWER in DuckDB but bitwise XOR in Spark — a silent "
             "semantic flip; write power(a, b) explicitly"
         )
+    masked = _rewrite_subscripts(masked)
     masked = _INTDIV_RE.sub(" div ", masked)
     masked = _rewrite_strftime(masked, literals)
     masked = _rewrite_string_split(masked, literals)
@@ -1418,6 +1997,55 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     # Bare VARCHAR (DuckDB's default string type) needs a length in Spark;
     # map to STRING. Parameterized VARCHAR(n) is Spark-valid and untouched.
     masked = _BARE_VARCHAR_RE.sub("STRING", masked)
+    masked = _rewrite_extract_fields(masked)
+    masked = _rewrite_day_fns(masked, literals)
+    masked = _rewrite_list_agg_fn(masked)
+    if _PRODUCT_RE.search(masked):
+        raise ValueError(
+            "the product() aggregate has no Spark equivalent "
+            "(exp(sum(ln(x))) breaks on zeros/negatives); compute it "
+            "explicitly if the domain is known-positive"
+        )
+    # group_concat is string_agg's alias — fold into that rewrite.
+    masked = re.sub(r"\bgroup_concat\s*\(", "string_agg(", masked, flags=re.IGNORECASE)
+    # ISO week-of-year in both engines.
+    masked = re.sub(r"\bweek\s*\(", "weekofyear(", masked, flags=re.IGNORECASE)
+    masked = _rewrite_ignore_nulls(masked)
+    masked = _rewrite_from_unnest(masked)
+    masked = _rewrite_regexp_replace(masked, literals)
+    masked = _rewrite_date_part(masked, literals)
+    masked = _rewrite_similar_to(masked, literals)
+    masked = _rewrite_list_slice(masked)
+    masked = _rewrite_struct_pack(masked)
+    masked = _rewrite_vector_fns(masked)
+    masked = _rewrite_time_bucket(masked, literals)
+    # epoch(ts) → fractional epoch seconds (epoch_ms/epoch_us were already
+    # rewritten above; the bare spelling requires '(' right after the name
+    # so it cannot touch them).
+    masked = _rewrite_one_arg(
+        masked,
+        _EPOCH_FN_RE,
+        lambda m, arg: f"(unix_micros(cast({arg} as timestamp)) / 1e6)",
+    )
+    # list_unique COUNTS distinct non-null elements (it is not a dedup).
+    masked = _rewrite_one_arg(
+        masked,
+        _LIST_UNIQUE_RE,
+        lambda m, arg: (
+            f"size(array_distinct(filter({arg}, _lu -> _lu IS NOT NULL)))"
+        ),
+    )
+    # list_concat treats a NULL operand as empty; Spark concat propagates
+    # NULL — fold the null-handling into a CASE.
+    masked = _rewrite_two_arg(
+        masked,
+        _LIST_CONCAT_RE,
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN {a[1]} "
+            f"WHEN ({a[1]}) IS NULL THEN {a[0]} "
+            f"ELSE concat({a[0]}, {a[1]}) END)"
+        ),
+    )
     masked = _rewrite_date_diff(masked, literals)
     masked = _rewrite_string_agg(masked)
     masked = _rewrite_distinct_on(masked)
@@ -1431,6 +2059,8 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
         out = pat.sub(repl, out)
     out = _rewrite_list_sum(out)
     out = _SCALAR_SERIES_RE.sub("sequence(", out)
+    out = _rewrite_order_by_nulls(out)
+    out = out.replace("\x01", "")  # same-name rewrite markers
     out = _unmask_strings(out, literals)
     # read_csv_auto('path', header=true, ...) → Spark csv file-format table.
     # Spark's `csv.`path`` reader has no header/inference options inline, so

@@ -353,6 +353,177 @@ BANK = [
         """,
     ),
     (
+        "regexp_replace_global",
+        """
+        SELECT n_name,
+               regexp_replace(n_name, '[AEIOU]', '_', 'g') AS scrubbed,
+               regexp_replace(n_name, 'a+', '#', 'gi') AS folded
+        FROM nation
+        """,
+    ),
+    (
+        "date_part_divergent_fields",
+        """
+        SELECT o_orderkey,
+               date_part('dow', o_orderdate) AS dw,
+               date_part('isodow', o_orderdate) AS iso,
+               datepart('doy', o_orderdate) AS doy,
+               date_part('epoch', o_orderdate) AS ep,
+               epoch(o_orderdate) AS ep2
+        FROM orders WHERE o_orderkey < 200
+        """,
+    ),
+    (
+        "similar_to_anchored_regex",
+        """
+        SELECT n_name,
+               n_name SIMILAR TO '.*IA' AS ends_ia,
+               n_name NOT SIMILAR TO '[A-J].*' AS late_alpha
+        FROM nation
+        """,
+    ),
+    (
+        "list_slice_bounds",
+        """
+        SELECT n_nationkey,
+               list_slice([1, 2, 3, 4, 5], 2, 4) AS mid,
+               list_slice([1, 2, 3, 4, 5], -3, -1) AS tail3,
+               list_slice([1, 2, 3, 4, 5], 0, CAST(n_nationkey % 7 AS INT)) AS head,
+               list_slice([1, 2, 3, 4, 5], 4, 2) AS empty
+        FROM nation
+        """,
+    ),
+    (
+        "list_unique_concat_nulls",
+        """
+        SELECT n_nationkey,
+               list_unique([n_regionkey, n_regionkey, CAST(n_nationkey % 2 AS BIGINT), NULL]) AS uq,
+               list_concat(CASE WHEN n_regionkey = 0 THEN NULL
+                                ELSE [n_regionkey] END,
+                           [CAST(n_nationkey AS BIGINT)]) AS cc
+        FROM nation
+        """,
+    ),
+    (
+        "struct_pack_access",
+        """
+        SELECT n_nationkey, struct_pack(nm := n_name, reg := n_regionkey + 1).reg AS r
+        FROM nation
+        """,
+    ),
+    (
+        "vector_fns_literal_exact",
+        """
+        SELECT n_nationkey,
+               list_cosine_similarity([1.0, 2.0, CAST(n_regionkey AS DOUBLE)],
+                                      [3.0, 4.0, 5.0]) AS cos,
+               list_inner_product([1.0, CAST(n_nationkey AS DOUBLE)], [2.0, 3.0]) AS dot,
+               list_distance([0.0, CAST(n_regionkey AS DOUBLE)], [3.0, 4.0]) AS dist
+        FROM nation
+        """,
+    ),
+    (
+        "time_bucket_widths",
+        """
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS q_hour,
+               time_bucket(INTERVAL '2 days', ts) AS two_day,
+               time_bucket(INTERVAL '1 week', ts) AS wk,
+               time_bucket(INTERVAL '3 months', ts) AS qtr,
+               count(*) AS n
+        FROM events WHERE event_id < 2000
+        GROUP BY ALL
+        """,
+    ),
+    (
+        "string_fn_aliases",
+        """
+        SELECT n_name,
+               editdist3(n_name, 'CANADA') AS ed,
+               prefix(n_name, 'A') AS pre,
+               suffix(n_name, 'IA') AS suf,
+               list_position([10, 20, 30], CAST(n_nationkey AS INT) * 10) AS pos,
+               array_length([1, 2, 3]) AS alen
+        FROM nation
+        """,
+    ),
+    (
+        "ignore_nulls_inside_call",
+        """
+        SELECT event_id,
+               lag(CASE WHEN value > 50 THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_big,
+               first_value(event_type IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_type
+        FROM events WHERE event_id < 500
+        """,
+    ),
+    (
+        "from_clause_unnest",
+        """
+        SELECT n_nationkey, u
+        FROM nation, unnest([n_regionkey, CAST(n_nationkey % 3 AS BIGINT)]) AS z(u)
+        WHERE n_nationkey < 10
+        """,
+    ),
+    (
+        "leading_from_unnest",
+        "SELECT u FROM unnest([1, 2, 3]) AS z(u)",
+    ),
+    (
+        "order_by_nullable_limit",
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS p
+        FROM orders
+        ORDER BY p, o_orderkey
+        LIMIT 20
+        """,
+    ),
+    (
+        "window_order_nullable",
+        """
+        SELECT o_orderkey,
+               rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                                          ELSE o_totalprice END) AS r
+        FROM orders WHERE o_orderkey < 400
+        """,
+    ),
+    (
+        "day_numbering_fields",
+        """
+        SELECT o_orderkey,
+               extract(dow FROM o_orderdate) AS xd,
+               extract(isodow FROM o_orderdate) AS xi,
+               dayofweek(o_orderdate) AS dw,
+               weekday(o_orderdate) AS wd,
+               isodow(o_orderdate) AS iso,
+               dayname(o_orderdate) AS dn,
+               monthname(o_orderdate) AS mn,
+               week(o_orderdate) AS wk
+        FROM orders WHERE o_orderkey < 300
+        """,
+    ),
+    (
+        "list_aggregate_ordered",
+        """
+        SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orders_sorted
+        FROM orders WHERE o_custkey < 100
+        GROUP BY o_custkey
+        """,
+    ),
+    (
+        "one_based_subscripts",
+        """
+        SELECT n_nationkey,
+               ([10, 20, 30])[1] AS first_elem,
+               ([10, 20, 30])[-1] AS last_elem,
+               ([10, 20, 30])[9] AS oob_null,
+               ([10, 20, 30])[CAST(n_nationkey % 4 AS INT)] AS dynamic
+        FROM nation
+        """,
+    ),
+    (
         "date_diff_pre_epoch_sub_day",
         """
         SELECT date_diff('hour',   TIMESTAMP '1969-12-31 23:30:00', TIMESTAMP '1970-01-01 00:30:00') AS h_cross,
@@ -501,10 +672,17 @@ def test_date_diff_struct_args_no_crash():
     assert "datediff" in out
 
 
-def test_strings_and_subscripts_untouched():
+def test_strings_untouched_subscripts_one_based():
+    """Bracket-ish content inside string literals is never rewritten;
+    array subscripts become try_element_at (DuckDB 1-based vs Spark
+    0-based), while string-literal map keys stay subscripts."""
     out = duckdb_to_spark_sql("SELECT 'a [x for y] EXCLUDE (b)' AS s, arr[1] FROM t")
     assert "'a [x for y] EXCLUDE (b)'" in out
-    assert "arr[1]" in out
+    assert "try_element_at(arr, 1)" in out
+    out = duckdb_to_spark_sql("SELECT m['k'], arr[i + 1][2] FROM t")
+    assert "m['k']" in out
+    # Non-literal index gets the index-0 NULL guard; chains nest.
+    assert "try_element_at(try_element_at(arr, nullif(i + 1, 0)), 2)" in out
 
 
 def test_ansi_sql_passes_through_unchanged():
@@ -515,7 +693,7 @@ def test_ansi_sql_passes_through_unchanged():
         "SELECT t1.x, t2.y FROM t1 LEFT JOIN t2 ON t1.k = t2.k AND t2.flag = 'on'",
         "SELECT CASE WHEN x IN (1, 2) THEN 'lo' ELSE 'hi' END AS bucket, count(*) FROM t GROUP BY 1",
         "WITH cte AS (SELECT x FROM t) SELECT * FROM cte WHERE x IS NOT NULL",
-        "SELECT arr[1] AS first_elem, m['k'] AS v FROM t",
+        "SELECT m['k'] AS v FROM t",
     ]:
         assert duckdb_to_spark_sql(sql) == sql
 
