@@ -8,12 +8,16 @@ built with one map-side-combined aggregation each, merging is a
 driver participation, no opaque binary blobs, trivially storable as
 parquet state (which is what the streaming incremental variant does).
 
-Hash family: md5(row || value) hex-folded to uint32 (``conv(substr(md5,
-1, 8), 16, 10)``) — row-seeded, JVM-evaluated, identical on every
-executor and across batch/streaming runs, AND engine-portable: any SQL
-engine with md5 re-derives the exact same counter table, which is what
-lets the driver's DuckDB oracle hash-check the full sketch end-to-end
-(see ``sketch_count_min_heavy_hitters``) instead of trusting it.
+Hash family: Kirsch-Mitzenmacher double hashing over ONE md5 digest —
+``h_i(x) = (w1 + i * (2*w2 + 1)) mod width`` with ``w1``/``w2`` the
+first/second 8-hex-digit words of ``md5(value)`` (the ``2*w2+1`` keeps
+the stride odd and nonzero). One digest per value instead of one per
+sketch row restores most of xxhash64's speed while staying
+engine-portable: any SQL engine with md5 re-derives the exact same
+counter table, which is what lets the driver's DuckDB oracle hash-check
+the full sketch end-to-end (``sketch_count_min_heavy_hitters``) instead
+of trusting it. Kirsch & Mitzenmacher 2006 show two independent hashes
+suffice for Bloom-type sketch guarantees.
 """
 
 from __future__ import annotations
@@ -27,33 +31,39 @@ CMS_DEPTH, CMS_WIDTH = 5, 2719
 CMS_EPS = 2.718281828 / CMS_WIDTH
 
 
-def cms_buckets(col: str) -> F.Column:
-    """Array of the value's bucket index in every sketch row."""
-    return F.array(
+def cms_digest_buckets(df: DataFrame, col: str) -> tuple[DataFrame, F.Column]:
+    """Return ``(df', bucket_array_col)`` with the md5 digest and the two
+    hash words added as columns in SEPARATE projections. The separation is
+    load-bearing: inlining the digest into both words (one expression)
+    makes codegen recompute md5 per array element — 10 digests/value
+    instead of 1, measured 2.7× slower at sf0.1. CollapseProject keeps
+    non-cheap multiply-referenced expressions in their own projection, so
+    this shape pins single evaluation."""
+    d = df.withColumn("_cms_dg", F.md5(F.col(col).cast("string")))
+    d = d.withColumn(
+        "_cms_w1", F.conv(F.substring("_cms_dg", 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "_cms_w2",
+        F.conv(F.substring("_cms_dg", 9, 8), 16, 10).cast("long") * 2 + 1,
+    )
+    bucket = F.array(
         *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(str(i)), F.col(col).cast("string"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % CMS_WIDTH
-            ).cast("int")
+            ((F.col("_cms_w1") + F.lit(i) * F.col("_cms_w2")) % CMS_WIDTH).cast(
+                "int"
+            )
             for i in range(CMS_DEPTH)
         ]
     )
+    return d, bucket
 
 
 def cms_counters(values: DataFrame, col: str = "w") -> DataFrame:
     """Build the counter table for one shard/batch of values.
 
     Output: row int, bucket int, cnt long (≤ depth·width rows)."""
+    keyed, bucket = cms_digest_buckets(values, col)
     return (
-        values.select(F.posexplode(cms_buckets(col)).alias("row", "bucket"))
+        keyed.select(F.posexplode(bucket).alias("row", "bucket"))
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -67,9 +77,25 @@ def cms_merge(counters: DataFrame) -> DataFrame:
 def cms_estimate(candidates: DataFrame, counters: DataFrame, col: str = "w") -> DataFrame:
     """Point-frequency estimates for a candidate set: min over the value's
     depth buckets. The merged counter table is broadcast (it is ≤ ~14 k
-    rows by construction); candidates keep their other columns."""
+    rows by construction); candidates keep their other columns.
+
+    The candidate side uses the INLINE bucket expression (digest
+    recomputed per element) on purpose: candidates are top-k-sized, so
+    the extra digests are nothing, while the projection-separated form
+    would be pushed below the candidates' orderBy+limit and break its
+    TakeOrderedAndProject fusion into a full vocabulary sort
+    (plan-pinned in tests/test_plans.py)."""
+    digest = F.md5(F.col(col).cast("string"))
+    w1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    w2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long") * 2 + 1
+    bucket = F.array(
+        *[
+            ((w1 + F.lit(i) * w2) % CMS_WIDTH).cast("int")
+            for i in range(CMS_DEPTH)
+        ]
+    )
     keyed = candidates.select(
-        "*", F.posexplode(cms_buckets(col)).alias("row", "bucket")
+        *candidates.columns, F.posexplode(bucket).alias("row", "bucket")
     )
     others = [c for c in candidates.columns]
     return (

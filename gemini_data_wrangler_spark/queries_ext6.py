@@ -297,7 +297,7 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 from gemini_data_wrangler_spark.operators.sketches import (  # noqa: E402
     CMS_EPS,
-    cms_buckets,
+    cms_digest_buckets,
     cms_estimate,
     cms_merge,
 )
@@ -319,8 +319,9 @@ def _cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
     )
+    keyed, bucket = cms_digest_buckets(words, "w")
     per_source = (
-        words.select("source", F.posexplode(cms_buckets("w")).alias("row", "bucket"))
+        keyed.select("source", F.posexplode(bucket).alias("row", "bucket"))
         .groupBy("source", "row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -334,23 +335,34 @@ def _cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cand, counters, "w")
 
 
-_CMS_BUCKET_SQL = (
+# Kirsch-Mitzenmacher: bucket_r = (w1 + r * (2*w2 + 1)) % width, with
+# w1/w2 the first/second 8-hex words of md5(w) — mirrors
+# operators/sketches.py::cms_buckets exactly (DuckDB lacks conv(), so the
+# hex words are folded digit-by-digit).
+_CMS_WORD_SQL = (
     "CAST(list_sum(list_transform(range(1, 9), i -> "
-    "(strpos('0123456789abcdef', substring(md5(CAST(r AS VARCHAR) || w), i, 1)) - 1)"
-    " * power(16, 8 - i))) AS BIGINT) % {width}"
+    "(strpos('0123456789abcdef', substring(md5({value}), i + {off}, 1)) - 1)"
+    " * power(16, 8 - i))) AS BIGINT)"
+)
+_CMS_BUCKET_SQL = (
+    "(" + _CMS_WORD_SQL.format(value="{value}", off=0)
+    + " + {row} * (2 * " + _CMS_WORD_SQL.format(value="{value}", off=8)
+    + " + 1)) % {width}"
 )
 
 
 def _cms_hh_oracle() -> str:
-    """Full DuckDB re-derivation of the count-min sketch: same md5-folded
-    row-seeded hash family as ``operators/sketches.py::cms_buckets``, same
-    depth/width, same min-over-rows estimate — bucket collisions and all.
-    (Spark builds per-source counter tables and union-merges them; the
-    merge is a plain sum per (row, bucket), so the merged table equals the
-    global count the oracle computes directly.)"""
+    """Full DuckDB re-derivation of the count-min sketch: same
+    Kirsch-Mitzenmacher md5 double-hash family as
+    ``operators/sketches.py::cms_buckets``, same depth/width, same
+    min-over-rows estimate — bucket collisions and all. (Spark builds
+    per-source counter tables and union-merges them; the merge is a plain
+    sum per (row, bucket), so the merged table equals the global count
+    the oracle computes directly.)"""
     from gemini_data_wrangler_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
 
-    bucket = _CMS_BUCKET_SQL.format(width=CMS_WIDTH)
+    bucket = _CMS_BUCKET_SQL.format(value="w", row="r", width=CMS_WIDTH)
+    bucket_cand = _CMS_BUCKET_SQL.format(value="c.w", row="t.r", width=CMS_WIDTH)
     return rf"""
     WITH words AS MATERIALIZED (
       SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
@@ -363,8 +375,7 @@ def _cms_hh_oracle() -> str:
       SELECT w, count(*) AS exact_count FROM words GROUP BY w
       ORDER BY exact_count DESC, w ASC LIMIT {HH_K}
     ), cand_keyed AS (
-      SELECT c.w, t.r, {bucket.replace('md5(CAST(r AS VARCHAR) || w)',
-                                       'md5(CAST(t.r AS VARCHAR) || c.w)')} AS bucket
+      SELECT c.w, t.r, {bucket_cand} AS bucket
       FROM cand c CROSS JOIN range({CMS_DEPTH}) t(r)
     )
     SELECT k.w AS word, min(coalesce(ct.cnt, 0)) AS est_count
@@ -381,9 +392,10 @@ def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
     sketch scale story). Estimates are upper bounds within eps·N with
     probability ≥ 1 − e^-depth per query; the bound is asserted exactly by
     ``sketch_count_min_bound_check`` and in tests. The hash family is the
-    engine-portable md5 fold, so the DuckDB oracle re-derives the ENTIRE
-    sketch — counter table, bucket collisions, min-estimate — and the
-    driver hash-checks the estimates themselves, not just the bound."""
+    engine-portable md5 double hash (one digest per value), so the DuckDB
+    oracle re-derives the ENTIRE sketch — counter table, bucket
+    collisions, min-estimate — and the driver hash-checks the estimates
+    themselves, not just the bound."""
     return _cms_estimates(spark, sf_dir).select("w", "est_count").withColumnRenamed(
         "w", "word"
     )
