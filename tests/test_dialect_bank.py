@@ -699,6 +699,61 @@ def test_ansi_sql_passes_through_unchanged():
 
 
 @pytest.mark.parametrize("seed", range(12))
+def test_fuzz_subscripts_and_list_fns_match_duckdb(spark, duck, seed):
+    """Randomized subscripts (1-based, negative, out-of-bounds, chained
+    through list_slice/list_concat) over integer literal arrays: the
+    shimmed Spark result must equal DuckDB's for the raw text."""
+    import random
+
+    rng = random.Random(1000 + seed)
+    n = rng.randint(1, 6)
+    xs = [rng.randint(-9, 99) for _ in range(n)]
+    arr = "[" + ", ".join(map(str, xs)) + "]"
+    idx = rng.randint(-n - 2, n + 2)
+    a, b = rng.randint(-n - 1, n + 1), rng.randint(-n - 1, n + 1)
+    ys = [rng.randint(0, 9) for _ in range(rng.randint(1, 3))]
+    arr2 = "[" + ", ".join(map(str, ys)) + "]"
+    sql = (
+        f"SELECT ({arr})[{idx}] AS sub, "
+        f"list_slice({arr}, {a}, {b}) AS sl, "
+        f"(list_concat({arr}, {arr2}))[{rng.randint(1, n + len(ys))}] AS cc, "
+        f"list_unique({arr}) AS uq"
+    )
+    sp = spark.sql(duckdb_to_spark_sql(sql)).collect()[0]
+    dk = duck.execute(sql).fetchall()[0]
+    assert sp.sub == dk[0], (sql, sp, dk)
+    assert list(sp.sl) == list(dk[1]), (sql, sp, dk)
+    assert sp.cc == dk[2], (sql, sp, dk)
+    assert sp.uq == dk[3], (sql, sp, dk)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_order_by_nulls_match_duckdb(spark, duck, seed):
+    """Randomized ORDER BY ... LIMIT over computed nullable keys: the
+    null-ordering rewrite must make Spark pick DuckDB's rows. A unique
+    trailing tiebreak keeps the selection deterministic."""
+    import random
+
+    rng = random.Random(2000 + seed)
+    keys = []
+    for _ in range(rng.randint(1, 3)):
+        mod = rng.randint(2, 7)
+        col = rng.choice(["o_totalprice", "o_custkey", "o_orderpriority"])
+        direction = rng.choice(["", " DESC", " ASC"])
+        keys.append(
+            f"CASE WHEN o_orderkey % {mod} = 0 THEN NULL ELSE {col} END{direction}"
+        )
+    order = ", ".join(keys + ["o_orderkey"])
+    sql = (
+        f"SELECT o_orderkey FROM orders ORDER BY {order} "
+        f"LIMIT {rng.randint(5, 40)}"
+    )
+    sp = [r.o_orderkey for r in spark.sql(duckdb_to_spark_sql(sql)).collect()]
+    dk = [r[0] for r in duck.execute(sql).fetchall()]
+    assert sp == dk, sql
+
+
+@pytest.mark.parametrize("seed", range(12))
 def test_fuzz_comprehensions_match_duckdb(spark, duck, seed):
     """Randomized nested list comprehensions over integer literals: the
     shimmed Spark result must equal DuckDB's for the raw text."""
