@@ -86,6 +86,10 @@ engines and passes through untouched.
 | ``group_concat`` / ``week``        | ``string_agg`` path / ``weekofyear`` |
 | ``product()``                      | refused → explicit error (no zero/negative-safe Spark equivalent) |
 | ``ORDER BY x`` (bare/ASC keys)     | ``ORDER BY x NULLS LAST`` everywhere (statement, OVER, WITHIN GROUP): DuckDB defaults nulls-last, Spark ascending defaults nulls-FIRST — silent row flips under LIMIT; DESC agrees and is untouched |
+| ``log(x)``                         | ``log10(x)`` (DuckDB log10 vs Spark ln; two-arg log(base, x) agrees) |
+| ``regexp_extract(s, p)``           | ``regexp_extract(s, p, 0)`` (DuckDB whole match vs Spark group 1) |
+| ``ltrim/rtrim(s, chars)``          | ``trim(LEADING/TRAILING chars FROM s)`` (Spark's two-arg form has REVERSED arguments) |
+| ``trunc(x)`` numeric               | toward-zero floor/ceil CASE (Spark trunc is date-only) |
 """
 
 from __future__ import annotations
@@ -1383,6 +1387,64 @@ def _rewrite_call(masked: str, pattern: re.Pattern, build) -> str:
         masked = masked[: m.start()] + repl + masked[close + 1 :]
 
 
+_LOG_RE = re.compile(r"\blog\s*\(", re.IGNORECASE)
+_REGEXP_EXTRACT_RE = re.compile(r"\bregexp_extract\s*\(", re.IGNORECASE)
+_LRTRIM_RE = re.compile(r"\b([lr])trim\s*\(", re.IGNORECASE)
+_TRUNC_RE = re.compile(r"\btrunc\s*\(", re.IGNORECASE)
+
+
+def _rewrite_math_string_flips(masked: str) -> str:
+    """Same-spelling functions whose defaults diverge:
+
+    * ``log(x)`` is log10 in DuckDB but ln in Spark → ``log10(x)``
+      (two-argument ``log(base, x)`` agrees and passes through);
+    * ``regexp_extract(s, p)`` returns the whole match in DuckDB but
+      group 1 in Spark (and errors on group-free patterns) → append
+      ``, 0``;
+    * ``ltrim/rtrim(s, chars)`` has REVERSED arguments in Spark
+      ('xxabc','x' silently returns '') → ``trim(LEADING/TRAILING chars
+      FROM s)``;
+    * numeric ``trunc(x)`` does not exist in Spark (its trunc is
+      date-only) → toward-zero CASE of floor/ceil."""
+    masked = _rewrite_call(
+        masked,
+        _LOG_RE,
+        lambda m, a: f"log10({a[0]})" if len(a) == 1 else None,
+    )
+    masked = _rewrite_call(
+        masked,
+        _REGEXP_EXTRACT_RE,
+        lambda m, a: (
+            f"regexp_extract\x01({a[0]}, {a[1]}, 0)" if len(a) == 2 else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _LRTRIM_RE,
+        lambda m, a: (
+            (
+                f"trim({'LEADING' if m.group(1).lower() == 'l' else 'TRAILING'}"
+                f" {a[1]} FROM {a[0]})"
+            )
+            if len(a) == 2
+            else None
+        ),
+    )
+    # DOUBLE result pins the dominant DuckDB case (trunc of DOUBLE stays
+    # DOUBLE; Spark's floor/ceil yield BIGINT). Integer/decimal inputs
+    # come back as doubles — a type, not value, divergence.
+    return _rewrite_call(
+        masked,
+        _TRUNC_RE,
+        lambda m, a: (
+            f"cast((CASE WHEN ({a[0]}) < 0 THEN ceil({a[0]}) "
+            f"ELSE floor({a[0]}) END) as double)"
+            if len(a) == 1
+            else None
+        ),
+    )
+
+
 _ORDER_BY_KW_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 # Words that end an ORDER BY clause at depth 0 (frame specs, limits, set
 # ops). CASE/END etc. inside items are untouched — they are not listed.
@@ -1997,6 +2059,7 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     # Bare VARCHAR (DuckDB's default string type) needs a length in Spark;
     # map to STRING. Parameterized VARCHAR(n) is Spark-valid and untouched.
     masked = _BARE_VARCHAR_RE.sub("STRING", masked)
+    masked = _rewrite_math_string_flips(masked)
     masked = _rewrite_extract_fields(masked)
     masked = _rewrite_day_fns(masked, literals)
     masked = _rewrite_list_agg_fn(masked)

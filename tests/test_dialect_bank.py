@@ -470,6 +470,21 @@ BANK = [
         "SELECT u FROM unnest([1, 2, 3]) AS z(u)",
     ),
     (
+        "math_string_default_flips",
+        """
+        SELECT o_orderkey,
+               round(log(o_totalprice), 6) AS lg10,
+               round(log(2, o_orderkey + 1), 6) AS lg2,
+               regexp_extract(o_orderpriority, '[0-9]+-[A-Z]+') AS whole,
+               regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)', 2) AS grp,
+               ltrim(o_orderpriority, '12345') AS lt,
+               rtrim(o_orderpriority, 'THGENOWLUM') AS rt,
+               trunc(o_totalprice / 1000) AS tr,
+               trunc(-o_totalprice / 1000) AS trn
+        FROM orders WHERE o_orderkey < 300
+        """,
+    ),
+    (
         "order_by_nullable_limit",
         """
         SELECT o_orderkey,
