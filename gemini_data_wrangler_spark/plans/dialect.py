@@ -90,6 +90,20 @@ engines and passes through untouched.
 | ``regexp_extract(s, p)``           | ``regexp_extract(s, p, 0)`` (DuckDB whole match vs Spark group 1) |
 | ``ltrim/rtrim(s, chars)``          | ``trim(LEADING/TRAILING chars FROM s)`` (Spark's two-arg form has REVERSED arguments) |
 | ``trunc(x)`` numeric               | toward-zero floor/ceil CASE (Spark trunc is date-only) |
+| ``split``/``str_split(s, sep)``    | literal-separator split (regex-escaped sep — Spark's ``split`` takes a REGEX; ``split(s, '.')`` would silently explode per char) |
+| ``str_split_regex(s, re)``         | ``split(s, re)`` |
+| ``regexp_extract_all(s, p)``       | ``regexp_extract_all(s, p, 0)`` (DuckDB whole match vs Spark group 1) |
+| ``x ~ 'p'`` / ``x !~ 'p'``         | ``x [NOT] RLIKE '^(?:p)$'`` (DuckDB ``~`` is a FULL regex match; literal pattern only) |
+| ``x ~~ 'p'`` / ``x !~~ 'p'``       | ``x [NOT] LIKE 'p'`` |
+| ``regexp_full_match(s, 'p')``      | ``s RLIKE '^(?:p)$'`` (literal pattern only → else error) |
+| ``strptime(s, '%d/%m/%Y')``        | ``to_timestamp(s, 'dd/MM/yyyy')`` (same %-map as strftime) |
+| ``to_timestamp(x)`` (1-arg)        | ``timestamp_seconds(x)`` (DuckDB's to_timestamp is epoch-seconds-only; fractional seconds kept) |
+| ``date_add(d, INTERVAL ...)``      | ``cast(d + INTERVAL ... as timestamp)`` (DuckDB date_add always returns TIMESTAMP; Spark has no interval overload) |
+| ``date_sub('part', a, b)``         | ``timestampdiff(PART, a, b)`` (both count COMPLETE elapsed units — distinct from date_diff's boundary counting) |
+| ``datetrunc`` / ``today()``        | ``date_trunc`` / ``current_date()`` |
+| ``isoyear(x)``                     | ``extract(YEAROFWEEK FROM x)`` |
+| ``isfinite``/``isinf``             | isnan/±Infinity comparison expansions (NULL-propagating, NaN-correct) |
+| ``hash(x)``                        | refused → explicit error (DuckDB's 64-bit internal hash vs Spark's 32-bit Murmur3 — values diverge silently) |
 """
 
 from __future__ import annotations
@@ -500,6 +514,10 @@ _FN_RENAMES = [
     (re.compile(r"\barray_length\s*\(", re.IGNORECASE), "size("),
     # Shared extract fields (dow/isodow/epoch already special-cased).
     (re.compile(r"\bdatepart\s*\(", re.IGNORECASE), "date_part("),
+    # Regex-separator split: Spark's split IS the regex form.
+    (re.compile(r"\bstr_split_regex\s*\(", re.IGNORECASE), "split("),
+    (re.compile(r"\bdatetrunc\s*\(", re.IGNORECASE), "date_trunc("),
+    (re.compile(r"\btoday\s*\(", re.IGNORECASE), "current_date("),
 ]
 # Refusals: close lookalikes whose semantics silently diverge.
 _QUANTILE_DISC_RE = re.compile(r"\bquantile_disc\s*\(", re.IGNORECASE)
@@ -596,6 +614,10 @@ def _has_slice(masked: str) -> bool:
 _LIST_HAS_ALL_RE = re.compile(r"\blist_has_all\s*\(", re.IGNORECASE)
 _REGEXP_MATCHES_RE = re.compile(r"\bregexp_matches\s*\(", re.IGNORECASE)
 _STRING_SPLIT_RE = re.compile(r"\bstring_split\s*\(", re.IGNORECASE)
+# Aliases of string_split with the same LITERAL separator (Spark's split
+# takes a regex). `\b` keeps these off string_split/str_split_regex.
+_BARE_SPLIT_RE = re.compile(r"\bsplit\s*\(", re.IGNORECASE)
+_STR_SPLIT_RE = re.compile(r"\bstr_split\s*\(", re.IGNORECASE)
 _LIST_AGGREGATE_RE = re.compile(r"\blist_aggregate\s*\(", re.IGNORECASE)
 _EPOCH_RE = re.compile(r"\bepoch_(us|ms)\s*\(", re.IGNORECASE)
 _REGEX_METACHARS = r"\.^$*+?()[]{}|"
@@ -651,7 +673,7 @@ def _rewrite_string_split(
         ph = re.fullmatch(r"\x00(\d+)\x00", args[1])
         if not ph:
             raise ValueError(
-                "string_split with a non-literal separator cannot be "
+                "split/string_split with a non-literal separator cannot be "
                 "translated (Spark's split interprets the separator as a "
                 "regex); inline the separator as a string literal"
             )
@@ -661,7 +683,7 @@ def _rewrite_string_split(
             ("\\" + ch) if ch in _REGEX_METACHARS else ch for ch in body
         )
         literals[idx] = f"'{escaped}'"
-        return f"split({args[0]}, {args[1]})"
+        return f"split\x01({args[0]}, {args[1]})"
 
     return _rewrite_two_arg(masked, pattern or _STRING_SPLIT_RE, build)
 
@@ -1389,8 +1411,164 @@ def _rewrite_call(masked: str, pattern: re.Pattern, build) -> str:
 
 _LOG_RE = re.compile(r"\blog\s*\(", re.IGNORECASE)
 _REGEXP_EXTRACT_RE = re.compile(r"\bregexp_extract\s*\(", re.IGNORECASE)
+_REGEXP_EXTRACT_ALL_RE = re.compile(r"\bregexp_extract_all\s*\(", re.IGNORECASE)
 _LRTRIM_RE = re.compile(r"\b([lr])trim\s*\(", re.IGNORECASE)
 _TRUNC_RE = re.compile(r"\btrunc\s*\(", re.IGNORECASE)
+# Postgres-style match OPERATORS. Binary-use only: the left context must be
+# an operand tail (identifier char, closing paren/bracket, or a masked
+# literal's \x00), which excludes unary bitwise-NOT (`~5`, always preceded
+# by an operator/open-paren/comma). The right side must be a masked string
+# literal — `~`'s full-match anchoring needs the pattern text.
+_MATCH_OP_RE = re.compile(
+    r"(?P<pre>[\w\)\]\x00])(?P<sp>\s*)(?P<op>!~~|~~|!~|~)\s*\x00(?P<idx>\d+)\x00"
+)
+_REGEXP_FULL_MATCH_RE = re.compile(r"\bregexp_full_match\s*\(", re.IGNORECASE)
+_STRPTIME_RE = re.compile(r"\bstrptime\s*\(", re.IGNORECASE)
+_TO_TIMESTAMP_RE = re.compile(r"\bto_timestamp\s*\(", re.IGNORECASE)
+_DATE_ADD_RE = re.compile(r"\bdate_?add\s*\(", re.IGNORECASE)
+_DATE_SUB_RE = re.compile(r"\bdate_?sub\s*\(", re.IGNORECASE)
+_ISOYEAR_RE = re.compile(r"\bisoyear\s*\(", re.IGNORECASE)
+_ISFINITE_RE = re.compile(r"\bisfinite\s*\(", re.IGNORECASE)
+_ISINF_RE = re.compile(r"\bisinf\s*\(", re.IGNORECASE)
+_HASH_RE = re.compile(r"\bhash\s*\(", re.IGNORECASE)
+_INTERVAL_KW_RE = re.compile(r"\bINTERVAL\b", re.IGNORECASE)
+# Spark timestampdiff units shared with DuckDB date_sub's complete-elapsed
+# counting. 'week' is excluded: DuckDB anchors weeks on calendar weeks in
+# some versions; the others are plain truncating unit division both sides.
+_TIMESTAMPDIFF_UNITS = {
+    "year", "quarter", "month", "day", "hour", "minute", "second",
+}
+
+
+def _anchor_literal(literals: list[str], token: str) -> str | None:
+    """Wrap the masked string literal ``token`` refers to in full-match
+    anchors (``^(?:...)$``), returning the token — or None if ``token``
+    is not a masked literal."""
+    ph = re.fullmatch(r"\x00(\d+)\x00", token)
+    if not ph:
+        return None
+    idx = int(ph.group(1))
+    literals[idx] = f"'^(?:{literals[idx][1:-1]})$'"
+    return token
+
+
+def _rewrite_match_operators(masked: str, literals: list[str]) -> str:
+    """Postgres-style operators DuckDB supports but Spark parses as
+    bitwise-NOT or a syntax error: ``~`` (full regex match) / ``!~`` →
+    anchored ``[NOT] RLIKE``; ``~~`` (LIKE alias) / ``!~~`` → ``[NOT]
+    LIKE``. ``regexp_full_match(s, 'p')`` gets the same anchoring."""
+
+    def sub(m):
+        op = m.group("op")
+        tok = f"\x00{m.group('idx')}\x00"
+        if op in ("~", "!~"):
+            _anchor_literal(literals, tok)
+            kw = "RLIKE" if op == "~" else "NOT RLIKE"
+        else:
+            kw = "LIKE" if op == "~~" else "NOT LIKE"
+        return f"{m.group('pre')} {kw} {tok}"
+
+    masked = _MATCH_OP_RE.sub(sub, masked)
+
+    def build_full_match(a):
+        if len(a) != 2:
+            return None
+        if _anchor_literal(literals, a[1]) is None:
+            raise ValueError(
+                "regexp_full_match with a non-literal pattern cannot be "
+                "translated (Spark RLIKE is a partial match; anchoring "
+                "needs the pattern text) — inline the pattern literal"
+            )
+        return f"({a[0]} RLIKE {a[1]})"
+
+    return _rewrite_two_arg(masked, _REGEXP_FULL_MATCH_RE, build_full_match)
+
+
+def _rewrite_time_flips(masked: str, literals: list[str]) -> str:
+    """Time functions whose Spark same-name counterpart silently differs:
+
+    * ``strptime(s, '%fmt')`` → ``to_timestamp(s, 'translated fmt')``
+      (strftime's %-map, reused);
+    * 1-arg ``to_timestamp(x)`` → ``timestamp_seconds(x)`` — DuckDB's
+      to_timestamp ONLY accepts epoch seconds, Spark's parses strings;
+    * ``date_add(d, INTERVAL ...)`` → ``cast(d + INTERVAL ... as
+      timestamp)`` — Spark's date_add is (date, int-days) and DuckDB's
+      interval overload always yields TIMESTAMP;
+    * 3-arg ``date_sub('part', a, b)`` → ``timestampdiff(PART, a, b)``
+      (complete elapsed units in both engines — NOT date_diff's
+      boundary counting);
+    * ``isoyear(x)`` → ``extract(YEAROFWEEK FROM x)``."""
+
+    def build_strptime(a):
+        if len(a) != 2:
+            return None
+        ph = re.fullmatch(r"\x00(\d+)\x00", a[1])
+        if not ph:
+            raise ValueError(
+                "strptime with a non-literal format cannot be translated "
+                "(the %-codes must be mapped to Spark's pattern letters); "
+                "inline the format string"
+            )
+        idx = int(ph.group(1))
+        literals[idx] = (
+            "'" + _translate_strftime_format(literals[idx].strip("'")) + "'"
+        )
+        return f"to_timestamp\x01({a[0]}, {a[1]})"
+
+    masked = _rewrite_two_arg(masked, _STRPTIME_RE, build_strptime)
+    masked = _rewrite_call(
+        masked,
+        _TO_TIMESTAMP_RE,
+        lambda m, a: f"timestamp_seconds({a[0]})" if len(a) == 1 else None,
+    )
+    masked = _rewrite_two_arg(
+        masked,
+        _DATE_ADD_RE,
+        lambda a: (
+            f"cast(({a[0]}) + ({a[1]}) as timestamp)"
+            if _INTERVAL_KW_RE.search(a[1])
+            else None
+        ),
+    )
+
+    def build_date_sub(m, a):
+        if len(a) != 3:
+            return None
+        ph = re.fullmatch(r"\x00(\d+)\x00", a[0])
+        if not ph:
+            raise ValueError(
+                "date_sub with a non-literal part cannot be translated; "
+                "inline the part name"
+            )
+        unit = literals[int(ph.group(1))][1:-1].lower()
+        if unit not in _TIMESTAMPDIFF_UNITS:
+            raise ValueError(
+                f"date_sub({unit!r}, ...) complete-interval semantics have "
+                "no verified Spark equivalent (supported: "
+                f"{sorted(_TIMESTAMPDIFF_UNITS)}); use date_diff for "
+                "boundary counting or spell the arithmetic explicitly"
+            )
+        return f"timestampdiff({unit.upper()}, {a[1]}, {a[2]})"
+
+    masked = _rewrite_call(masked, _DATE_SUB_RE, build_date_sub)
+    masked = _rewrite_one_arg(
+        masked, _ISOYEAR_RE, lambda m, arg: f"extract(YEAROFWEEK FROM {arg})"
+    )
+    # isfinite/isinf: NULL → NULL (comparisons propagate), NaN → false for
+    # both (Spark NaN = Infinity is false; isnan screens the isfinite arm).
+    masked = _rewrite_one_arg(
+        masked,
+        _ISFINITE_RE,
+        lambda m, arg: (
+            f"(NOT isnan({arg}) AND "
+            f"abs({arg}) <> cast(\x02Infinity\x02 as double))"
+        ),
+    )
+    return _rewrite_one_arg(
+        masked,
+        _ISINF_RE,
+        lambda m, arg: f"(abs({arg}) = cast(\x02Infinity\x02 as double))",
+    )
 
 
 def _rewrite_math_string_flips(masked: str) -> str:
@@ -1416,6 +1594,15 @@ def _rewrite_math_string_flips(masked: str) -> str:
         _REGEXP_EXTRACT_RE,
         lambda m, a: (
             f"regexp_extract\x01({a[0]}, {a[1]}, 0)" if len(a) == 2 else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _REGEXP_EXTRACT_ALL_RE,
+        lambda m, a: (
+            f"regexp_extract_all\x01({a[0]}, {a[1]}, 0)"
+            if len(a) == 2
+            else None
         ),
     )
     masked = _rewrite_call(
@@ -2023,11 +2210,21 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
             "'^' is POWER in DuckDB but bitwise XOR in Spark — a silent "
             "semantic flip; write power(a, b) explicitly"
         )
+    if _HASH_RE.search(masked):
+        raise ValueError(
+            "hash() is DuckDB's internal 64-bit hash; Spark's hash() is "
+            "32-bit Murmur3 — values silently diverge. Use a portable "
+            "digest (md5/sha2) or xxhash64 with explicit expectations"
+        )
+    masked = _rewrite_match_operators(masked, literals)
     masked = _rewrite_subscripts(masked)
     masked = _INTDIV_RE.sub(" div ", masked)
     masked = _rewrite_strftime(masked, literals)
+    masked = _rewrite_time_flips(masked, literals)
     masked = _rewrite_string_split(masked, literals)
     masked = _rewrite_string_split(masked, literals, _STRING_TO_ARRAY_RE)
+    masked = _rewrite_string_split(masked, literals, _BARE_SPLIT_RE)
+    masked = _rewrite_string_split(masked, literals, _STR_SPLIT_RE)
     masked = _rewrite_list_aggregate(masked, literals)
     # list_prepend(elem, list) → array_prepend(list, elem): reversed args.
     masked = _rewrite_two_arg(
@@ -2124,6 +2321,10 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     out = _SCALAR_SERIES_RE.sub("sequence(", out)
     out = _rewrite_order_by_nulls(out)
     out = out.replace("\x01", "")  # same-name rewrite markers
+    # \x02 brackets a quote a rewrite needs to INTRODUCE (e.g. the
+    # 'Infinity' literal in isinf's expansion) without confusing the
+    # masked-text passes, which assume every quote is already a \x00 token.
+    out = out.replace("\x02", "'")
     out = _unmask_strings(out, literals)
     # read_csv_auto('path', header=true, ...) → Spark csv file-format table.
     # Spark's `csv.`path`` reader has no header/inference options inline, so

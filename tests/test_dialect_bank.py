@@ -485,6 +485,78 @@ BANK = [
         """,
     ),
     (
+        "split_aliases_literal_separator",
+        """
+        SELECT doc_id,
+               split(text, '.') AS dots,
+               split(text, ' ') AS words,
+               str_split(source, '-') AS dash,
+               str_split_regex(text, '[aeiou]+') AS rx
+        FROM documents WHERE doc_id < 200
+        """,
+    ),
+    (
+        "regex_match_operators",
+        """
+        SELECT doc_id,
+               text ~ '.*data.*' AS full_match,
+               text !~ '.*zebra.*' AS not_full,
+               lang ~~ 'e%' AS like_op,
+               text !~~ '%the%' AS not_like,
+               regexp_full_match(lang, '(en|de|fr)') AS rfm
+        FROM documents WHERE doc_id < 300
+        """,
+    ),
+    (
+        "finite_and_extract_all_defaults",
+        """
+        SELECT o_orderkey,
+               regexp_extract_all(o_orderpriority, '[A-Z]+') AS whole_matches,
+               regexp_extract_all(o_orderpriority, '([A-Z])[A-Z]', 1) AS grp_matches,
+               isfinite(CASE WHEN o_orderkey % 4 = 0 THEN 'Infinity'::DOUBLE
+                             WHEN o_orderkey % 4 = 1 THEN 'NaN'::DOUBLE
+                             ELSE o_totalprice END) AS fin,
+               isinf(CASE WHEN o_orderkey % 4 = 0 THEN '-Infinity'::DOUBLE
+                          WHEN o_orderkey % 4 = 1 THEN 'NaN'::DOUBLE
+                          ELSE o_totalprice END) AS inf_flag
+        FROM orders WHERE o_orderkey < 300
+        """,
+    ),
+    (
+        "time_conversion_fns",
+        """
+        SELECT o_orderkey,
+               strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS rt,
+               to_timestamp(o_orderkey * 97 + 0.25) AS ts_epoch,
+               date_add(o_orderdate, INTERVAL 3 DAY) AS plus3,
+               CAST(datetrunc('month', o_orderdate) AS DATE) AS mon,
+               today() >= o_orderdate AS after_order,
+               isoyear(o_orderdate) AS iy
+        FROM orders WHERE o_orderkey < 300
+        """,
+    ),
+    (
+        "date_sub_complete_intervals",
+        """
+        SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+               date_sub('year', a.o_orderdate, b.o_orderdate) AS dy,
+               date_sub('quarter', a.o_orderdate, b.o_orderdate) AS dq,
+               date_sub('month', a.o_orderdate, b.o_orderdate) AS dm,
+               date_sub('day', a.o_orderdate, b.o_orderdate) AS dd,
+               date_sub('hour',
+                        a.o_orderdate + INTERVAL 7 HOUR + INTERVAL 11 MINUTE,
+                        b.o_orderdate + INTERVAL 3 HOUR) AS dh,
+               date_sub('minute',
+                        a.o_orderdate + INTERVAL 7 MINUTE,
+                        b.o_orderdate + INTERVAL 11 MINUTE) AS dmin,
+               date_sub('second',
+                        a.o_orderdate + INTERVAL 1 SECOND,
+                        b.o_orderdate + INTERVAL 2 SECOND) AS ds
+        FROM orders a JOIN orders b
+          ON a.o_orderkey < 45 AND b.o_orderkey < 45
+        """,
+    ),
+    (
         "order_by_nullable_limit",
         """
         SELECT o_orderkey,
@@ -600,6 +672,14 @@ def test_unsupported_constructs_raise():
         duckdb_to_spark_sql("SELECT COLUMNS('^o_') FROM orders")
     with pytest.raises(ValueError, match="DISTINCT ON"):
         duckdb_to_spark_sql("SELECT DISTINCT ON (k) k, v FROM t")
+    with pytest.raises(ValueError, match="Murmur3"):
+        duckdb_to_spark_sql("SELECT hash(c) FROM t")
+    with pytest.raises(ValueError, match="complete-interval"):
+        duckdb_to_spark_sql("SELECT date_sub('week', a, b) FROM t")
+    with pytest.raises(ValueError, match="strptime"):
+        duckdb_to_spark_sql("SELECT strptime(s, fmt_col) FROM t")
+    with pytest.raises(ValueError, match="regexp_full_match"):
+        duckdb_to_spark_sql("SELECT regexp_full_match(s, p_col) FROM t")
 
 
 def test_using_sample_rewrites(spark):
