@@ -104,6 +104,9 @@ engines and passes through untouched.
 | ``isoyear(x)``                     | ``extract(YEAROFWEEK FROM x)`` |
 | ``isfinite``/``isinf``             | isnan/±Infinity comparison expansions (NULL-propagating, NaN-correct) |
 | ``hash(x)``                        | refused → explicit error (DuckDB's 64-bit internal hash vs Spark's 32-bit Murmur3 — values diverge silently) |
+| ``FROM t [SELECT ...]``            | pass through (Spark ≥ 4.0 parses FROM-first statements natively) |
+| ``UNION [ALL] BY NAME``            | refused → explicit error (no Spark SQL spelling; alignment needs both subquery schemas) |
+| ``SUMMARIZE t``                    | refused → explicit error (DuckDB statement; point at the engine's column-profile operator) |
 """
 
 from __future__ import annotations
@@ -1431,6 +1434,10 @@ _ISOYEAR_RE = re.compile(r"\bisoyear\s*\(", re.IGNORECASE)
 _ISFINITE_RE = re.compile(r"\bisfinite\s*\(", re.IGNORECASE)
 _ISINF_RE = re.compile(r"\bisinf\s*\(", re.IGNORECASE)
 _HASH_RE = re.compile(r"\bhash\s*\(", re.IGNORECASE)
+_UNION_BY_NAME_RE = re.compile(
+    r"\bUNION\s+(?:ALL\s+)?BY\s+NAME\b", re.IGNORECASE
+)
+_SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\b", re.IGNORECASE)
 _INTERVAL_KW_RE = re.compile(r"\bINTERVAL\b", re.IGNORECASE)
 # Spark timestampdiff units shared with DuckDB date_sub's complete-elapsed
 # counting. 'week' is excluded: DuckDB anchors weeks on calendar weeks in
@@ -2215,6 +2222,19 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
             "hash() is DuckDB's internal 64-bit hash; Spark's hash() is "
             "32-bit Murmur3 — values silently diverge. Use a portable "
             "digest (md5/sha2) or xxhash64 with explicit expectations"
+        )
+    if _UNION_BY_NAME_RE.search(masked):
+        raise ValueError(
+            "UNION [ALL] BY NAME has no Spark SQL spelling and aligning "
+            "columns requires both subquery schemas; list the columns "
+            "explicitly in the same order on both sides (or use the "
+            "DataFrame unionByName operator)"
+        )
+    if _SUMMARIZE_RE.search(masked):
+        raise ValueError(
+            "SUMMARIZE is a DuckDB statement with no SQL equivalent; use "
+            "the column-profile operator (profile_orders_columns-style "
+            "introspection) instead"
         )
     masked = _rewrite_match_operators(masked, literals)
     masked = _rewrite_subscripts(masked)

@@ -557,6 +557,14 @@ BANK = [
         """,
     ),
     (
+        "from_first_statement",
+        """
+        FROM orders
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS tp
+        GROUP BY o_orderstatus
+        """,
+    ),
+    (
         "order_by_nullable_limit",
         """
         SELECT o_orderkey,
@@ -680,6 +688,10 @@ def test_unsupported_constructs_raise():
         duckdb_to_spark_sql("SELECT strptime(s, fmt_col) FROM t")
     with pytest.raises(ValueError, match="regexp_full_match"):
         duckdb_to_spark_sql("SELECT regexp_full_match(s, p_col) FROM t")
+    with pytest.raises(ValueError, match="unionByName"):
+        duckdb_to_spark_sql("SELECT a, b FROM t UNION ALL BY NAME SELECT b, a FROM u")
+    with pytest.raises(ValueError, match="SUMMARIZE"):
+        duckdb_to_spark_sql("SUMMARIZE orders")
 
 
 def test_using_sample_rewrites(spark):
