@@ -99,7 +99,7 @@ engines and passes through untouched.
 | ``strptime(s, '%d/%m/%Y')``        | ``to_timestamp(s, 'dd/MM/yyyy')`` (same %-map as strftime) |
 | ``to_timestamp(x)`` (1-arg)        | ``timestamp_seconds(x)`` (DuckDB's to_timestamp is epoch-seconds-only; fractional seconds kept) |
 | ``date_add(d, INTERVAL ...)``      | ``cast(d + INTERVAL ... as timestamp)`` (DuckDB date_add always returns TIMESTAMP; Spark has no interval overload) |
-| ``date_sub('part', a, b)``         | ``timestampdiff(PART, a, b)`` (both count COMPLETE elapsed units — distinct from date_diff's boundary counting) |
+| ``date_sub('part', a, b)``         | COMPLETE elapsed units (≠ date_diff's boundary counting): fixed-width parts → ``timestampdiff``; month/quarter/year → exact add_months closed form (Spark's timestampdiff misses DuckDB's month-end clamp credit, e.g. May 31 → Jun 30 = 1 complete month) |
 | ``datetrunc`` / ``today()``        | ``date_trunc`` / ``current_date()`` |
 | ``isoyear(x)``                     | ``extract(YEAROFWEEK FROM x)`` |
 | ``isfinite``/``isinf``             | isnan/±Infinity comparison expansions (NULL-propagating, NaN-correct) |
@@ -1439,12 +1439,35 @@ _UNION_BY_NAME_RE = re.compile(
 )
 _SUMMARIZE_RE = re.compile(r"^\s*SUMMARIZE\b", re.IGNORECASE)
 _INTERVAL_KW_RE = re.compile(r"\bINTERVAL\b", re.IGNORECASE)
-# Spark timestampdiff units shared with DuckDB date_sub's complete-elapsed
-# counting. 'week' is excluded: DuckDB anchors weeks on calendar weeks in
-# some versions; the others are plain truncating unit division both sides.
-_TIMESTAMPDIFF_UNITS = {
-    "year", "quarter", "month", "day", "hour", "minute", "second",
-}
+# Fixed-width units where Spark's timestampdiff IS DuckDB date_sub's
+# complete-elapsed counting (truncating epoch division, symmetric in
+# sign). 'week' is excluded: DuckDB anchors weeks on calendar weeks in
+# some versions. Calendar units (month/quarter/year) are NOT here —
+# Spark's timestampdiff diverges from DuckDB at month-end clamps (e.g.
+# May 31 → Jun 30 counts as a complete month in DuckDB, not in Spark's
+# ChronoUnit counting), so they get an exact add_months closed form.
+_TIMESTAMPDIFF_UNITS = {"day", "hour", "minute", "second"}
+# Calendar units: DuckDB's count = greatest N ≥ 0 with the ONE-SHOT
+# clamped addition add_months(x, N) (+ x's time-of-day) ≤ y, for x ≤ y,
+# negated when the arguments are reversed; quarter/year are the month
+# count div 3 / div 12 (toward-zero, matching DuckDB's symmetry).
+_CALENDAR_UNIT_DIV = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _complete_months_sql(x: str, y: str) -> str:
+    """Complete elapsed months from ``x`` to ``y`` (``x`` ≤ ``y``),
+    DuckDB-exact: the calendar month delta N0, minus 1 when adding N0
+    months to ``x`` (Spark's add_months clamps day-of-month exactly like
+    DuckDB's one-shot ``+ INTERVAL N MONTH``) lands past ``y``."""
+    n0 = f"((year({y}) - year({x})) * 12 + (month({y}) - month({x})))"
+    recon = (
+        f"(cast(add_months(to_date({x}), {n0}) as timestamp) "
+        f"+ (cast({x} as timestamp) - cast(to_date({x}) as timestamp)))"
+    )
+    return (
+        f"({n0} - (CASE WHEN {recon} > cast({y} as timestamp) "
+        f"THEN 1 ELSE 0 END))"
+    )
 
 
 def _anchor_literal(literals: list[str], token: str) -> str | None:
@@ -1548,12 +1571,23 @@ def _rewrite_time_flips(masked: str, literals: list[str]) -> str:
                 "inline the part name"
             )
         unit = literals[int(ph.group(1))][1:-1].lower()
+        if unit in _CALENDAR_UNIT_DIV:
+            xa, xb = f"({a[1]})", f"({a[2]})"
+            fwd = _complete_months_sql(xa, xb)
+            bwd = _complete_months_sql(xb, xa)
+            months = (
+                f"(CASE WHEN cast({xa} as timestamp) <= "
+                f"cast({xb} as timestamp) THEN {fwd} ELSE -{bwd} END)"
+            )
+            div = _CALENDAR_UNIT_DIV[unit]
+            return months if div == 1 else f"({months} div {div})"
         if unit not in _TIMESTAMPDIFF_UNITS:
             raise ValueError(
                 f"date_sub({unit!r}, ...) complete-interval semantics have "
                 "no verified Spark equivalent (supported: "
-                f"{sorted(_TIMESTAMPDIFF_UNITS)}); use date_diff for "
-                "boundary counting or spell the arithmetic explicitly"
+                f"{sorted(_TIMESTAMPDIFF_UNITS | set(_CALENDAR_UNIT_DIV))}); "
+                "use date_diff for boundary counting or spell the "
+                "arithmetic explicitly"
             )
         return f"timestampdiff({unit.upper()}, {a[1]}, {a[2]})"
 

@@ -860,6 +860,41 @@ def test_fuzz_order_by_nulls_match_duckdb(spark, duck, seed):
     assert sp == dk, sql
 
 
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_date_sub_intervals_match_duckdb(spark, duck, seed):
+    """Randomized timestamp pairs (month ends, pre-epoch, mixed
+    times-of-day) through every supported date_sub part: the
+    timestampdiff rewrite must reproduce DuckDB's complete-elapsed-unit
+    counts in both directions."""
+    import random
+
+    rng = random.Random(3000 + seed)
+
+    def ts():
+        y = rng.randint(1958, 2043)
+        mo = rng.randint(1, 12)
+        days = [1, 15, 28]
+        if mo != 2:
+            days += [29, 30]
+        if mo in (1, 3, 5, 7, 8, 10, 12):
+            days.append(31)
+        d = rng.choice(days)
+        h, mi, s = rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)
+        return (
+            f"TIMESTAMP '{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}'"
+        )
+
+    units = ["year", "quarter", "month", "day", "hour", "minute", "second"]
+    exprs = [
+        f"date_sub('{u}', {ts()}, {ts()}) AS u{i}"
+        for i, u in enumerate(units)
+    ]
+    sql = "SELECT " + ", ".join(exprs)
+    sp = spark.sql(duckdb_to_spark_sql(sql)).collect()[0]
+    dk = duck.execute(sql).fetchall()[0]
+    assert tuple(sp) == tuple(dk), sql
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_fuzz_comprehensions_match_duckdb(spark, duck, seed):
     """Randomized nested list comprehensions over integer literals: the
