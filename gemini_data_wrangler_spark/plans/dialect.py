@@ -105,6 +105,7 @@ engines and passes through untouched.
 | ``isfinite``/``isinf``             | isnan/±Infinity comparison expansions (NULL-propagating, NaN-correct) |
 | ``hash(x)``                        | refused → explicit error (DuckDB's 64-bit internal hash vs Spark's 32-bit Murmur3 — values diverge silently) |
 | ``FROM t [SELECT ...]``            | pass through (Spark ≥ 4.0 parses FROM-first statements natively) |
+| ``RANGE BETWEEN INTERVAL ...``     | pass through (Spark accepts interval RANGE frames over date/timestamp order keys; same inclusive bounds) |
 | ``UNION [ALL] BY NAME``            | refused → explicit error (no Spark SQL spelling; alignment needs both subquery schemas) |
 | ``SUMMARIZE t``                    | refused → explicit error (DuckDB statement; point at the engine's column-profile operator) |
 """

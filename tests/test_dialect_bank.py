@@ -557,6 +557,22 @@ BANK = [
         """,
     ),
     (
+        "window_range_interval_frame",
+        """
+        SELECT o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ), 2) AS r30,
+               count(*) OVER (
+                   ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                             AND INTERVAL 7 DAY FOLLOWING
+               ) AS peers_2wk
+        FROM orders WHERE o_custkey < 60
+        """,
+    ),
+    (
         "from_first_statement",
         """
         FROM orders
