@@ -45,36 +45,44 @@ def _hits_oracle() -> str:
       SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     )""",
-        "hub0 AS MATERIALIZED (SELECT DISTINCT c, 1.0 AS h FROM edges)",
+        # DOUBLE, not the bare 1.0 literal: DuckDB sums DECIMAL literals
+        # in DECIMAL(38), which overflows under raw (unnormalized) growth.
+        "hub0 AS MATERIALIZED"
+        " (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM edges)",
     ]
+    # Normalization commutes with the linear half-steps (it only scales
+    # the vector), so the unrolled layers carry RAW sums and a single L2
+    # normalizer divides each side at the end — 2 scalar passes total
+    # instead of 2 per round, and fewer roundings than per-round scaling.
+    # Double range is safe: growth is (sigma_max^2)^rounds ~ 1e50 at
+    # worst for the co-order graph, squared in the normalizer ~ 1e100,
+    # far under the 1e308 overflow line.
     for t in range(1, _HITS_ITERS + 1):
         layers.append(
             f"ar{t} AS MATERIALIZED (SELECT e.s, sum(h.h) AS a FROM edges e"
             f" JOIN hub{t - 1} h ON h.c = e.c GROUP BY e.s)"
         )
         layers.append(
-            f"auth{t} AS MATERIALIZED (SELECT s,"
-            f" a / sqrt((SELECT sum(a * a) FROM ar{t})) AS a FROM ar{t})"
-        )
-        layers.append(
-            f"hr{t} AS MATERIALIZED (SELECT e.c, sum(a.a) AS h FROM edges e"
-            f" JOIN auth{t} a ON a.s = e.s GROUP BY e.c)"
-        )
-        layers.append(
-            f"hub{t} AS MATERIALIZED (SELECT c,"
-            f" h / sqrt((SELECT sum(h * h) FROM hr{t})) AS h FROM hr{t})"
+            f"hub{t} AS MATERIALIZED (SELECT e.c, sum(a.a) AS h FROM edges e"
+            f" JOIN ar{t} a ON a.s = e.s GROUP BY e.c)"
         )
     last = _HITS_ITERS
     return f"""
     WITH {", ".join(layers)},
     ranked AS (
-      SELECT 'hub' AS side, c AS node_id, round(h, 4) AS score,
-             row_number() OVER (ORDER BY round(h, 4) DESC, c ASC) AS rank
+      SELECT 'hub' AS side, c AS node_id,
+             round(h / sqrt((SELECT sum(h * h) FROM hub{last})), 4) AS score,
+             row_number() OVER (
+               ORDER BY round(h / sqrt((SELECT sum(h * h) FROM hub{last})), 4)
+                        DESC, c ASC) AS rank
       FROM hub{last}
       UNION ALL
-      SELECT 'authority', s, round(a, 4) AS score,
-             row_number() OVER (ORDER BY round(a, 4) DESC, s ASC)
-      FROM auth{last}
+      SELECT 'authority', s,
+             round(a / sqrt((SELECT sum(a * a) FROM ar{last})), 4),
+             row_number() OVER (
+               ORDER BY round(a / sqrt((SELECT sum(a * a) FROM ar{last})), 4)
+                        DESC, s ASC)
+      FROM ar{last}
     )
     SELECT side, node_id, score, rank FROM ranked WHERE rank <= {_HITS_TOP}
     """
@@ -84,10 +92,12 @@ def _hits_oracle() -> str:
 def graph_hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_HITS_TOP} hubs (customers) and authorities (suppliers) of
     the co-order bipartite graph by HITS with {_HITS_ITERS} power-
-    iteration rounds: each half-step is one edge-keyed aggregate plus a
-    scalar L2 normalizer, state localCheckpointed per round. Ranking
-    uses ROUNDED scores (ties to the lowest id) so the output order is
-    stable across engines despite last-ulp sum differences."""
+    iteration rounds: each half-step is one edge-keyed aggregate over
+    RAW (unnormalized) sums — normalization commutes with the linear
+    map, so a single end-of-loop L2 divide replaces the per-round
+    scalar passes — with the hub state localCheckpointed per round.
+    Ranking uses ROUNDED scores (ties to the lowest id) so the output
+    order is stable across engines despite last-ulp sum differences."""
     orders = _table(spark, sf_dir, "orders")
     lineitem = _table(spark, sf_dir, "lineitem")
     edges = (
@@ -98,31 +108,32 @@ def graph_hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     hub = edges.select("c").distinct().withColumn("h", F.lit(1.0)).localCheckpoint()
+    # Normalization only scales the vector, so the loop carries RAW sums
+    # (growth stays far below double overflow — see the oracle note) and
+    # a single L2 normalizer divides each side at the end: one
+    # materialization per round instead of two, no per-round scalar
+    # passes. The final auth recompute is one join+agg off the
+    # checkpointed hub — cheaper than checkpointing auth every round.
     auth = None
     for _ in range(_HITS_ITERS):
-        ar = edges.join(hub, "c").groupBy("s").agg(F.sum("h").alias("a"))
-        anorm = ar.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("_z"))
-        auth = (
-            ar.crossJoin(F.broadcast(anorm))
-            .select("s", (F.col("a") / F.col("_z")).alias("a"))
-            .localCheckpoint()
-        )
-        hr = edges.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
-        hnorm = hr.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("_z"))
+        auth = edges.join(hub, "c").groupBy("s").agg(F.sum("h").alias("a"))
         hub = (
-            hr.crossJoin(F.broadcast(hnorm))
-            .select("c", (F.col("h") / F.col("_z")).alias("h"))
+            edges.join(auth, "s")
+            .groupBy("c")
+            .agg(F.sum("a").alias("h"))
             .localCheckpoint()
         )
-    hub_top = hub.select(
+    anorm = auth.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("_z"))
+    hnorm = hub.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("_z"))
+    hub_top = hub.crossJoin(F.broadcast(hnorm)).select(
         F.lit("hub").alias("side"),
         F.col("c").alias("node_id"),
-        F.round("h", 4).alias("score"),
+        F.round(F.col("h") / F.col("_z"), 4).alias("score"),
     )
-    auth_top = auth.select(
+    auth_top = auth.crossJoin(F.broadcast(anorm)).select(
         F.lit("authority").alias("side"),
         F.col("s").alias("node_id"),
-        F.round("a", 4).alias("score"),
+        F.round(F.col("a") / F.col("_z"), 4).alias("score"),
     )
     w = Window.partitionBy("side").orderBy(F.desc("score"), F.asc("node_id"))
     return (
