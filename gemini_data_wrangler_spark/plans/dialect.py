@@ -82,7 +82,7 @@ engines and passes through untouched.
 | ``x[i]`` subscript                 | ``try_element_at(x, i)`` (DuckDB is 1-based/NULL-OOB/negative-from-end; Spark ``[]`` is 0-based — silent off-by-one otherwise). String-literal keys (``m['k']``) stay subscripts |
 | ``extract(dow/isodow/epoch FROM x)`` | renumbered arithmetic (same spelling, shifted values in Spark) |
 | ``dayofweek``/``weekday``/``isodow``/``dayname``/``monthname`` | ``dayofweek(x)-1`` / same / ``weekday(x)+1`` / ``date_format`` full names (DuckDB: 0=Sunday & full names; Spark: 1=Sunday, 0=MONDAY, 3-letter names) |
-| ``list(x [ORDER BY x])``           | ``collect_list(x)`` / ``array_sort(collect_list(x))`` (other inline orderings refused) |
+| ``list/array_agg(x [ORDER BY ...])`` | ``collect_list(x)`` / ``array_sort(collect_list(x))`` when sorted by itself; arbitrary multi-key ``ORDER BY k1 DESC, k2 ...`` → comparator-sorted struct collect + ``transform`` strip (DuckDB default ASC NULLS LAST replayed; DISTINCT → ``collect_set``) |
 | ``group_concat`` / ``week``        | ``string_agg`` path / ``weekofyear`` |
 | ``product()``                      | refused → explicit error (no zero/negative-safe Spark equivalent) |
 | ``ORDER BY x`` (bare/ASC keys)     | ``ORDER BY x NULLS LAST`` everywhere (statement, OVER, WITHIN GROUP): DuckDB defaults nulls-last, Spark ascending defaults nulls-FIRST — silent row flips under LIMIT; DESC agrees and is untouched |
@@ -1771,7 +1771,7 @@ _DAYOFWEEK_RE = re.compile(r"\b(?:dayofweek|weekday)\s*\(", re.IGNORECASE)
 _ISODOW_RE = re.compile(r"\bisodow\s*\(", re.IGNORECASE)
 _DAYNAME_RE = re.compile(r"\b(day|month)name\s*\(", re.IGNORECASE)
 _PRODUCT_RE = re.compile(r"\bproduct\s*\(", re.IGNORECASE)
-_LIST_AGG_FN_RE = re.compile(r"\blist\s*\(", re.IGNORECASE)
+_LIST_AGG_FN_RE = re.compile(r"\b(?:list|array_agg)\s*\(", re.IGNORECASE)
 _ORDER_BY_TAIL_RE = re.compile(
     r"(.*\S)\s+ORDER\s+BY\s+(.+?)\s*(ASC|DESC)?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -1798,28 +1798,108 @@ def _rewrite_day_fns(masked: str, literals: list[str]) -> str:
     return _rewrite_one_arg(masked, _DAYNAME_RE, dayname)
 
 
+_AGG_KEY_RE = re.compile(
+    r"(?P<key>.*?)(?:\s+(?P<dir>ASC|DESC))?(?:\s+NULLS\s+(?P<nulls>FIRST|LAST))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _find_top_level_order_by(text: str) -> int:
+    """Index of a depth-0 ``ORDER BY`` in ``text``, or -1."""
+    depth = 0
+    for m in re.finditer(r"[()\[\]]|\bORDER\s+BY\b", text, re.IGNORECASE):
+        tok = m.group(0)
+        if tok in "([":
+            depth += 1
+        elif tok in ")]":
+            depth -= 1
+        elif depth == 0:
+            return m.start()
+    return -1
+
+
+def _ordered_collect_sql(expr: str, keys_text: str) -> str:
+    """DuckDB ``list/array_agg(e ORDER BY k1 [ASC|DESC] [NULLS
+    FIRST|LAST], ...)`` → comparator-sorted collect: the keys ride along
+    in a struct, ``array_sort``'s comparator replays DuckDB's ordering
+    (default ASC NULLS LAST — DuckDB's default_null_order is nulls_last
+    for BOTH directions), and a ``transform`` strips the keys. Ties
+    compare 0, mirroring DuckDB's nondeterministic tie order."""
+    keys = []
+    for raw in _split_top_level(keys_text):
+        km = _AGG_KEY_RE.fullmatch(raw.strip())
+        desc = bool(km.group("dir")) and km.group("dir").upper() == "DESC"
+        nulls_first = (
+            bool(km.group("nulls")) and km.group("nulls").upper() == "FIRST"
+        )
+        keys.append((km.group("key").strip(), desc, nulls_first))
+    fields = ", ".join(
+        f"({k}) AS _o{i}" for i, (k, _, _) in enumerate(keys)
+    )
+    cmp = "0"
+    for i, (_, desc, nulls_first) in reversed(list(enumerate(keys))):
+        lo, ro = f"_l._o{i}", f"_r._o{i}"
+        null_l, null_r = ("-1", "1") if nulls_first else ("1", "-1")
+        lt, gt = ("1", "-1") if desc else ("-1", "1")
+        cmp = (
+            f"CASE WHEN {lo} IS NULL AND {ro} IS NULL THEN {cmp} "
+            f"WHEN {lo} IS NULL THEN {null_l} "
+            f"WHEN {ro} IS NULL THEN {null_r} "
+            f"WHEN {lo} < {ro} THEN {lt} "
+            f"WHEN {lo} > {ro} THEN {gt} ELSE {cmp} END"
+        )
+    return (
+        f"transform(array_sort(collect_list(struct({fields}, "
+        f"({expr}) AS _v)), (_l, _r) -> {cmp}), _s -> _s._v)"
+    )
+
+
 def _rewrite_list_agg_fn(masked: str) -> str:
-    """DuckDB's ``list(x)`` aggregate → ``collect_list(x)``; the inline
-    ``list(x ORDER BY x)`` form translates when the sort key is the
-    collected expression itself (→ ``array_sort(collect_list(x))``),
-    otherwise it is refused (Spark aggregates take no inline ORDER BY and
-    collect_list order is nondeterministic)."""
+    """DuckDB's ``list(x)`` / ``array_agg(x)`` aggregates →
+    ``collect_list(x)``. The inline ``ORDER BY`` forms translate too:
+    the sort key being the collected ascending expression itself →
+    ``array_sort(collect_list(x))`` (``collect_set`` for DISTINCT);
+    arbitrary multi-key orderings → a comparator-sorted struct collect
+    (see ``_ordered_collect_sql``). DISTINCT with a non-self ordering is
+    refused (dedup of the value conflicts with carrying foreign keys)."""
 
     def build(m, args):
-        if len(args) != 1:
+        if not args:
             return None
-        om = _ORDER_BY_TAIL_RE.fullmatch(args[0])
-        if not om:
-            return f"collect_list({args[0]})"
-        expr, key, direction = om.group(1), om.group(2), om.group(3) or ""
-        if key.strip() == expr.strip() and direction.upper() != "DESC":
-            return f"array_sort(collect_list({expr}))"
-        raise ValueError(
-            "list(x ORDER BY k) translates only when k is x ascending "
-            "(array_sort over collect_list); any other inline ordering "
-            "has no Spark aggregate equivalent — sort in a window or "
-            "after collecting"
+        joined = ", ".join(args)
+        distinct = False
+        dm = re.match(r"\s*DISTINCT\s+", joined, re.IGNORECASE)
+        if dm:
+            distinct = True
+            joined = joined[dm.end() :]
+        ob = _find_top_level_order_by(joined)
+        if ob < 0:
+            return (
+                f"collect_set({joined})"
+                if distinct
+                else f"collect_list({joined})"
+            )
+        expr = joined[:ob].strip()
+        keys_text = re.sub(
+            r"^ORDER\s+BY\s+", "", joined[ob:], flags=re.IGNORECASE
+        ).strip()
+        km = _AGG_KEY_RE.fullmatch(keys_text)
+        self_asc = (
+            km is not None
+            and km.group("key").strip() == expr
+            and (km.group("dir") or "ASC").upper() == "ASC"
+            and (km.group("nulls") or "LAST").upper() == "LAST"
         )
+        if self_asc:
+            fn = "collect_set" if distinct else "collect_list"
+            return f"array_sort({fn}({expr}))"
+        if distinct:
+            raise ValueError(
+                "list/array_agg(DISTINCT x ORDER BY k) translates only "
+                "when k is x ascending; deduping the value while sorting "
+                "by another key has no Spark aggregate equivalent"
+            )
+        return _ordered_collect_sql(expr, keys_text)
 
     return _rewrite_call(masked, _LIST_AGG_FN_RE, build)
 

@@ -557,6 +557,24 @@ BANK = [
         """,
     ),
     (
+        "ordered_aggregation",
+        """
+        SELECT o_custkey,
+               list(o_orderkey ORDER BY o_orderkey) AS ids_asc,
+               array_agg(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)
+                 AS by_price_desc,
+               list(round(o_totalprice, 2) ORDER BY o_orderdate, o_orderkey)
+                 AS prices_by_date,
+               array_agg(o_orderkey ORDER BY
+                   CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                        ELSE o_totalprice END DESC NULLS FIRST,
+                   o_orderkey) AS nullable_key_order,
+               list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses
+        FROM orders WHERE o_custkey < 120
+        GROUP BY o_custkey
+        """,
+    ),
+    (
         "window_range_interval_frame",
         """
         SELECT o_orderkey,
