@@ -82,7 +82,8 @@ engines and passes through untouched.
 | ``x[i]`` subscript                 | ``try_element_at(x, i)`` (DuckDB is 1-based/NULL-OOB/negative-from-end; Spark ``[]`` is 0-based — silent off-by-one otherwise). String-literal keys (``m['k']``) stay subscripts |
 | ``extract(dow/isodow/epoch FROM x)`` | renumbered arithmetic (same spelling, shifted values in Spark) |
 | ``dayofweek``/``weekday``/``isodow``/``dayname``/``monthname`` | ``dayofweek(x)-1`` / same / ``weekday(x)+1`` / ``date_format`` full names (DuckDB: 0=Sunday & full names; Spark: 1=Sunday, 0=MONDAY, 3-letter names) |
-| ``list/array_agg(x [ORDER BY ...])`` | ``collect_list(x)`` / ``array_sort(collect_list(x))`` when sorted by itself; arbitrary multi-key ``ORDER BY k1 DESC, k2 ...`` → comparator-sorted struct collect + ``transform`` strip (DuckDB default ASC NULLS LAST replayed; DISTINCT → ``collect_set``) |
+| ``list/array_agg(x [ORDER BY ...])`` | NULL-KEEPING struct collect (DuckDB keeps null elements; Spark collect_list/set drop them), ``array_sort``-ed when sorted by itself ascending; arbitrary multi-key ``ORDER BY k1 DESC, k2 ...`` → comparator-sorted struct collect + ``transform`` strip (DuckDB default ASC NULLS LAST replayed; DISTINCT → ``array_distinct``) |
+| ``first/last(x ORDER BY ...)``     | ``element_at(<comparator-sorted struct collect>, 1 / -1)`` (orderless forms pass through) |
 | ``group_concat`` / ``week``        | ``string_agg`` path / ``weekofyear`` |
 | ``product()``                      | refused → explicit error (no zero/negative-safe Spark equivalent) |
 | ``ORDER BY x`` (bare/ASC keys)     | ``ORDER BY x NULLS LAST`` everywhere (statement, OVER, WITHIN GROUP): DuckDB defaults nulls-last, Spark ascending defaults nulls-FIRST — silent row flips under LIMIT; DESC agrees and is untouched |
@@ -1854,14 +1855,27 @@ def _ordered_collect_sql(expr: str, keys_text: str) -> str:
     )
 
 
+def _null_keeping_collect(expr: str, distinct: bool) -> str:
+    """NULL-KEEPING collect: DuckDB's ``list(x)`` keeps null elements
+    (and ``DISTINCT`` keeps one), but Spark's ``collect_list`` /
+    ``collect_set`` silently drop them — so the value rides inside a
+    struct (never null) and ``transform`` unwraps it; ``array_distinct``
+    dedups while keeping one null."""
+    base = (
+        f"transform(collect_list(struct(({expr}) AS _v)), _s -> _s._v)"
+    )
+    return f"array_distinct({base})" if distinct else base
+
+
 def _rewrite_list_agg_fn(masked: str) -> str:
-    """DuckDB's ``list(x)`` / ``array_agg(x)`` aggregates →
-    ``collect_list(x)``. The inline ``ORDER BY`` forms translate too:
-    the sort key being the collected ascending expression itself →
-    ``array_sort(collect_list(x))`` (``collect_set`` for DISTINCT);
-    arbitrary multi-key orderings → a comparator-sorted struct collect
-    (see ``_ordered_collect_sql``). DISTINCT with a non-self ordering is
-    refused (dedup of the value conflicts with carrying foreign keys)."""
+    """DuckDB's ``list(x)`` / ``array_agg(x)`` aggregates → null-keeping
+    collects (see ``_null_keeping_collect``). The inline ``ORDER BY``
+    forms translate too: the sort key being the collected ascending
+    expression itself → ``array_sort`` of the collect (nulls last in
+    both engines); arbitrary multi-key orderings → a comparator-sorted
+    struct collect (see ``_ordered_collect_sql``). DISTINCT with a
+    non-self ordering is refused (dedup of the value conflicts with
+    carrying foreign keys)."""
 
     def build(m, args):
         if not args:
@@ -1874,11 +1888,7 @@ def _rewrite_list_agg_fn(masked: str) -> str:
             joined = joined[dm.end() :]
         ob = _find_top_level_order_by(joined)
         if ob < 0:
-            return (
-                f"collect_set({joined})"
-                if distinct
-                else f"collect_list({joined})"
-            )
+            return _null_keeping_collect(joined, distinct)
         expr = joined[:ob].strip()
         keys_text = re.sub(
             r"^ORDER\s+BY\s+", "", joined[ob:], flags=re.IGNORECASE
@@ -1891,8 +1901,7 @@ def _rewrite_list_agg_fn(masked: str) -> str:
             and (km.group("nulls") or "LAST").upper() == "LAST"
         )
         if self_asc:
-            fn = "collect_set" if distinct else "collect_list"
-            return f"array_sort({fn}({expr}))"
+            return f"array_sort({_null_keeping_collect(expr, distinct)})"
         if distinct:
             raise ValueError(
                 "list/array_agg(DISTINCT x ORDER BY k) translates only "
@@ -1902,6 +1911,33 @@ def _rewrite_list_agg_fn(masked: str) -> str:
         return _ordered_collect_sql(expr, keys_text)
 
     return _rewrite_call(masked, _LIST_AGG_FN_RE, build)
+
+
+_FIRST_LAST_RE = re.compile(r"\b(first|last)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_first_last_ordered(masked: str) -> str:
+    """``first/last(x ORDER BY k1 [DESC], ...)`` — DuckDB's ordered
+    selection aggregates (e.g. ``first(price ORDER BY ts DESC)`` = the
+    latest price, null x kept) → ``element_at`` on the comparator-sorted
+    struct collect. The orderless forms pass through (both engines pick
+    an arbitrary row)."""
+
+    def build(m, args):
+        if not args:
+            return None
+        joined = ", ".join(args)
+        ob = _find_top_level_order_by(joined)
+        if ob < 0:
+            return None
+        expr = joined[:ob].strip()
+        keys_text = re.sub(
+            r"^ORDER\s+BY\s+", "", joined[ob:], flags=re.IGNORECASE
+        ).strip()
+        pos = 1 if m.group(1).lower() == "first" else -1
+        return f"element_at({_ordered_collect_sql(expr, keys_text)}, {pos})"
+
+    return _rewrite_call(masked, _FIRST_LAST_RE, build)
 
 
 def _rewrite_subscripts(masked: str) -> str:
@@ -2395,6 +2431,7 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     masked = _rewrite_extract_fields(masked)
     masked = _rewrite_day_fns(masked, literals)
     masked = _rewrite_list_agg_fn(masked)
+    masked = _rewrite_first_last_ordered(masked)
     if _PRODUCT_RE.search(masked):
         raise ValueError(
             "the product() aggregate has no Spark equivalent "

@@ -575,6 +575,25 @@ BANK = [
         """,
     ),
     (
+        "first_last_ordered_null_keeping",
+        """
+        WITH v AS (
+          SELECT o_orderkey AS k, o_custkey AS g, o_orderdate AS d,
+                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE o_totalprice END AS p
+          FROM orders WHERE o_custkey < 120
+        )
+        SELECT g,
+               first(p ORDER BY d, k) AS first_p,
+               last(p ORDER BY d, k) AS last_p,
+               first(k ORDER BY p DESC NULLS LAST, k) AS top_key,
+               list(p ORDER BY k) AS ps_with_nulls,
+               array_length(list(p)) AS n_kept,
+               array_length(list(DISTINCT p)) AS n_distinct_kept
+        FROM v GROUP BY g
+        """,
+    ),
+    (
         "window_range_interval_frame",
         """
         SELECT o_orderkey,
