@@ -84,6 +84,9 @@ engines and passes through untouched.
 | ``dayofweek``/``weekday``/``isodow``/``dayname``/``monthname`` | ``dayofweek(x)-1`` / same / ``weekday(x)+1`` / ``date_format`` full names (DuckDB: 0=Sunday & full names; Spark: 1=Sunday, 0=MONDAY, 3-letter names) |
 | ``list/array_agg(x [ORDER BY ...])`` | NULL-KEEPING struct collect (DuckDB keeps null elements; Spark collect_list/set drop them), ``array_sort``-ed when sorted by itself ascending; arbitrary multi-key ``ORDER BY k1 DESC, k2 ...`` → comparator-sorted struct collect + ``transform`` strip (DuckDB default ASC NULLS LAST replayed; DISTINCT → ``array_distinct``) |
 | ``first/last(x ORDER BY ...)``     | ``element_at(<comparator-sorted struct collect>, 1 / -1)`` (orderless forms pass through) |
+| ``concat(a, b, ...)``              | null-SKIPPING concat: each arg → ``coalesce(cast(.. as string), '')`` (DuckDB skips NULL args; Spark propagates NULL) |
+| ``substr/substring(s, st, n)``     | DuckDB's character-window closed form when st/n aren't plain positive literals (start 0 consumes budget, negative length swings the window backwards); 2-arg forms agree and pass through |
+| ``left/right(s, -n)``              | drop n chars from the opposite end (Spark returns ``''`` for negative n) |
 | ``group_concat`` / ``week``        | ``string_agg`` path / ``weekofyear`` |
 | ``product()``                      | refused → explicit error (no zero/negative-safe Spark equivalent) |
 | ``ORDER BY x`` (bare/ASC keys)     | ``ORDER BY x NULLS LAST`` everywhere (statement, OVER, WITHIN GROUP): DuckDB defaults nulls-last, Spark ascending defaults nulls-FIRST — silent row flips under LIMIT; DESC agrees and is untouched |
@@ -1675,6 +1678,85 @@ def _rewrite_math_string_flips(masked: str) -> str:
     )
 
 
+_CONCAT_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
+_SUBSTR_RE = re.compile(r"\bsubstr(?:ing)?\s*\(", re.IGNORECASE)
+_LEFT_RE = re.compile(r"\bleft\s*\(", re.IGNORECASE)
+_RIGHT_RE = re.compile(r"\bright\s*\(", re.IGNORECASE)
+_BARE_NONNEG_INT_RE = re.compile(r"\+?\d+$")
+
+
+def _rewrite_string_edge_flips(masked: str) -> str:
+    """String functions whose edge semantics silently diverge:
+
+    * ``concat`` SKIPS null arguments in DuckDB ('a'||NULL via concat is
+      'a') but propagates NULL in Spark → each argument wraps in
+      ``coalesce(cast(.. as string), '')`` (DuckDB concat is
+      string-typed; array concat is list_concat and untouched);
+    * 3-arg ``substr``/``substring`` with start 0 or a negative LENGTH
+      follows DuckDB's character-window model ([start, start+len) in
+      1-based space, negative start from the end, negative len swinging
+      the window backwards, out-of-range positions dropped) → an exact
+      CASE closed form. Plain positive literals pass through — Spark
+      agrees there, and on every 2-arg form;
+    * ``left``/``right`` with NEGATIVE n drop -n chars from the
+      opposite end in DuckDB but return '' in Spark → CASE on the sign.
+    """
+    masked = _rewrite_call(
+        masked,
+        _CONCAT_RE,
+        lambda m, a: (
+            "concat\x01("
+            + ", ".join(
+                f"coalesce(cast(({x}) as string), \x02\x02)" for x in a
+            )
+            + ")"
+            if a and any(x for x in a)
+            else None
+        ),
+    )
+
+    def build_substr(m, a):
+        if len(a) != 3:
+            return None
+        s, st, ln = a
+        if (
+            _BARE_NONNEG_INT_RE.fullmatch(st)
+            and _BARE_NONNEG_INT_RE.fullmatch(ln)
+            and int(st.lstrip("+")) >= 1
+        ):
+            return None
+        length = f"length({s})"
+        st1 = f"(CASE WHEN ({st}) < 0 THEN {length} + ({st}) + 1 ELSE ({st}) END)"
+        lo = f"(CASE WHEN ({ln}) < 0 THEN {st1} + ({ln}) ELSE {st1} END)"
+        hi = f"(CASE WHEN ({ln}) < 0 THEN {st1} ELSE {st1} + ({ln}) END)"
+        lo2 = f"greatest({lo}, 1)"
+        return (
+            f"(CASE WHEN {hi} <= {lo2} THEN \x02\x02 "
+            f"ELSE substring\x01({s}, {lo2}, {hi} - {lo2}) END)"
+        )
+
+    masked = _rewrite_call(masked, _SUBSTR_RE, build_substr)
+
+    def lr(side):
+        def build(m, a):
+            if len(a) != 2 or _BARE_NONNEG_INT_RE.fullmatch(a[1]):
+                return None
+            s, n = a
+            if side == "left":
+                neg = f"substring\x01({s}, 1, greatest(length({s}) + ({n}), 0))"
+            else:
+                neg = f"substring\x01({s}, 1 - ({n}))"
+            return (
+                f"(CASE WHEN ({n}) < 0 THEN {neg} "
+                f"ELSE {side}\x01({s}, {n}) END)"
+            )
+
+        return build
+
+    masked = _rewrite_call(masked, _LEFT_RE, lr("left"))
+    return _rewrite_call(masked, _RIGHT_RE, lr("right"))
+
+
 _ORDER_BY_KW_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 # Words that end an ORDER BY clause at depth 0 (frame specs, limits, set
 # ops). CASE/END etc. inside items are untouched — they are not listed.
@@ -2428,6 +2510,9 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     # map to STRING. Parameterized VARCHAR(n) is Spark-valid and untouched.
     masked = _BARE_VARCHAR_RE.sub("STRING", masked)
     masked = _rewrite_math_string_flips(masked)
+    # Before the list_concat rewrite, which emits an ARRAY concat that
+    # must not get the string-typed null-skip wrapping.
+    masked = _rewrite_string_edge_flips(masked)
     masked = _rewrite_extract_fields(masked)
     masked = _rewrite_day_fns(masked, literals)
     masked = _rewrite_list_agg_fn(masked)
@@ -2475,7 +2560,7 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
         lambda a: (
             f"(CASE WHEN ({a[0]}) IS NULL THEN {a[1]} "
             f"WHEN ({a[1]}) IS NULL THEN {a[0]} "
-            f"ELSE concat({a[0]}, {a[1]}) END)"
+            f"ELSE concat\x01({a[0]}, {a[1]}) END)"
         ),
     )
     masked = _rewrite_date_diff(masked, literals)

@@ -575,6 +575,22 @@ BANK = [
         """,
     ),
     (
+        "string_edge_semantics",
+        """
+        SELECT o_orderkey,
+               concat(o_orderstatus, NULL, o_orderpriority, o_orderkey) AS cat,
+               substr(o_orderpriority, 0, 4) AS s_zero_start,
+               substr(o_orderpriority, 3, -2) AS s_neg_len,
+               substr(o_orderpriority, -3, 2) AS s_from_end,
+               substr(o_orderpriority, (o_orderkey % 9) - 3,
+                      (o_orderkey % 5) - 1) AS s_dynamic,
+               left(o_orderpriority, -2) AS left_neg,
+               right(o_orderpriority, -(CAST(o_orderkey % 4 AS INT)))
+                 AS right_dyn
+        FROM orders WHERE o_orderkey < 300
+        """,
+    ),
+    (
         "first_last_ordered_null_keeping",
         """
         WITH v AS (
