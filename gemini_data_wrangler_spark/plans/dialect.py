@@ -87,6 +87,8 @@ engines and passes through untouched.
 | ``concat(a, b, ...)``              | null-SKIPPING concat: each arg → ``coalesce(cast(.. as string), '')`` (DuckDB skips NULL args; Spark propagates NULL) |
 | ``substr/substring(s, st, n)``     | DuckDB's character-window closed form when st/n aren't plain positive literals (start 0 consumes budget, negative length swings the window backwards); 2-arg forms agree and pass through |
 | ``left/right(s, -n)``              | drop n chars from the opposite end (Spark returns ``''`` for negative n) |
+| ``a / b`` / ``a % b``              | ``try_divide`` / ``try_mod`` over the full multiplicative chain (DuckDB yields NULL on zero divisors — even DOUBLE ones; Spark's ANSI default raises DIVIDE_BY_ZERO); precedence preserved left-associatively |
+| ``round(DOUBLE, n)``               | pass through — KNOWN divergence once abs(x)·10^n exceeds 2^53: DuckDB rounds via scaled-double arithmetic (last-ulp drift), Spark via exact BigDecimal |
 | ``group_concat`` / ``week``        | ``string_agg`` path / ``weekofyear`` |
 | ``product()``                      | refused → explicit error (no zero/negative-safe Spark equivalent) |
 | ``ORDER BY x`` (bare/ASC keys)     | ``ORDER BY x NULLS LAST`` everywhere (statement, OVER, WITHIN GROUP): DuckDB defaults nulls-last, Spark ascending defaults nulls-FIRST — silent row flips under LIMIT; DESC agrees and is untouched |
@@ -1678,6 +1680,249 @@ def _rewrite_math_string_flips(masked: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Division / modulo by zero: DuckDB yields NULL, Spark under its ANSI
+# default (4.x) raises DIVIDE_BY_ZERO — a migrated flow's occasional /0
+# crashes instead of flowing NULL. The `/` and `%` OPERATORS therefore
+# rewrite to try_divide / try_mod, which is exactly DuckDB's NULL-on-zero
+# behavior while keeping every other ANSI semantic (strict casts,
+# overflow) that DOES match DuckkDB. Precedence is preserved by parsing
+# the full multiplicative chain around each operator and rebuilding it
+# left-associatively: a * b / c % d → try_mod(try_divide(a * b, c), d).
+# ---------------------------------------------------------------------------
+_ATOM_CHARS = set("_$.\x01")
+
+
+def _absorb_unary_sign(s: str, k: int) -> int:
+    """Extend an atom's start ``k`` over a UNARY +/- (one whose own left
+    context is an operator, opener, comma, or the ``div`` keyword — not
+    an operand, which would make it binary)."""
+    j = k
+    while j > 0 and s[j - 1].isspace():
+        j -= 1
+    if j == 0 or s[j - 1] not in "+-":
+        return k
+    sign = j - 1
+    i = sign
+    while i > 0 and s[i - 1].isspace():
+        i -= 1
+    if i == 0:
+        return sign
+    prev = s[i - 1]
+    if prev in "*/%(,[<>=|&+-":
+        return sign
+    if _DIV_KEYWORD_RE.search(s, 0, i):
+        m = _DIV_KEYWORD_RE.search(s, 0, i)
+        if m.end() == i:
+            return sign
+    return k
+
+
+def _absorb_atom_left(s: str, j: int) -> int:
+    """Start index of the operand atom (with postfix groups, its
+    function-name head, and a leading unary sign) ending just before
+    ``j`` in masked text."""
+    while True:
+        while j > 0 and s[j - 1].isspace():
+            j -= 1
+        if j == 0:
+            return j
+        c = s[j - 1]
+        if c in ")]":
+            opener = "(" if c == ")" else "["
+            depth = 0
+            k = j - 1
+            while k >= 0:
+                if s[k] == c:
+                    depth += 1
+                elif s[k] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                return j
+            j = k
+            # function-name head / chained postfix continues the atom.
+            if j > 0 and (
+                s[j - 1].isalnum()
+                or s[j - 1] in _ATOM_CHARS
+                or s[j - 1] in ")]"
+            ):
+                continue
+            return _absorb_unary_sign(s, j)
+        if c == "\x00":
+            k = s.rfind("\x00", 0, j - 1)
+            return _absorb_unary_sign(s, k) if k >= 0 else j
+        if c.isalnum() or c in _ATOM_CHARS or c == ":":
+            k = j - 1
+            while k > 0 and (s[k - 1].isalnum() or s[k - 1] in _ATOM_CHARS or s[k - 1] == ":"):
+                k -= 1
+            # scientific notation: 1e-5 — extend over the signed exponent.
+            if (
+                k >= 2
+                and s[k - 1] in "+-"
+                and s[k - 2] in "eE"
+                and k >= 3
+                and s[k - 3].isdigit()
+            ):
+                k -= 2
+                while k > 0 and (s[k - 1].isdigit() or s[k - 1] == "."):
+                    k -= 1
+            return _absorb_unary_sign(s, k)
+        return j
+
+
+def _absorb_atom_right(s: str, j: int) -> int:
+    """End index (exclusive) of the operand atom starting at/after ``j``."""
+    n = len(s)
+    while j < n and s[j].isspace():
+        j += 1
+    if j < n and s[j] in "+-":  # unary sign
+        j += 1
+        while j < n and s[j].isspace():
+            j += 1
+    while True:
+        if j >= n:
+            return j
+        c = s[j]
+        if c == "\x00":
+            k = s.find("\x00", j + 1)
+            j = (k + 1) if k >= 0 else n
+        elif c in "([":
+            closer = ")" if c == "(" else "]"
+            depth = 0
+            k = j
+            while k < n:
+                if s[k] == c:
+                    depth += 1
+                elif s[k] == closer:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            j = k + 1 if k < n else n
+        elif c.isalnum() or c in _ATOM_CHARS or c == ":":
+            while j < n and (s[j].isalnum() or s[j] in _ATOM_CHARS or s[j] == ":"):
+                j += 1
+            # scientific notation: 1e-5 / 1E+30.
+            if (
+                j < n - 1
+                and s[j] in "+-"
+                and s[j - 1] in "eE"
+                and s[j - 2 : j - 1].isdigit()
+            ):
+                j += 1
+                while j < n and s[j].isdigit():
+                    j += 1
+        else:
+            return j
+        # postfix continues the atom: call args, subscript, cast, field.
+        if j < n and s[j] in "([":
+            continue
+        k = j
+        while k < n and s[k].isspace():
+            k += 1
+        if k < n and (s[k] == ":" or s[k] == "."):
+            j = k
+            continue
+        return j
+
+
+_DIV_MOD_RE = re.compile(r"[/%]|\bdiv\b(?!\x01)", re.IGNORECASE)
+_DIV_KEYWORD_RE = re.compile(r"\bdiv\s*$", re.IGNORECASE)
+
+
+def _chain_op_left(s: str, j: int):
+    """The multiplicative operator ending just before ``j``, or None."""
+    while j > 0 and s[j - 1].isspace():
+        j -= 1
+    if j > 0 and s[j - 1] in "*/%":
+        return s[j - 1], j - 1
+    m = _DIV_KEYWORD_RE.search(s, 0, j)
+    if m and m.end() == j:
+        return "div", m.start()
+    return None
+
+
+def _chain_op_right(s: str, j: int):
+    while j < len(s) and s[j].isspace():
+        j += 1
+    if j < len(s) and s[j] in "*/%":
+        return s[j], j + 1
+    if s[j : j + 3].lower() == "div" and (
+        j + 3 >= len(s)
+        or not (s[j + 3].isalnum() or s[j + 3] in "_\x01")
+    ):
+        return "div", j + 3
+    return None
+
+
+def _rewrite_div_mod_ops(masked: str) -> str:
+    """``a / b`` → ``try_divide(a, b)``, ``a % b`` → ``try_mod(a, b)``,
+    left-associatively over the whole multiplicative chain so mixed
+    ``* / % div`` expressions keep SQL precedence."""
+    pos = 0
+    while True:
+        m = _DIV_MOD_RE.search(masked, pos)
+        if not m:
+            return masked
+        # walk to the START of this multiplicative chain.
+        atoms, ops = [], []
+        start = _absorb_atom_left(masked, m.start())
+        left_edge = start
+        while True:
+            op = _chain_op_left(masked, left_edge)
+            if not op:
+                break
+            prev_start = _absorb_atom_left(masked, op[1])
+            if prev_start == op[1]:  # no operand — unary/malformed; stop.
+                break
+            left_edge = prev_start
+        # tokenize the chain forward from left_edge.
+        a_end = _absorb_atom_right(masked, left_edge)
+        if a_end <= left_edge:
+            pos = m.end()
+            continue
+        atoms = [masked[left_edge:a_end].strip()]
+        cursor = a_end
+        while True:
+            op = _chain_op_right(masked, cursor)
+            if not op:
+                break
+            nxt_end = _absorb_atom_right(masked, op[1])
+            if nxt_end <= op[1]:
+                break
+            ops.append(op[0])
+            atoms.append(masked[op[1] : nxt_end].strip())
+            cursor = nxt_end
+        if not any(o in ("/", "%", "div") for o in ops):
+            pos = m.end()
+            continue
+        acc = atoms[0]
+        for o, atom in zip(ops, atoms[1:]):
+            if o == "/":
+                acc = f"try_divide({acc}, {atom})"
+            elif o == "%":
+                acc = f"try_mod({acc}, {atom})"
+            elif o == "div":
+                # `//` arrived here as `div`; DuckDB's `// 0` is NULL too,
+                # and Spark has no try_ integral divide — NULL-guard it
+                # (exact, unlike a double round-trip). \x01 keeps the
+                # emitted keyword off the rescan.
+                acc = (
+                    f"(CASE WHEN ({atom}) = 0 THEN NULL "
+                    f"ELSE ({acc}) div\x01 ({atom}) END)"
+                )
+            else:
+                acc = f"{acc} {o} {atom}"
+        masked = masked[:left_edge] + acc + masked[cursor:]
+        # Rescan the rebuilt region: operands absorbed as paren atoms can
+        # still hold raw / % div chains of their own (emitted keywords
+        # are sentineled, so no re-wrap).
+        pos = left_edge
+
+
 _CONCAT_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
 _SUBSTR_RE = re.compile(r"\bsubstr(?:ing)?\s*\(", re.IGNORECASE)
 _LEFT_RE = re.compile(r"\bleft\s*\(", re.IGNORECASE)
@@ -2567,6 +2812,10 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     masked = _rewrite_string_agg(masked)
     masked = _rewrite_distinct_on(masked)
     masked = _rewrite_using_sample(masked)
+    # LAST in the masked phase: after USING SAMPLE consumes its `50%`
+    # spelling, and late enough that earlier-emitted divisions (epoch
+    # seconds, cosine norms) also pick up DuckDB's NULL-on-zero.
+    masked = _rewrite_div_mod_ops(masked)
     out = _rewrite_qualify(masked)
     out = _EXCLUDE_RE.sub(lambda m: f"{m.group(1)}EXCEPT{m.group(2)}", out)
     out = _rewrite_from_series(out)

@@ -575,6 +575,18 @@ BANK = [
         """,
     ),
     (
+        "division_modulo_null_on_zero",
+        """
+        SELECT o_orderkey,
+               o_totalprice / (o_orderkey % 7) AS div_maybe_zero,
+               o_orderkey % (o_orderkey % 5) AS mod_maybe_zero,
+               round(o_orderkey * 3 / 2 % 5, 6) AS chain,
+               CAST(o_totalprice AS DOUBLE) / 0 AS always_null,
+               o_orderkey // (o_orderkey % 3) AS intdiv_maybe_zero
+        FROM orders WHERE o_orderkey < 300
+        """,
+    ),
+    (
         "string_edge_semantics",
         """
         SELECT o_orderkey,
@@ -926,6 +938,52 @@ def test_fuzz_order_by_nulls_match_duckdb(spark, duck, seed):
     )
     sp = [r.o_orderkey for r in spark.sql(duckdb_to_spark_sql(sql)).collect()]
     dk = [r[0] for r in duck.execute(sql).fetchall()]
+    assert sp == dk, sql
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_arithmetic_chains_match_duckdb(spark, duck, seed):
+    """Randomized multiplicative chains (* / % //, parens, zero
+    divisors): the try_divide/try_mod/NULL-guarded-div rewrite must keep
+    SQL precedence and DuckDB's NULL-on-zero. `//` never follows `/` in
+    a chain — DuckDB 1.0's DOUBLE `//` overload is internally
+    inconsistent, so the generator stays off it like a real flow would."""
+    import random
+
+    rng = random.Random(4000 + seed)
+
+    def atom(depth):
+        r = rng.random()
+        if r < 0.35:
+            return str(rng.choice([0, 1, 2, 3, 5, 7, -3, -1]))
+        if r < 0.6:
+            return f"(o_orderkey % {rng.randint(2, 6)})"
+        if r < 0.8 or depth >= 2:
+            # bounded, not bare o_orderkey: round(DOUBLE, 9) diverges
+            # between the engines once |x|*1e9 exceeds 2^53 (DuckDB
+            # rounds via scaled-double arithmetic, Spark via BigDecimal),
+            # and products of raw keys cross that line.
+            return "(o_orderkey % 11)"
+        return "(" + expr(depth + 1, False) + ")"
+
+    def expr(depth, allow_div):
+        parts = [atom(depth)]
+        seen_div = False
+        for _ in range(rng.randint(1, 3)):
+            ops = ["*", "%"] + (["/"] if allow_div else ["//"])
+            if allow_div and not seen_div:
+                ops.append("//")
+            op = rng.choice(ops)
+            seen_div = seen_div or op == "/"
+            parts += [op, atom(depth)]
+        return " ".join(parts)
+
+    cols = ", ".join(
+        f"round(({expr(0, True)}) * 1.0, 9) AS c{i}" for i in range(6)
+    )
+    sql = f"SELECT o_orderkey, {cols} FROM orders WHERE o_orderkey < 200"
+    sp = {r[0]: tuple(r)[1:] for r in spark.sql(duckdb_to_spark_sql(sql)).collect()}
+    dk = {r[0]: tuple(r)[1:] for r in duck.execute(sql).fetchall()}
     assert sp == dk, sql
 
 
