@@ -89,6 +89,7 @@ engines and passes through untouched.
 | ``left/right(s, -n)``              | drop n chars from the opposite end (Spark returns ``''`` for negative n) |
 | ``a / b`` / ``a % b``              | ``try_divide`` / ``try_mod`` over the full multiplicative chain (DuckDB yields NULL on zero divisors — even DOUBLE ones; Spark's ANSI default raises DIVIDE_BY_ZERO); precedence preserved left-associatively |
 | ``round(DOUBLE, n)``               | pass through — KNOWN divergence once abs(x)·10^n exceeds 2^53: DuckDB rounds via scaled-double arithmetic (last-ulp drift), Spark via exact BigDecimal |
+| ``CAST(x AS INT/BIGINT/...)`` / ``x::INT`` | DuckDB ROUNDS numeric→int casts (3.7::INT = 4), Spark truncates → a foldable ``typeof`` CASE dispatches DOUBLE/FLOAT sources to ``bround`` (half-even = DuckDB's rint) and everything else through ``round(cast(.. as decimal(38, 9)))`` (half-away) — exact for BIGINTs, boolean/string-safe, loud exactly where DuckDB is loud; TRY_CAST gets try_ twins |
 | ``group_concat`` / ``week``        | ``string_agg`` path / ``weekofyear`` |
 | ``product()``                      | refused → explicit error (no zero/negative-safe Spark equivalent) |
 | ``ORDER BY x`` (bare/ASC keys)     | ``ORDER BY x NULLS LAST`` everywhere (statement, OVER, WITHIN GROUP): DuckDB defaults nulls-last, Spark ascending defaults nulls-FIRST — silent row flips under LIMIT; DESC agrees and is untouched |
@@ -1923,6 +1924,100 @@ def _rewrite_div_mod_ops(masked: str) -> str:
         pos = left_edge
 
 
+# ---------------------------------------------------------------------------
+# Numeric → integer casts ROUND in DuckDB (3.7::INT = 4) but TRUNCATE in
+# Spark (cast(3.7 as int) = 3) — the classic migration landmine. The
+# rewrite routes through DECIMAL(38, 9): exact for BIGINTs (no double
+# round-trip), HALF_UP for decimals (DuckDB's half-away), works for
+# booleans and numeric strings, and errors loudly exactly where DuckDB
+# errors (malformed strings, dates, overflow). Known corner: DOUBLEs
+# exactly at .5 round half-up here vs DuckDB's rint half-even.
+# ---------------------------------------------------------------------------
+_INT_TYPE_MAP = {
+    "int": "INT", "integer": "INT", "int4": "INT", "signed": "INT",
+    "bigint": "BIGINT", "int8": "BIGINT", "long": "BIGINT",
+    "smallint": "SMALLINT", "int2": "SMALLINT", "short": "SMALLINT",
+    "tinyint": "TINYINT", "int1": "TINYINT",
+    "hugeint": "DECIMAL(38, 0)",  # Spark has no int128
+}
+_CAST_CALL_RE = re.compile(r"\b(try_)?cast\s*\(", re.IGNORECASE)
+_COLON_INT_CAST_RE = re.compile(
+    r"::\s*(" + "|".join(_INT_TYPE_MAP) + r")\b", re.IGNORECASE
+)
+_PURE_INT_RE = re.compile(r"[+-]?\d+$")
+
+
+def _find_last_top_level_as(text: str) -> int:
+    depth, last = 0, -1
+    for m in re.finditer(r"[()\[\]]|\bAS\b", text, re.IGNORECASE):
+        tok = m.group(0)
+        if tok in "([":
+            depth += 1
+        elif tok in ")]":
+            depth -= 1
+        elif depth == 0:
+            last = m.start()
+    return last
+
+
+def _rounded_int_cast(expr: str, target: str, try_: bool) -> str:
+    """DuckDB rounds HALF-EVEN for DOUBLE sources (C rint) but HALF-AWAY
+    for DECIMAL/string sources — ``typeof`` is foldable in Spark, so the
+    CASE dispatch constant-folds to the right branch at analysis time
+    with no runtime cost, and each branch casts to the target itself (no
+    CASE type-unification through DOUBLE, which would corrupt BIGINTs
+    beyond 2^53)."""
+    fn = "try_cast" if try_ else "cast"
+    dbl = f"{fn}\x01(bround({fn}\x01(({expr}) as double)) as {target})"
+    dec = (
+        f"{fn}\x01(round({fn}\x01(({expr}) as decimal(38, 9))) "
+        f"as {target})"
+    )
+    return (
+        f"(CASE WHEN typeof(({expr})) IN (\x02double\x02, \x02float\x02) "
+        f"THEN {dbl} ELSE {dec} END)"
+    )
+
+
+def _rewrite_int_casts(masked: str) -> str:
+    """``CAST/TRY_CAST(e AS <int type>)`` and ``e::<int type>`` → the
+    DECIMAL-rounding form above; pure integer literals pass through."""
+
+    def build(m, args):
+        if len(args) != 1:
+            return None
+        body = args[0]
+        as_idx = _find_last_top_level_as(body)
+        if as_idx < 0:
+            return None
+        target = body[as_idx + 2 :].strip().lower()
+        if target not in _INT_TYPE_MAP:
+            return None
+        expr = body[:as_idx].strip()
+        if _PURE_INT_RE.fullmatch(expr):
+            return None
+        return _rounded_int_cast(
+            expr, _INT_TYPE_MAP[target], bool(m.group(1))
+        )
+
+    masked = _rewrite_call(masked, _CAST_CALL_RE, build)
+    pos = 0
+    while True:
+        m = _COLON_INT_CAST_RE.search(masked, pos)
+        if not m:
+            return masked
+        start = _absorb_atom_left(masked, m.start())
+        expr = masked[start : m.start()].strip()
+        if not expr or _PURE_INT_RE.fullmatch(expr):
+            pos = m.end()
+            continue
+        repl = _rounded_int_cast(
+            expr, _INT_TYPE_MAP[m.group(1).lower()], False
+        )
+        masked = masked[:start] + repl + masked[m.end() :]
+        pos = start + len(repl)
+
+
 _CONCAT_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
 _SUBSTR_RE = re.compile(r"\bsubstr(?:ing)?\s*\(", re.IGNORECASE)
 _LEFT_RE = re.compile(r"\bleft\s*\(", re.IGNORECASE)
@@ -2754,6 +2849,9 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     # Bare VARCHAR (DuckDB's default string type) needs a length in Spark;
     # map to STRING. Parameterized VARCHAR(n) is Spark-valid and untouched.
     masked = _BARE_VARCHAR_RE.sub("STRING", masked)
+    # Early: user-written integer casts only — later rewrites emit their
+    # own (non-integer) casts that must stay untouched.
+    masked = _rewrite_int_casts(masked)
     masked = _rewrite_math_string_flips(masked)
     # Before the list_concat rewrite, which emits an ARRAY concat that
     # must not get the string-typed null-skip wrapping.

@@ -575,6 +575,22 @@ BANK = [
         """,
     ),
     (
+        "int_cast_rounding",
+        """
+        SELECT o_orderkey,
+               CAST(o_totalprice AS INT) AS dbl_int,
+               CAST(o_totalprice AS BIGINT) AS dbl_big,
+               (o_totalprice / 3)::INT AS dbl_div,
+               CAST(o_orderkey * 1000000000 AS BIGINT) AS big_exact,
+               '3.7'::INT + '-2.5'::INT AS str_halves,
+               (o_orderkey % 2 = 0)::INT AS bool_int,
+               TRY_CAST(o_orderpriority AS INT) AS try_bad,
+               CAST(2.5 AS INT) + CAST(3.5 AS INT) AS dec_halves,
+               CAST(o_totalprice::FLOAT AS INT) AS float_rint
+        FROM orders WHERE o_orderkey < 300
+        """,
+    ),
+    (
         "division_modulo_null_on_zero",
         """
         SELECT o_orderkey,
