@@ -88,6 +88,9 @@ engines and passes through untouched.
 | ``substr/substring(s, st, n)``     | DuckDB's character-window closed form when st/n aren't plain positive literals (start 0 consumes budget, negative length swings the window backwards); 2-arg forms agree and pass through |
 | ``left/right(s, -n)``              | drop n chars from the opposite end (Spark returns ``''`` for negative n) |
 | ``a / b`` / ``a % b``              | ``try_divide`` / ``try_mod`` over the full multiplicative chain (DuckDB yields NULL on zero divisors — even DOUBLE ones; Spark's ANSI default raises DIVIDE_BY_ZERO); precedence preserved left-associatively |
+| ``any_value(x)``                   | ``any_value(x, true)`` (DuckDB's picks the first NON-NULL; Spark's default respects nulls) |
+| ``FILTER (cond)``                  | ``FILTER (WHERE cond)`` (DuckDB accepts the WHERE-less spelling; the higher-order ``filter`` fn is untouched) |
+| ``corr(x, y)``                     | ``try_divide(covar_pop, sd·sd)`` recomposition with pairwise null deletion (zero variance: DuckDB NULL, Spark ANSI raises) |
 | ``round(DOUBLE, n)``               | pass through — KNOWN divergence once abs(x)·10^n exceeds 2^53: DuckDB rounds via scaled-double arithmetic (last-ulp drift), Spark via exact BigDecimal |
 | ``CAST(x AS INT/BIGINT/...)`` / ``x::INT`` | DuckDB ROUNDS numeric→int casts (3.7::INT = 4), Spark truncates → a foldable ``typeof`` CASE dispatches DOUBLE/FLOAT sources to ``bround`` (half-even = DuckDB's rint) and everything else through ``round(cast(.. as decimal(38, 9)))`` (half-away) — exact for BIGINTs, boolean/string-safe, loud exactly where DuckDB is loud; TRY_CAST gets try_ twins |
 | ``group_concat`` / ``week``        | ``string_agg`` path / ``weekofyear`` |
@@ -2018,6 +2021,78 @@ def _rewrite_int_casts(masked: str) -> str:
         pos = start + len(repl)
 
 
+_ANY_VALUE_RE = re.compile(r"\bany_value\s*\(", re.IGNORECASE)
+_CORR_RE = re.compile(r"\bcorr\s*\(", re.IGNORECASE)
+_FILTER_CLAUSE_RE = re.compile(r"\bFILTER\s*\(", re.IGNORECASE)
+
+
+def _rewrite_agg_flips(masked: str) -> str:
+    """Aggregate-level flips:
+
+    * ``any_value(x)`` SKIPS nulls in DuckDB but respects them in Spark
+      → ``any_value(x, true)``;
+    * ``FILTER (cond)`` — DuckDB's WHERE-less spelling — → ``FILTER
+      (WHERE cond)`` (only after a closing paren, so the ``filter``
+      higher-order function is untouched);
+    * ``corr(x, y)`` with zero variance is NULL in DuckDB but raises
+      DIVIDE_BY_ZERO under Spark's ANSI default → recomposed as
+      ``try_divide(covar_pop, sd(x|y paired) * sd(y|x paired))`` with
+      pairwise null deletion preserved."""
+    masked = _rewrite_call(
+        masked,
+        _ANY_VALUE_RE,
+        lambda m, a: (
+            f"any_value\x01({a[0]}, true)" if len(a) == 1 else None
+        ),
+    )
+
+    def build_corr(a):
+        x, y = a
+        sx = f"stddev_pop(CASE WHEN ({y}) IS NOT NULL THEN ({x}) END)"
+        sy = f"stddev_pop(CASE WHEN ({x}) IS NOT NULL THEN ({y}) END)"
+        return f"try_divide(covar_pop({x}, {y}), ({sx} * {sy}))"
+
+    masked = _rewrite_two_arg(masked, _CORR_RE, build_corr)
+
+    pos = 0
+    while True:
+        m = _FILTER_CLAUSE_RE.search(masked, pos)
+        if not m:
+            return masked
+        prev = masked[: m.start()].rstrip()
+        if not prev.endswith(")"):
+            pos = m.end()
+            continue
+        open_idx = masked.index("(", m.end() - 1)
+        close = _find_matching(masked, open_idx, "(", ")")
+        if close < 0:
+            return masked
+        inner = masked[open_idx + 1 : close].strip()
+        if re.match(r"WHERE\b", inner, re.IGNORECASE) or "," in set(
+            _strip_depth0_commas(inner)
+        ):
+            pos = m.end()
+            continue
+        masked = (
+            masked[: open_idx + 1] + "WHERE " + masked[open_idx + 1 :]
+        )
+        pos = close + len("WHERE ") + 1
+
+
+def _strip_depth0_commas(text: str) -> str:
+    """The depth-0 characters of ``text`` (commas at depth 0 signal a
+    multi-argument call, i.e. a higher-order ``filter``)."""
+    out, depth = [], 0
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            out.append(ch)
+    return "".join(out)
+
+
 _CONCAT_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
 _SUBSTR_RE = re.compile(r"\bsubstr(?:ing)?\s*\(", re.IGNORECASE)
 _LEFT_RE = re.compile(r"\bleft\s*\(", re.IGNORECASE)
@@ -2856,6 +2931,7 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     # Before the list_concat rewrite, which emits an ARRAY concat that
     # must not get the string-typed null-skip wrapping.
     masked = _rewrite_string_edge_flips(masked)
+    masked = _rewrite_agg_flips(masked)
     masked = _rewrite_extract_fields(masked)
     masked = _rewrite_day_fns(masked, literals)
     masked = _rewrite_list_agg_fn(masked)

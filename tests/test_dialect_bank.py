@@ -575,6 +575,19 @@ BANK = [
         """,
     ),
     (
+        "aggregate_edge_flips",
+        """
+        SELECT o_custkey,
+               any_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                              ELSE o_custkey END) AS first_nonnull,
+               count(*) FILTER (o_totalprice > 1000) AS n_big,
+               round(corr(o_totalprice, o_orderkey % 97), 6) AS c_ok,
+               corr(o_totalprice, 1) AS c_const
+        FROM orders WHERE o_custkey < 150
+        GROUP BY o_custkey
+        """,
+    ),
+    (
         "int_cast_rounding",
         """
         SELECT o_orderkey,
