@@ -549,7 +549,7 @@ _STRFTIME_MAP = [
     ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
     ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%f", "SSSSSS"),
     ("%j", "DDD"), ("%a", "EEE"), ("%A", "EEEE"), ("%b", "MMM"),
-    ("%B", "MMMM"), ("%%", "%"),
+    ("%B", "MMMM"), ("%I", "hh"), ("%p", "a"), ("%%", "%"),
 ]
 
 

@@ -531,7 +531,8 @@ BANK = [
                date_add(o_orderdate, INTERVAL 3 DAY) AS plus3,
                CAST(datetrunc('month', o_orderdate) AS DATE) AS mon,
                today() >= o_orderdate AS after_order,
-               isoyear(o_orderdate) AS iy
+               isoyear(o_orderdate) AS iy,
+               strftime(o_orderdate + INTERVAL 14 HOUR, '%I %p') AS twelve_hr
         FROM orders WHERE o_orderkey < 300
         """,
     ),
