@@ -24,18 +24,19 @@ engines and passes through untouched.
 | ``regexp_split_to_array(s, re)``   | ``split(s, re)`` |
 | ``array_to_string(l, sep)``        | ``array_join(l, sep)`` |
 | ``list_transform`` / ``list_filter`` | ``transform`` / ``filter`` |
-| ``list_sum(l)``                    | ``aggregate(l, 0.0d, (acc,x) -> acc + x)`` |
+| ``list_sum(l)``                    | null-skipping fold: ``aggregate`` with ``coalesce`` + size guard (DuckDB skips null elements, NULL for empty/all-null) |
 | ``unnest(l)`` (select list)        | ``explode(l)`` (``recursive :=`` unsupported → error) |
 | ``[expr FOR x IN l [IF c]]``       | ``transform(filter(l, x -> c), x -> expr)`` |
 | ``[a, b, c]`` literal              | ``array(a, b, c)`` |
 | ``LIST_VALUE(...)``                | ``array(...)`` |
 | ``a // b``                         | ``a div b`` |
 | ``strftime(ts, '%Y-%m-%d')``       | ``date_format(ts, 'yyyy-MM-dd')`` (either arg order) |
-| ``list_contains/distinct/sort``    | ``array_contains/distinct/sort`` |
+| ``list_contains/sort``             | ``array_contains/sort`` |
+| ``list_distinct(l)``               | ``array_distinct(filter(l, not null))`` (DuckDB DROPS null elements; Spark keeps one) |
 | ``list_reverse/list_max/list_min`` | ``reverse/array_max/array_min`` |
 | ``arg_max`` / ``arg_min``          | ``max_by`` / ``min_by`` |
 | ``starts_with``                    | ``startswith`` |
-| ``list_has_any``                   | ``arrays_overlap`` |
+| ``list_has_any``                   | ``coalesce(arrays_overlap, false)`` with whole-list NULL guard (DuckDB ignores null elements — false, not NULL) |
 | ``list_has_all(h, n)``             | ``forall(n, x -> array_contains(h, x))`` |
 | ``regexp_matches(s, re)``          | ``s RLIKE re`` |
 | ``string_split(s, sep)``           | ``split(s, regex-escaped sep)`` (literal sep only → else error) |
@@ -498,7 +499,7 @@ _FN_RENAMES = [
     (re.compile(r"\blist_transform\s*\(", re.IGNORECASE), "transform("),
     (re.compile(r"\blist_filter\s*\(", re.IGNORECASE), "filter("),
     (re.compile(r"\blist_contains\s*\(", re.IGNORECASE), "array_contains("),
-    (re.compile(r"\blist_distinct\s*\(", re.IGNORECASE), "array_distinct("),
+    # list_distinct handled by a dedicated rewrite (DuckDB drops NULLs).
     (re.compile(r"\blist_sort\s*\(", re.IGNORECASE), "array_sort("),
     (re.compile(r"\bunnest\s*\(", re.IGNORECASE), "explode("),
     (re.compile(r"\barg_max\s*\(", re.IGNORECASE), "max_by("),
@@ -512,8 +513,7 @@ _FN_RENAMES = [
     (re.compile(r"\bstarts_with\s*\(", re.IGNORECASE), "startswith("),
     # 1-based position of substring, identical argument order.
     (re.compile(r"\bstrpos\s*\(", re.IGNORECASE), "instr("),
-    # Same "any element in common" semantics (both null-safe on empties).
-    (re.compile(r"\blist_has_any\s*\(", re.IGNORECASE), "arrays_overlap("),
+    # list_has_any handled by a dedicated rewrite (null-element handling).
     # Same (list, element) argument order. (list_prepend's order is
     # REVERSED vs array_prepend and handled by a two-arg swap rewrite.)
     (re.compile(r"\blist_append\s*\(", re.IGNORECASE), "array_append("),
@@ -841,9 +841,16 @@ def _rewrite_list_sum(sql: str) -> str:
         if close_idx < 0:
             return sql
         arg = sql[open_idx + 1 : close_idx].strip()
+        # DuckDB list_sum SKIPS null elements (list_sum([1, NULL, 3]) =
+        # 4) but yields NULL for empty / all-null / NULL input — the
+        # size-guard reproduces that; coalesce keeps the fold null-safe.
         sql = (
             sql[: m.start()]
-            + f"aggregate({arg}, cast(0.0 as double), (acc, x) -> acc + x)"
+            + (
+                f"(CASE WHEN size(filter({arg}, _ls -> _ls IS NOT NULL)) = 0 "
+                f"THEN NULL ELSE aggregate({arg}, cast(0.0 as double), "
+                f"(acc, x) -> acc + coalesce(x, cast(0.0 as double))) END)"
+            )
             + sql[close_idx + 1 :]
         )
 
@@ -2648,6 +2655,8 @@ def _rewrite_similar_to(masked: str, literals: list[str]) -> str:
 
 _LIST_SLICE_RE = re.compile(r"\b(?:list|array)_slice\s*\(", re.IGNORECASE)
 _LIST_UNIQUE_RE = re.compile(r"\blist_unique\s*\(", re.IGNORECASE)
+_LIST_DISTINCT_RE = re.compile(r"\blist_distinct\s*\(", re.IGNORECASE)
+_LIST_HAS_ANY_RE = re.compile(r"\blist_has_any\s*\(", re.IGNORECASE)
 _LIST_CONCAT_RE = re.compile(r"\blist_(?:concat|cat)\s*\(", re.IGNORECASE)
 _STRUCT_PACK_RE = re.compile(r"\bstruct_pack\s*\(", re.IGNORECASE)
 
@@ -2969,6 +2978,26 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
         _LIST_UNIQUE_RE,
         lambda m, arg: (
             f"size(array_distinct(filter({arg}, _lu -> _lu IS NOT NULL)))"
+        ),
+    )
+    # list_distinct DROPS null elements in DuckDB; Spark's array_distinct
+    # keeps one — filter them out first.
+    masked = _rewrite_one_arg(
+        masked,
+        _LIST_DISTINCT_RE,
+        lambda m, arg: (
+            f"array_distinct(filter({arg}, _ld -> _ld IS NOT NULL))"
+        ),
+    )
+    # list_has_any IGNORES null elements (false, not NULL, when only
+    # nulls overlap); arrays_overlap returns NULL there. Whole-list NULL
+    # operands stay NULL in both.
+    masked = _rewrite_two_arg(
+        masked,
+        _LIST_HAS_ANY_RE,
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            f"ELSE coalesce(arrays_overlap({a[0]}, {a[1]}), false) END)"
         ),
     )
     # list_concat treats a NULL operand as empty; Spark concat propagates

@@ -576,6 +576,23 @@ BANK = [
         """,
     ),
     (
+        "list_null_element_semantics",
+        """
+        SELECT o_orderkey,
+               list_sort(list_distinct([1, NULL, o_orderkey % 3, NULL, 1]))
+                 AS dedup,
+               CAST(list_sum([o_orderkey % 5,
+                         CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                              ELSE 2 END]) AS DOUBLE) AS nsum,
+               CAST(list_sum(CASE WHEN o_orderkey % 7 = 0
+                             THEN [CAST(NULL AS INT), NULL]
+                             ELSE [1, 2] END) AS DOUBLE) AS allnull_sum,
+               list_has_any([NULL, o_orderkey % 4], [NULL, 99]) AS any_null,
+               list_has_any([o_orderkey % 4], [2, 3]) AS any_plain
+        FROM orders WHERE o_orderkey < 300
+        """,
+    ),
+    (
         "aggregate_edge_flips",
         """
         SELECT o_custkey,
