@@ -118,6 +118,47 @@ engines and passes through untouched.
 | ``FROM t [SELECT ...]``            | pass through (Spark ≥ 4.0 parses FROM-first statements natively) |
 | ``RANGE BETWEEN INTERVAL ...``     | pass through (Spark accepts interval RANGE frames over date/timestamp order keys; same inclusive bounds) |
 | ``UNION [ALL] BY NAME``            | refused → explicit error (no Spark SQL spelling; alignment needs both subquery schemas) |
+| ``flatten(ll)``                    | NULL-sublist-skipping ``flatten(filter(...))`` (DuckDB skips NULL sublists; Spark nulls the result) |
+| ``trim(s, chars)``                 | ``trim(BOTH chars FROM s)`` (Spark's 2-arg trim has REVERSED arguments — same flip as ltrim/rtrim) |
+| ``skewness`` / ``kurtosis``        | bias-corrected closed forms over Spark's population stats (g1·√(n(n−1))/(n−2); (n−1)/((n−2)(n−3))·((n+1)g2+6)); ``kurtosis_pop`` → ``kurtosis`` |
+| ``date_trunc('day'+ coarser, x)``  | ``cast(date_trunc(...) as date)`` (DuckDB returns DATE at day+ granularity; Spark always TIMESTAMP) |
+| ``ends_with/strlen/to_hex/from_hex/round_even/json_keys`` | ``endswith/octet_length/hex/unhex/bround/json_object_keys`` |
+| ``sha256(x)``                      | ``sha2(x, 256)`` |
+| ``unicode(s)``                     | ``ascii`` with DuckDB's −1-on-empty edge |
+| ``xor(a, b)``                      | ``a ^ b`` (Spark's caret IS xor; the input-side POWER refusal still stands) |
+| ``even(x)``                        | away-from-zero round to even: ``sign·ceil(abs·0.5)·2`` as DOUBLE |
+| ``fdiv/fmod(a, b)``                | FLOORED division/modulus closed forms as DOUBLE, NULL on zero divisors |
+| ``make_timestamp(micros)`` (1-arg) | ``timestamp_micros(micros)`` |
+| ``yearweek/century/decade/millennium`` | ISO-year·100+week / integer year arithmetic (CE years) |
+| ``microsecond/millisecond(ts)``    | seconds-inclusive sub-minute parts from ``extract(SECOND ...)`` (DuckDB counts 3.456789 s as 3456789 µs) |
+| ``json_valid(j)``                  | ``try_parse_json(j) IS NOT NULL`` (accepts any top-level JSON value, NULL in → NULL out) |
+| ``hamming/mismatches(a, b)``       | positional mismatch count via sequence+filter; DuckDB's empty/unequal-length ERRORS reproduced with ``assert_true`` |
+| ``jaccard(a, b)``                  | character-set Jaccard via ``array_intersect``/``array_union`` over distinct chars |
+| ``list_zip(l1, .., ln)``           | ``transform(sequence(...), i -> named_struct('list_1', try_element_at(l1, i), ...))`` — longest-input padding, DuckDB field names, NULL list = empty |
+| ``list_sort(l, dir[, nulls])``     | filtered ``array_sort`` ± ``reverse`` with nulls concat-placed per modifiers (literals only) |
+| ``list_element/list_extract/array_extract`` | ``try_element_at`` (1-based, NULL OOB, negative from end, 0 → NULL) |
+| ``list_count/list_avg/list_median/list_any_value/list_first/list_last`` | null-skipping HOF folds (median: interpolating, DOUBLE; DECIMAL lists keep DuckDB's scale → documented divergence) |
+| ``fsum/favg``                      | ``sum/avg`` over DOUBLE (Kahan compensation below the 6-decimal compare) |
+| ``geomean(x)``                     | ``exp(avg(ln(x)))`` — exact on DuckDB's accepted positive domain; x ≤ 0 errors there, drops out of the mean here |
+| ``entropy/mad/damerau_levenshtein/jaro[_winkler]_similarity/age/format/gamma/lgamma/nextafter/signbit/timezone_hour`` | refused → explicit error (no faithful single-pass Spark expansion) |
+| ``a ** b``                         | ``power(a, b)`` — left-assoc, tighter than ``*``, looser than unary minus (all DuckDB-exact) |
+| ``x op ANY/ALL/SOME(array)``       | ``exists/forall(array, e -> x op e)`` — identical three-valued logic; subquery operands refused (no Spark spelling) |
+| ``ord``                            | folded into the ``unicode`` rewrite |
+| ``to_base(x, b[, len])``           | ``conv(x, 10, b)`` + zero-pad; negatives ERROR in both (conv's two's-complement would silently diverge) |
+| ``from_base64`` / 1-arg ``encode/decode`` | ``unbase64`` / UTF-8 charset made explicit |
+| ``to_days/hours/minutes/seconds/weeks/ms/us(n)`` | ``make_dt_interval`` slots (DATE + dt-interval → TIMESTAMP, as DuckDB) |
+| ``to_years/months(n)``             | ``make_ym_interval`` (KNOWN type flip: DuckDB DATE + interval → TIMESTAMP, Spark DATE + ym-interval stays DATE; values equal) |
+| ``current_localtimestamp()``       | ``localtimestamp()`` |
+| ``list_resize(l, n[, fill])``      | truncate/pad via ``transform(sequence(...))`` |
+| ``list_select(l, idxs)``           | 1-based gather (0/neg/OOB → NULL element, NULL index errors — both engines) |
+| ``list_where(l, mask)``            | mask-length-bounded filter (NULL mask element errors) |
+| ``list_grade_up(l)``               | stable 1-based argsort (nulls last) via comparator ``array_sort`` over (value, index) structs |
+| ``list_reverse_sort(l)``           | DESC nulls-last composition (same kernel as ``list_sort(l, 'DESC')``) |
+| ``approx_quantile``                | ``approx_percentile`` — APPROXIMATE: engine sketches differ (same contract as approx_count_distinct) |
+| ``regexp_escape(s)``               | RE2 QuoteMeta reproduction: backslash every ASCII non-word char via a runtime-built ``regexp_replace`` (chr()-spelled, literal-escaping-proof) |
+| ``BLOB/BYTEA/VARBINARY``           | ``BINARY`` |
+| ``array_unique``                   | folded into the ``list_unique`` rewrite |
+| ``strip_accents/nfc_normalize/left_grapheme/right_grapheme/histogram/bitstring_agg/gcd/lcm/parse_path family`` | refused → explicit error |
 | ``SUMMARIZE t``                    | refused → explicit error (DuckDB statement; point at the engine's column-profile operator) |
 """
 
@@ -761,6 +802,7 @@ def _rewrite_string_agg(sql: str) -> str:
 
 _DATE_DIFF_RE = re.compile(r"\bdate_?diff\s*\(", re.IGNORECASE)
 _BARE_VARCHAR_RE = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
+_BARE_BLOB_RE = re.compile(r"\b(?:BLOB|BYTEA|VARBINARY)\b", re.IGNORECASE)
 
 # DuckDB's date_diff counts PART BOUNDARIES crossed, which differs from
 # Spark's timestampdiff (complete intervals). Each unit maps to the exact
@@ -2654,7 +2696,7 @@ def _rewrite_similar_to(masked: str, literals: list[str]) -> str:
 
 
 _LIST_SLICE_RE = re.compile(r"\b(?:list|array)_slice\s*\(", re.IGNORECASE)
-_LIST_UNIQUE_RE = re.compile(r"\blist_unique\s*\(", re.IGNORECASE)
+_LIST_UNIQUE_RE = re.compile(r"\b(?:list|array)_unique\s*\(", re.IGNORECASE)
 _LIST_DISTINCT_RE = re.compile(r"\blist_distinct\s*\(", re.IGNORECASE)
 _LIST_HAS_ANY_RE = re.compile(r"\blist_has_any\s*\(", re.IGNORECASE)
 _LIST_CONCAT_RE = re.compile(r"\blist_(?:concat|cat)\s*\(", re.IGNORECASE)
@@ -2814,6 +2856,857 @@ def _rewrite_time_bucket(masked: str, literals: list[str]) -> str:
     return _rewrite_call(masked, _TIME_BUCKET_RE, build)
 
 
+# ---------------------------------------------------------------------------
+# Round-3 tail batch: the remaining DuckDB function surface a migrated
+# flow can carry — silent-flip fixes (flatten's NULL-sublist skip, 2-arg
+# trim's reversed arguments, bias-corrected skewness/kurtosis, coarse
+# date_trunc's DATE return type) plus exact translations for the list_*,
+# string-distance, calendar-part and Kahan-aggregate families. Every
+# mapping below is differentially pinned against DuckDB in
+# tests/test_dialect_bank.py.
+# ---------------------------------------------------------------------------
+_FLATTEN_RE = re.compile(r"\bflatten\s*\(", re.IGNORECASE)
+_TRIM2_RE = re.compile(r"(?<![lr])\btrim\s*\(", re.IGNORECASE)
+_SKEWNESS_RE = re.compile(r"\bskewness\s*\(", re.IGNORECASE)
+_KURTOSIS_RE = re.compile(r"\bkurtosis\s*\(", re.IGNORECASE)
+_KURTOSIS_POP_RE = re.compile(r"\bkurtosis_pop\s*\(", re.IGNORECASE)
+_DATE_TRUNC_TYPE_RE = re.compile(r"\bdate_?trunc\s*\(", re.IGNORECASE)
+# Parts at day granularity or coarser, where DuckDB returns DATE while
+# Spark's date_trunc always returns TIMESTAMP (value agrees, type flips).
+_DATE_TRUNC_COARSE = {
+    "day", "week", "month", "quarter", "year",
+    "decade", "century", "millennium",
+}
+_ENDS_WITH_RE = re.compile(r"\bends_with\s*\(", re.IGNORECASE)
+_STRLEN_RE = re.compile(r"\bstrlen\s*\(", re.IGNORECASE)
+_TO_HEX_RE = re.compile(r"\bto_hex\s*\(", re.IGNORECASE)
+_FROM_HEX_RE = re.compile(r"\bfrom_hex\s*\(", re.IGNORECASE)
+_SHA256_RE = re.compile(r"\bsha256\s*\(", re.IGNORECASE)
+_UNICODE_FN_RE = re.compile(r"\b(?:unicode|ord)\s*\(", re.IGNORECASE)
+_XOR_FN_RE = re.compile(r"\bxor\s*\(", re.IGNORECASE)
+_EVEN_RE = re.compile(r"\beven\s*\(", re.IGNORECASE)
+_ROUND_EVEN_RE = re.compile(r"\bround_even\s*\(", re.IGNORECASE)
+_FDIV_RE = re.compile(r"\bfdiv\s*\(", re.IGNORECASE)
+_FMOD_RE = re.compile(r"\bfmod\s*\(", re.IGNORECASE)
+_MAKE_TS_RE = re.compile(r"\bmake_timestamp\s*\(", re.IGNORECASE)
+_YEARWEEK_RE = re.compile(r"\byearweek\s*\(", re.IGNORECASE)
+_CENTURY_RE = re.compile(r"\bcentury\s*\(", re.IGNORECASE)
+_DECADE_RE = re.compile(r"\bdecade\s*\(", re.IGNORECASE)
+_MILLENNIUM_RE = re.compile(r"\bmillennium\s*\(", re.IGNORECASE)
+_MICROSECOND_RE = re.compile(r"\bmicrosecond\s*\(", re.IGNORECASE)
+_MILLISECOND_RE = re.compile(r"\bmillisecond\s*\(", re.IGNORECASE)
+_JSON_KEYS_RE = re.compile(r"\bjson_keys\s*\(", re.IGNORECASE)
+_JSON_VALID_RE = re.compile(r"\bjson_valid\s*\(", re.IGNORECASE)
+_HAMMING_RE = re.compile(r"\b(?:hamming|mismatches)\s*\(", re.IGNORECASE)
+_JACCARD_RE = re.compile(r"\bjaccard\s*\(", re.IGNORECASE)
+_LIST_ZIP_RE = re.compile(r"\blist_zip\s*\(", re.IGNORECASE)
+_LIST_SORT_ARGS_RE = re.compile(r"\blist_sort\s*\(", re.IGNORECASE)
+_LIST_ELEMENT_RE = re.compile(
+    r"\b(?:list_element|list_extract|array_extract)\s*\(", re.IGNORECASE
+)
+_LIST_COUNT_RE = re.compile(r"\blist_count\s*\(", re.IGNORECASE)
+_LIST_AVG_RE = re.compile(r"\blist_avg\s*\(", re.IGNORECASE)
+_LIST_MEDIAN_RE = re.compile(r"\blist_median\s*\(", re.IGNORECASE)
+_LIST_ANY_VALUE_RE = re.compile(r"\blist_any_value\s*\(", re.IGNORECASE)
+_LIST_FIRST_RE = re.compile(r"\blist_first\s*\(", re.IGNORECASE)
+_LIST_LAST_RE = re.compile(r"\blist_last\s*\(", re.IGNORECASE)
+_FSUM_RE = re.compile(r"\bfsum\s*\(", re.IGNORECASE)
+_FAVG_RE = re.compile(r"\bfavg\s*\(", re.IGNORECASE)
+_GEOMEAN_RE = re.compile(r"\b(?:geomean|geometric_mean)\s*\(", re.IGNORECASE)
+
+# Close lookalikes / DuckDB-only functions with no faithful Spark
+# expansion: refuse loudly instead of mistranslating.
+_R3_REFUSALS = [
+    (re.compile(r"\bentropy\s*\(", re.IGNORECASE),
+     "entropy() needs a two-level aggregation (value frequencies, then "
+     "Σ −p·log2 p); compute it with a GROUP BY subquery"),
+    (re.compile(r"\bmad\s*\(", re.IGNORECASE),
+     "mad() nests a median of deviations from the median — not a "
+     "single-pass Spark aggregate; compute with two percentile passes"),
+    (re.compile(r"\bdamerau_levenshtein\s*\(", re.IGNORECASE),
+     "damerau_levenshtein has no Spark equivalent (Spark levenshtein "
+     "lacks transpositions); use levenshtein or the fuzzy-match operator"),
+    (re.compile(r"\bjaro_(?:winkler_)?similarity\s*\(", re.IGNORECASE),
+     "jaro/jaro_winkler similarity has no Spark equivalent; use "
+     "levenshtein or the fuzzy-match operator"),
+    (re.compile(r"\bage\s*\(", re.IGNORECASE),
+     "age() returns a mixed month/day INTERVAL with no Spark "
+     "counterpart; use date_diff('day', ...) or months_between()"),
+    (re.compile(r"\bformat\s*\((?!\s*\))", re.IGNORECASE),
+     "format() uses fmt-style {} templates whose float rendering "
+     "diverges from Java's; use printf() (%-style), which both engines "
+     "share"),
+    (re.compile(r"\b(?:gamma|lgamma)\s*\(", re.IGNORECASE),
+     "gamma/lgamma have no Spark SQL equivalent; precompute or use a "
+     "Pandas UDF"),
+    (re.compile(r"\bnextafter\s*\(", re.IGNORECASE),
+     "nextafter (ulp stepping) has no Spark SQL equivalent"),
+    (re.compile(r"\bsignbit\s*\(", re.IGNORECASE),
+     "signbit has no Spark SQL equivalent (x < 0 misses -0.0); compare "
+     "against 0 explicitly if -0.0 does not matter"),
+    (re.compile(r"\btimezone_(?:hour|minute)\s*\(", re.IGNORECASE),
+     "timezone_hour/timezone_minute need a TIMESTAMPTZ type Spark does "
+     "not have; the session zone is a constant — inline it"),
+]
+
+
+def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
+    """Batch of exact DuckDB→Spark rewrites (see the module table);
+    differentially verified in tests/test_dialect_bank.py."""
+    for pat, msg in _R3_REFUSALS:
+        if pat.search(masked):
+            raise ValueError(msg)
+
+    # DuckDB flatten SKIPS null sublists ([[1],NULL,[2]] → [1,2]); Spark
+    # flatten propagates NULL for the whole result.
+    masked = _rewrite_call(
+        masked,
+        _FLATTEN_RE,
+        lambda m, a: (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE "
+            f"flatten\x01(filter({a[0]}, _fl -> _fl IS NOT NULL)) END)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    # 2-arg trim has REVERSED arguments in Spark (same flip as ltrim/
+    # rtrim): trim('xxaxx','x') silently returns '' instead of 'a'.
+    masked = _rewrite_call(
+        masked,
+        _TRIM2_RE,
+        lambda m, a: (
+            f"trim\x01(BOTH {a[1]} FROM {a[0]})" if len(a) == 2 else None
+        ),
+    )
+    # kurtosis_pop == Spark's kurtosis (population excess); rename FIRST
+    # so the sample-correction below cannot touch it (the marker breaks
+    # the `kurtosis\s*\(` match).
+    masked = _KURTOSIS_POP_RE.sub("kurtosis\x01(", masked)
+    # DuckDB skewness/kurtosis are BIAS-CORRECTED sample statistics;
+    # Spark's are population statistics. Exact closed forms:
+    #   g1' = g1 · √(n(n−1))/(n−2)          (NULL when n < 3)
+    #   g2' = (n−1)/((n−2)(n−3)) · ((n+1)·g2 + 6)   (NULL when n < 4)
+    # Zero-variance inputs are NULL in both engines already.
+    masked = _rewrite_call(
+        masked,
+        _SKEWNESS_RE,
+        lambda m, a: (
+            f"(CASE WHEN count({a[0]}) < 3 THEN NULL ELSE "
+            f"skewness\x01({a[0]}) * sqrt(count({a[0]}) * (count({a[0]}) - 1.0))"
+            f" / (count({a[0]}) - 2.0) END)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _KURTOSIS_RE,
+        lambda m, a: (
+            f"(CASE WHEN count({a[0]}) < 4 THEN NULL ELSE "
+            f"((count({a[0]}) - 1.0) / ((count({a[0]}) - 2.0) * "
+            f"(count({a[0]}) - 3.0))) * ((count({a[0]}) + 1.0) * "
+            f"kurtosis\x01({a[0]}) + 6.0) END)"
+            if len(a) == 1
+            else None
+        ),
+    )
+
+    # date_trunc to a part of day granularity or coarser returns DATE in
+    # DuckDB (even for TIMESTAMP inputs) but TIMESTAMP in Spark — the
+    # value agrees, the type flips. Literal parts get the cast; sub-day
+    # parts and non-literal parts pass through (both engines: TIMESTAMP).
+    def _dt_build(m, a):
+        if len(a) != 2:
+            return None
+        ph = re.fullmatch(r"\x00(\d+)\x00", a[0])
+        if not ph:
+            return None
+        if literals[int(ph.group(1))][1:-1].lower() not in _DATE_TRUNC_COARSE:
+            return None
+        return f"cast(date_trunc\x01({a[0]}, {a[1]}) as date)"
+
+    masked = _rewrite_call(masked, _DATE_TRUNC_TYPE_RE, _dt_build)
+
+    # Straight renames with identical semantics.
+    masked = _ENDS_WITH_RE.sub("endswith\x01(", masked)
+    masked = _STRLEN_RE.sub("octet_length\x01(", masked)  # BYTE length
+    masked = _TO_HEX_RE.sub("hex\x01(", masked)
+    masked = _FROM_HEX_RE.sub("unhex\x01(", masked)
+    # round_even: both half-even; DuckDB returns DOUBLE for any numeric
+    # input, and Spark's bround matches DuckDB's exact-decimal rounding
+    # on DECIMAL sources (DOUBLE sources inherit the round(DOUBLE, n)
+    # scaled-arithmetic caveat documented above).
+    masked = _rewrite_call(
+        masked,
+        _ROUND_EVEN_RE,
+        lambda m, a: (
+            f"cast(bround\x01({a[0]}, {a[1]}) as double)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    masked = _JSON_KEYS_RE.sub("json_object_keys\x01(", masked)
+    masked = _rewrite_call(
+        masked,
+        _SHA256_RE,
+        lambda m, a: f"sha2({a[0]}, 256)" if len(a) == 1 else None,
+    )
+    # unicode(): codepoint of the first character, -1 for the empty
+    # string (Spark ascii gives 0 there).
+    masked = _rewrite_call(
+        masked,
+        _UNICODE_FN_RE,
+        lambda m, a: (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL WHEN ({a[0]}) = \x02\x02 "
+            f"THEN -1 ELSE ascii({a[0]}) END)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    # DuckDB's xor() FUNCTION is Spark's `^` operator (safe to emit here:
+    # the input-side `^`-is-POWER refusal already ran).
+    masked = _rewrite_call(
+        masked,
+        _XOR_FN_RE,
+        lambda m, a: f"(({a[0]}) ^ ({a[1]}))" if len(a) == 2 else None,
+    )
+    # even(x): round away from zero to the next even integer (DOUBLE).
+    masked = _rewrite_call(
+        masked,
+        _EVEN_RE,
+        lambda m, a: (
+            f"cast(sign({a[0]}) * ceil(abs({a[0]}) * 0.5) * 2 as double)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    # fdiv/fmod: FLOORED division/modulus as DOUBLE, NULL on zero
+    # divisors (the emitted `/` picks up the try_divide rewrite below).
+    masked = _rewrite_call(
+        masked,
+        _FDIV_RE,
+        lambda m, a: (
+            f"cast(floor(({a[0]}) / ({a[1]})) as double)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _FMOD_RE,
+        lambda m, a: (
+            f"cast(({a[0]}) - ({a[1]}) * floor(({a[0]}) / ({a[1]})) as double)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # 1-arg make_timestamp takes epoch MICROS in DuckDB.
+    masked = _rewrite_call(
+        masked,
+        _MAKE_TS_RE,
+        lambda m, a: f"timestamp_micros({a[0]})" if len(a) == 1 else None,
+    )
+    # Calendar parts Spark lacks as functions (CE years; BC diverges).
+    masked = _rewrite_call(
+        masked,
+        _YEARWEEK_RE,
+        lambda m, a: (
+            f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + weekofyear({a[0]}))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _CENTURY_RE,
+        lambda m, a: (
+            f"cast((year({a[0]}) + 99) div 100 as bigint)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _DECADE_RE,
+        lambda m, a: (
+            f"cast(year({a[0]}) div 10 as bigint)" if len(a) == 1 else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _MILLENNIUM_RE,
+        lambda m, a: (
+            f"cast((year({a[0]}) + 999) div 1000 as bigint)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    # DuckDB's sub-minute parts INCLUDE the seconds component:
+    # microsecond('…:03.456789') = 3456789, millisecond = 3456.
+    masked = _rewrite_call(
+        masked,
+        _MICROSECOND_RE,
+        lambda m, a: (
+            f"cast(extract(SECOND FROM {a[0]}) * 1000000 as bigint)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _MILLISECOND_RE,
+        lambda m, a: (
+            f"cast(floor(extract(SECOND FROM {a[0]}) * 1000) as bigint)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    # json_valid accepts ANY top-level JSON value ('3', 'null', …);
+    # try_parse_json returns a non-NULL VARIANT for each of those and
+    # SQL NULL only on malformed input.
+    masked = _rewrite_call(
+        masked,
+        _JSON_VALID_RE,
+        lambda m, a: (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE "
+            f"try_parse_json({a[0]}) IS NOT NULL END)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    # hamming/mismatches: positional mismatch count; DuckDB ERRORS on
+    # empty or unequal-length inputs — assert_true reproduces the error
+    # loudly (NULL inputs short-circuit to NULL first, as in DuckDB).
+    masked = _rewrite_call(
+        masked,
+        _HAMMING_RE,
+        lambda m, a: (
+            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            f"WHEN assert_true(length({a[0]}) = length({a[1]}) AND "
+            f"length({a[0]}) > 0) IS NULL THEN "
+            f"cast(size(filter(sequence(1, length({a[0]})), _hx -> "
+            f"substring({a[0]}, _hx, 1) <> substring({a[1]}, _hx, 1))) "
+            f"as bigint) END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # jaccard: CHARACTER-SET Jaccard similarity (case-sensitive); DuckDB
+    # errors on empty inputs.
+    masked = _rewrite_call(
+        masked,
+        _JACCARD_RE,
+        lambda m, a: (
+            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            f"WHEN assert_true(length({a[0]}) > 0 AND length({a[1]}) > 0) "
+            f"IS NULL THEN "
+            f"size(array_intersect(array_distinct(split\x01({a[0]}, \x02\x02)), "
+            f"array_distinct(split\x01({a[1]}, \x02\x02)))) / "
+            f"size(array_union(array_distinct(split\x01({a[0]}, \x02\x02)), "
+            f"array_distinct(split\x01({a[1]}, \x02\x02)))) END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+
+    # list_zip: n-ary zip padded to the LONGEST input with NULLs, struct
+    # fields named list_1..list_n (DuckDB's names); a NULL list behaves
+    # as empty. Spark's arrays_zip names fields positionally, so build
+    # the structs explicitly.
+    def _zip_build(m, a):
+        if len(a) < 2:
+            return None
+        sizes = ", ".join(f"size({x})" for x in a)
+        fields = ", ".join(
+            f"\x02list_{i + 1}\x02, try_element_at({x}, _zi)"
+            for i, x in enumerate(a)
+        )
+        return (
+            f"(CASE WHEN coalesce(greatest({sizes}), 0) <= 0 THEN array() "
+            f"ELSE transform(sequence(1, greatest({sizes})), _zi -> "
+            f"named_struct({fields})) END)"
+        )
+
+    masked = _rewrite_call(masked, _LIST_ZIP_RE, _zip_build)
+
+    # list_sort with explicit direction / null-order literals (the 1-arg
+    # form matches array_sort — ASC NULLS LAST — and stays a rename).
+    def _sort_build(m, a):
+        if len(a) not in (2, 3):
+            return None
+        parts = []
+        for arg in a[1:]:
+            ph = re.fullmatch(r"\x00(\d+)\x00", arg)
+            if not ph:
+                raise ValueError(
+                    "list_sort with a non-literal direction/null-order "
+                    "cannot be translated; inline the modifiers"
+                )
+            parts.extend(literals[int(ph.group(1))][1:-1].upper().split())
+        desc = "DESC" in parts
+        nulls_first = "FIRST" in parts
+        l = a[0]
+        nn = f"array_sort\x01(filter({l}, _ls -> _ls IS NOT NULL))"
+        if desc:
+            nn = f"reverse({nn})"
+        nulls = f"filter({l}, _ls -> _ls IS NULL)"
+        inner = f"{nulls}, {nn}" if nulls_first else f"{nn}, {nulls}"
+        return (
+            f"(CASE WHEN ({l}) IS NULL THEN NULL ELSE "
+            f"concat\x01({inner}) END)"
+        )
+
+    masked = _rewrite_call(masked, _LIST_SORT_ARGS_RE, _sort_build)
+
+    # list_element/list_extract/array_extract share the subscript
+    # semantics: 1-based, NULL out of bounds, negative from the end,
+    # index 0 → NULL (nullif guards Spark's index-0 error).
+    def _elem_build(m, a):
+        if len(a) != 2:
+            return None
+        idx = a[1]
+        if not re.fullmatch(r"-?[1-9]\d*", idx):
+            idx = f"nullif({idx}, 0)"
+        return f"try_element_at({a[0]}, {idx})"
+
+    masked = _rewrite_call(masked, _LIST_ELEMENT_RE, _elem_build)
+
+    # Aggregate-style list folds (all skip NULL elements, as DuckDB's
+    # list_* aggregate family does).
+    masked = _rewrite_call(
+        masked,
+        _LIST_COUNT_RE,
+        lambda m, a: (
+            f"size(filter({a[0]}, _lc -> _lc IS NOT NULL))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _LIST_AVG_RE,
+        lambda m, a: (
+            f"try_divide(aggregate({a[0]}, cast(0.0 as double), "
+            f"(_aa, _ax) -> _aa + coalesce(cast(_ax as double), 0.0d)), "
+            f"size(filter({a[0]}, _an -> _an IS NOT NULL)))"
+            if len(a) == 1
+            else None
+        ),
+    )
+
+    # list_median: interpolating median over non-null elements as DOUBLE.
+    # KNOWN divergence (same family as the round(DOUBLE) pass-through):
+    # DECIMAL-typed lists keep DuckDB's source scale via truncation —
+    # numeric int/double lists match exactly.
+    def _median_build(m, a):
+        if len(a) != 1:
+            return None
+        nn = f"array_sort\x01(filter({a[0]}, _lm -> _lm IS NOT NULL))"
+        n = f"size({nn})"
+        return (
+            f"(CASE WHEN coalesce({n}, 0) = 0 THEN NULL "
+            f"WHEN pmod({n}, 2) = 1 THEN "
+            f"cast(element_at({nn}, cast(({n} + 1) div 2 as int)) as double) "
+            f"ELSE (cast(element_at({nn}, cast({n} div 2 as int)) as double) + "
+            f"cast(element_at({nn}, cast({n} div 2 + 1 as int)) as double)) "
+            f"/ 2.0 END)"
+        )
+
+    masked = _rewrite_call(masked, _LIST_MEDIAN_RE, _median_build)
+    masked = _rewrite_call(
+        masked,
+        _LIST_ANY_VALUE_RE,
+        lambda m, a: (
+            f"try_element_at(filter({a[0]}, _lv -> _lv IS NOT NULL), 1)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _LIST_FIRST_RE,
+        lambda m, a: f"try_element_at({a[0]}, 1)" if len(a) == 1 else None,
+    )
+    masked = _rewrite_call(
+        masked,
+        _LIST_LAST_RE,
+        lambda m, a: f"try_element_at({a[0]}, -1)" if len(a) == 1 else None,
+    )
+    # Kahan-summation aggregates: same math, DOUBLE result; the
+    # compensated error term is below the repo's 6-decimal compare.
+    masked = _rewrite_call(
+        masked,
+        _FSUM_RE,
+        lambda m, a: f"sum(cast({a[0]} as double))" if len(a) == 1 else None,
+    )
+    masked = _rewrite_call(
+        masked,
+        _FAVG_RE,
+        lambda m, a: f"avg(cast({a[0]} as double))" if len(a) == 1 else None,
+    )
+    # geomean = exp(mean(ln x)); exact for the positive domain DuckDB
+    # accepts. DIVERGENCE ONLY WHERE DUCKDB ERRORS: x ≤ 0 raises there,
+    # while Spark's ln yields NULL and the row drops out of the mean.
+    masked = _rewrite_call(
+        masked,
+        _GEOMEAN_RE,
+        lambda m, a: (
+            f"exp(avg(ln(cast({a[0]} as double))))" if len(a) == 1 else None
+        ),
+    )
+    return masked
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 2: operators and list/interval/base utilities.
+# ---------------------------------------------------------------------------
+_POW_OP_RE = re.compile(r"\*\*")
+_QUANTIFIED_CMP_RE = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE
+)
+_SUBQUERY_HEAD_RE = re.compile(r"^\s*(SELECT|FROM|WITH|VALUES)\b", re.IGNORECASE)
+# Boundary keywords that END a comparison LHS when scanning left.
+_LHS_BOUNDARY_RE = re.compile(
+    r"\b(AND|OR|NOT|WHERE|WHEN|THEN|ELSE|CASE|END|SELECT|ON|HAVING|"
+    r"BETWEEN|IN|LIKE|JOIN|BY|SET|RETURNING|QUALIFY|LIMIT|OFFSET|ALL|"
+    r"DISTINCT|AS)\s*$",
+    re.IGNORECASE,
+)
+_TO_BASE_RE = re.compile(r"\bto_base\s*\(", re.IGNORECASE)
+_FROM_BASE64_RE = re.compile(r"\bfrom_base64\s*\(", re.IGNORECASE)
+_ENCODE_RE = re.compile(r"\bencode\s*\(", re.IGNORECASE)
+_DECODE_RE = re.compile(r"\bdecode\s*\(", re.IGNORECASE)
+# Interval constructors → make_interval(years, months, weeks, days,
+# hours, mins, secs) slot position (ms/us scale into the seconds slot).
+_TO_INTERVAL_RE = re.compile(
+    r"\bto_(years|months|weeks|days|hours|minutes|seconds|milliseconds|"
+    r"microseconds)\s*\(",
+    re.IGNORECASE,
+)
+_TO_INTERVAL_SLOT = {
+    "years": 0, "months": 1, "weeks": 2, "days": 3,
+    "hours": 4, "minutes": 5, "seconds": 6,
+}
+_LOCALTIMESTAMP_RE = re.compile(r"\bcurrent_localtimestamp\s*\(", re.IGNORECASE)
+_LIST_RESIZE_RE = re.compile(r"\blist_resize\s*\(", re.IGNORECASE)
+_LIST_SELECT_RE = re.compile(r"\blist_select\s*\(", re.IGNORECASE)
+_LIST_WHERE_RE = re.compile(r"\blist_where\s*\(", re.IGNORECASE)
+_LIST_GRADE_UP_RE = re.compile(r"\blist_grade_up\s*\(", re.IGNORECASE)
+_LIST_REVERSE_SORT_RE = re.compile(r"\blist_reverse_sort\s*\(", re.IGNORECASE)
+_APPROX_QUANTILE_RE = re.compile(r"\bapprox_quantile\s*\(", re.IGNORECASE)
+_REGEXP_ESCAPE_RE = re.compile(r"\bregexp_escape\s*\(", re.IGNORECASE)
+
+_R3B2_REFUSALS = [
+    (re.compile(r"\bstrip_accents\s*\(", re.IGNORECASE),
+     "strip_accents (unicode decomposition) has no Spark SQL equivalent; "
+     "use translate() for a known accent set or a Pandas UDF"),
+    (re.compile(r"\bnfc_normalize\s*\(", re.IGNORECASE),
+     "nfc_normalize has no Spark SQL equivalent; normalize upstream or "
+     "use a Pandas UDF"),
+    (re.compile(r"\b(?:left|right)_grapheme\s*\(", re.IGNORECASE),
+     "grapheme-cluster slicing has no Spark SQL equivalent; left/right "
+     "operate on code points — use them if surrogate pairs are acceptable"),
+    (re.compile(r"\bhistogram\s*\(", re.IGNORECASE),
+     "histogram() builds a value→count MAP in one aggregate; Spark needs "
+     "a two-level GROUP BY — compute the frequency table explicitly"),
+    (re.compile(r"\bbitstring_agg\s*\(", re.IGNORECASE),
+     "bitstring_agg has no Spark equivalent (BIT type); aggregate into a "
+     "bool array or bitmask bigint explicitly"),
+    (re.compile(r"\b(?:greatest_common_divisor|least_common_multiple|"
+                r"gcd|lcm)\s*\(", re.IGNORECASE),
+     "gcd/lcm have no Spark SQL equivalent; precompute or use a Pandas "
+     "UDF"),
+    (re.compile(r"\bparse_(?:path|dirname|filename)\s*\(", re.IGNORECASE),
+     "parse_path/parse_dirname/parse_filename have no Spark equivalent; "
+     "use split(path, '/') / regexp_extract"),
+]
+
+
+# Keywords whose trailing position makes a following +/- UNARY (the
+# operator-context cases are already handled by _absorb_unary_sign).
+_UNARY_CONTEXT_KW_RE = re.compile(
+    r"\b(SELECT|WHERE|WHEN|THEN|ELSE|AND|OR|NOT|ON|HAVING|BY|IN|CASE|"
+    r"RETURNING|LIMIT|OFFSET|QUALIFY|DISTINCT|UNION|EXCEPT|INTERSECT|"
+    r"VALUES|SET|JOIN|FROM|LIKE|BETWEEN|IS|ALL)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _absorb_keyword_unary_sign(masked: str, start: int) -> int:
+    """Extend ``start`` over a +/- whose left context is a clause
+    keyword (SELECT -2, WHERE -x, THEN -1, ...), making it unary."""
+    j = start
+    while j > 0 and masked[j - 1].isspace():
+        j -= 1
+    if j > 0 and masked[j - 1] in "+-":
+        if _UNARY_CONTEXT_KW_RE.search(masked, 0, j - 1) or j == 1:
+            return j - 1
+    return start
+
+
+def _rewrite_pow_op(masked: str) -> str:
+    """DuckDB ``a ** b`` is POWER — LEFT-associative, tighter than the
+    multiplicative operators, looser than unary minus (``-2 ** 2`` = 4,
+    ``2 ** 3 ** 2`` = 64, ``3 * 2 ** 2`` = 12). Rewriting the leftmost
+    occurrence first preserves all three properties."""
+    while True:
+        m = _POW_OP_RE.search(masked)
+        if not m:
+            return masked
+        left_start = _absorb_atom_left(masked, m.start())
+        left_start = _absorb_keyword_unary_sign(masked, left_start)
+        right_end = _absorb_atom_right(masked, m.end())
+        a = masked[left_start : m.start()].strip()
+        b = masked[m.end() : right_end].strip()
+        if not a or not b:
+            raise ValueError(
+                "could not parse the operands of '**' (DuckDB POWER); "
+                "write power(a, b) explicitly"
+            )
+        masked = (
+            masked[:left_start] + f"power({a}, {b})" + masked[right_end:]
+        )
+
+
+def _rewrite_quantified_cmp(masked: str) -> str:
+    """``x op ANY(arr)`` / ``x op ALL(arr)`` over an ARRAY operand →
+    ``exists(arr, e -> x op e)`` / ``forall(...)`` — Spark's higher-order
+    predicates implement exactly DuckDB's three-valued semantics (TRUE
+    beats NULL for ANY, FALSE beats NULL for ALL, empty → FALSE/TRUE).
+    Subquery operands are refused (Spark has no quantified-subquery
+    comparison): rewrite as IN / EXISTS."""
+    pos = 0
+    while True:
+        m = _QUANTIFIED_CMP_RE.search(masked, pos)
+        if not m:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close = _find_matching(masked, open_idx, "(", ")")
+        if close < 0:
+            return masked
+        body = masked[open_idx + 1 : close].strip()
+        if _SUBQUERY_HEAD_RE.match(body):
+            raise ValueError(
+                "quantified subquery comparisons (op ANY/ALL (SELECT ...)) "
+                "have no Spark spelling; rewrite as IN (subquery) or "
+                "EXISTS with the comparison inside"
+            )
+        # Scan LEFT for the comparison LHS: a full arithmetic chain, up
+        # to a top-level boolean/clause boundary. A +/- whose own left
+        # context is a keyword or chain start is UNARY: absorb the sign
+        # and stop (WHERE -2 = ANY(...) must not swallow WHERE).
+        lhs_start = _absorb_atom_left(masked, m.start(1))
+        while True:
+            j = lhs_start
+            while j > 0 and masked[j - 1].isspace():
+                j -= 1
+            if j > 0 and masked[j - 1] in "+-*/%&|":
+                if masked[j - 1] in "+-":
+                    k = j - 1
+                    while k > 0 and masked[k - 1].isspace():
+                        k -= 1
+                    if k == 0 or _UNARY_CONTEXT_KW_RE.search(
+                        masked, 0, k
+                    ) or masked[k - 1] in "(,[<>=*/%&|+-":
+                        lhs_start = j - 1
+                        break
+                nxt = _absorb_atom_left(masked, j - 1)
+                if nxt < j - 1:
+                    lhs_start = nxt
+                    continue
+            break
+        lhs = masked[lhs_start : m.start(1)].strip()
+        if not lhs:
+            raise ValueError(
+                "could not parse the left side of an ANY/ALL comparison; "
+                "parenthesize it"
+            )
+        op = "<>" if m.group(1) == "!=" else m.group(1)
+        hof = "forall" if m.group(2).lower() == "all" else "exists"
+        repl = f"{hof}({body}, _qe -> ({lhs}) {op} _qe)"
+        masked = masked[:lhs_start] + repl + masked[close + 1 :]
+        pos = lhs_start + len(repl)
+
+
+def _rewrite_r3_batch2(masked: str, literals: list[str]) -> str:
+    for pat, msg in _R3B2_REFUSALS:
+        if pat.search(masked):
+            raise ValueError(msg)
+    masked = _rewrite_pow_op(masked)
+    masked = _rewrite_quantified_cmp(masked)
+
+    # to_base(x, b[, min_len]): non-negative only (DuckDB errors on
+    # negatives; conv's two's-complement there would silently diverge).
+    def _to_base_build(m, a):
+        if len(a) not in (2, 3):
+            return None
+        core = f"conv({a[0]}, 10, {a[1]})"
+        if len(a) == 3:
+            core = (
+                f"(CASE WHEN length({core}) >= ({a[2]}) THEN {core} "
+                f"ELSE lpad({core}, cast({a[2]} as int), \x020\x02) END)"
+            )
+        return (
+            f"(CASE WHEN assert_true(({a[0]}) >= 0) IS NULL "
+            f"THEN {core} END)"
+        )
+
+    masked = _rewrite_call(masked, _TO_BASE_RE, _to_base_build)
+    masked = _FROM_BASE64_RE.sub("unbase64\x01(", masked)
+    # 1-arg encode/decode are UTF-8 in DuckDB; Spark requires the charset.
+    masked = _rewrite_call(
+        masked,
+        _ENCODE_RE,
+        lambda m, a: (
+            f"encode\x01({a[0]}, \x02utf-8\x02)" if len(a) == 1 else None
+        ),
+    )
+    masked = _rewrite_call(
+        masked,
+        _DECODE_RE,
+        lambda m, a: (
+            f"decode\x01({a[0]}, \x02utf-8\x02)" if len(a) == 1 else None
+        ),
+    )
+
+    # Day-time units build a DayTimeIntervalType (make_dt_interval) so
+    # DATE + interval promotes to TIMESTAMP exactly as DuckDB does;
+    # year/month units need make_ym_interval, where Spark's DATE + ym
+    # stays DATE (value-equal, type flips — documented divergence).
+    def _interval_build(m, a):
+        if len(a) != 1:
+            return None
+        unit = m.group(1).lower()
+        if unit == "years":
+            return f"make_ym_interval({a[0]})"
+        if unit == "months":
+            return f"make_ym_interval(0, {a[0]})"
+        if unit == "weeks":
+            return f"make_dt_interval(({a[0]}) * 7)"
+        if unit == "milliseconds":
+            return f"make_dt_interval(0, 0, 0, ({a[0]}) * 0.001)"
+        if unit == "microseconds":
+            return f"make_dt_interval(0, 0, 0, ({a[0]}) * 0.000001)"
+        slot = {"days": 0, "hours": 1, "minutes": 2, "seconds": 3}[unit]
+        args = ["0"] * slot + [f"({a[0]})"]
+        return f"make_dt_interval({', '.join(args)})"
+
+    masked = _rewrite_call(masked, _TO_INTERVAL_RE, _interval_build)
+    masked = _LOCALTIMESTAMP_RE.sub("localtimestamp\x01(", masked)
+
+    # list_resize(l, n[, fill]): truncate or pad to n (fill NULL).
+    def _resize_build(m, a):
+        if len(a) not in (2, 3):
+            return None
+        if a[0].upper() == "NULL":  # untyped literal cannot resolve
+            return "NULL"
+        fill = a[2] if len(a) == 3 else "NULL"
+        return (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL "
+            f"WHEN coalesce(({a[1]}), 0) <= 0 THEN array() "
+            f"ELSE transform(sequence(1, cast({a[1]} as int)), _ri -> "
+            f"CASE WHEN _ri <= size({a[0]}) THEN element_at({a[0]}, _ri) "
+            f"ELSE {fill} END) END)"
+        )
+
+    masked = _rewrite_call(masked, _LIST_RESIZE_RE, _resize_build)
+    # list_select(l, idxs): 1-based gather; 0/negative/OOB → NULL element
+    # (NO negative-from-end here, unlike subscripts); NULL index ERRORS.
+    masked = _rewrite_call(
+        masked,
+        _LIST_SELECT_RE,
+        lambda m, a: (
+            f"transform({a[1]}, _si -> CASE WHEN assert_true(_si IS NOT "
+            f"NULL) IS NULL THEN (CASE WHEN _si >= 1 THEN "
+            f"try_element_at({a[0]}, cast(_si as int)) END) END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    # list_where(l, mask): keep l[i] where mask[i]; the MASK's length
+    # bounds the result (shorter mask truncates, longer pads NULLs);
+    # NULL mask elements ERROR.
+    masked = _rewrite_call(
+        masked,
+        _LIST_WHERE_RE,
+        lambda m, a: (
+            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            f"WHEN size({a[1]}) = 0 THEN array() "
+            f"ELSE transform(filter(sequence(1, cast(size({a[1]}) as int)), "
+            f"_wi -> CASE WHEN assert_true(try_element_at({a[1]}, _wi) "
+            f"IS NOT NULL) IS NULL THEN try_element_at({a[1]}, _wi) END), "
+            f"_wi -> try_element_at({a[0]}, _wi)) END)"
+            if len(a) == 2
+            else None
+        ),
+    )
+
+    # list_grade_up(l): 1-based permutation that ascending-sorts l
+    # (nulls last, ties stable by position) — explicit comparator over
+    # (value, index) structs.
+    def _grade_build(m, a):
+        if len(a) != 1:
+            return None
+        pairs = (
+            f"transform(sequence(1, cast(size({a[0]}) as int)), _gi -> "
+            f"struct(try_element_at({a[0]}, _gi) as v, _gi as i))"
+        )
+        cmp = (
+            "(_gx, _gy) -> CASE "
+            "WHEN _gx.v IS NULL AND _gy.v IS NULL THEN "
+            "(CASE WHEN _gx.i < _gy.i THEN -1 ELSE 1 END) "
+            "WHEN _gx.v IS NULL THEN 1 WHEN _gy.v IS NULL THEN -1 "
+            "WHEN _gx.v < _gy.v THEN -1 WHEN _gx.v > _gy.v THEN 1 "
+            "WHEN _gx.i < _gy.i THEN -1 ELSE 1 END"
+        )
+        return (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL "
+            f"WHEN size({a[0]}) = 0 THEN array() "
+            f"ELSE transform(array_sort\x01({pairs}, {cmp}), _gs -> _gs.i) "
+            f"END)"
+        )
+
+    masked = _rewrite_call(masked, _LIST_GRADE_UP_RE, _grade_build)
+    # list_reverse_sort = list_sort(l, 'DESC'): descending, nulls LAST.
+    masked = _rewrite_call(
+        masked,
+        _LIST_REVERSE_SORT_RE,
+        lambda m, a: (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE "
+            f"concat\x01(reverse(array_sort\x01(filter({a[0]}, "
+            f"_rs -> _rs IS NOT NULL))), "
+            f"filter({a[0]}, _rs -> _rs IS NULL)) END)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    # approx_quantile → approx_percentile: both t-digest-family sketches,
+    # APPROXIMATE — values may legitimately differ between engines (same
+    # contract as approx_count_distinct's pass-through).
+    masked = _APPROX_QUANTILE_RE.sub("approx_percentile(", masked)
+
+    # regexp_escape is RE2's QuoteMeta: EVERY ASCII char outside
+    # [A-Za-z0-9_] gets a backslash (space, comma, controls included;
+    # bytes ≥ 0x80 and NUL are left alone). Reproduced with a runtime-
+    # built pattern `((?![A-Za-z0-9_])[\x01-\x7F])` — every structural
+    # char (parens, brackets, backslash) is spelled chr(n) so the
+    # emitted text cannot confuse later scanning passes, and no escape
+    # sequence ever hits either engine's string-literal parser.
+    def _escape_build(m, a):
+        if len(a) != 1:
+            return None
+        pat = (
+            "concat(chr(40), chr(40), \x02?!\x02, chr(91), "
+            "\x02A-Za-z0-9_\x02, chr(93), chr(41), chr(91), chr(1), "
+            "\x02-\x02, chr(127), chr(93), chr(41))"
+        )
+        rep = "concat(chr(92), chr(92), \x02$1\x02)"
+        return f"regexp_replace\x01({a[0]}, {pat}, {rep})"
+
+    masked = _rewrite_call(masked, _REGEXP_ESCAPE_RE, _escape_build)
+    return masked
+
+
 def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = None) -> str:
     """Rewrite known DuckDB-isms to Spark SQL; raise on constructs with no
     Spark equivalent rather than letting them fail with a parser error.
@@ -2933,6 +3826,8 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     # Bare VARCHAR (DuckDB's default string type) needs a length in Spark;
     # map to STRING. Parameterized VARCHAR(n) is Spark-valid and untouched.
     masked = _BARE_VARCHAR_RE.sub("STRING", masked)
+    # DuckDB's binary type names → Spark BINARY.
+    masked = _BARE_BLOB_RE.sub("BINARY", masked)
     # Early: user-written integer casts only — later rewrites emit their
     # own (non-integer) casts that must stay untouched.
     masked = _rewrite_int_casts(masked)
@@ -2945,6 +3840,8 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     masked = _rewrite_day_fns(masked, literals)
     masked = _rewrite_list_agg_fn(masked)
     masked = _rewrite_first_last_ordered(masked)
+    masked = _rewrite_r3_tail_fns(masked, literals)
+    masked = _rewrite_r3_batch2(masked, literals)
     if _PRODUCT_RE.search(masked):
         raise ValueError(
             "the product() aggregate has no Spark equivalent "

@@ -758,6 +758,181 @@ BANK = [
         FROM nation WHERE n_nationkey = 0
         """,
     ),
+    (
+        "r3_list_folds",
+        """
+        SELECT n_nationkey,
+               flatten([[n_nationkey], NULL, [n_regionkey, NULL]]) AS flat,
+               list_count([n_nationkey, NULL, n_regionkey]) AS cnt,
+               list_avg([CAST(n_nationkey AS DOUBLE), NULL, 4.0]) AS avg_v,
+               list_median([CAST(n_nationkey AS DOUBLE), 2.0, 9.0, NULL]) AS med_even,
+               list_median([CAST(n_nationkey AS DOUBLE), 2.0, 9.0]) AS med_odd,
+               list_any_value([NULL, n_nationkey, 1]) AS anyv,
+               list_first([n_nationkey, 7]) AS firstv,
+               list_last([n_nationkey, 7]) AS lastv,
+               list_element([10, 20, 30], CAST(n_nationkey % 5 - 1 AS INT)) AS elem_dyn,
+               list_extract([10, 20, 30], -1) AS elem_neg,
+               array_extract([10, 20, 30], 9) AS elem_oob
+        FROM nation
+        """,
+    ),
+    (
+        "r3_list_zip_sort",
+        """
+        SELECT n_nationkey,
+               list_zip([n_nationkey, 1], [n_regionkey, 2, 3]) AS zip2,
+               list_zip([n_nationkey], [1, 2], [n_regionkey, 3, NULL]) AS zip3,
+               list_sort([n_regionkey, NULL, n_nationkey], 'DESC') AS sorted_desc,
+               list_sort([n_regionkey, NULL, n_nationkey], 'ASC', 'NULLS FIRST') AS sorted_nf,
+               list_sort([n_regionkey, NULL, n_nationkey]) AS sorted_default
+        FROM nation
+        """,
+    ),
+    (
+        "r3_string_fns",
+        """
+        SELECT n_nationkey,
+               trim(n_name, 'AEIOU ') AS trimmed,
+               ends_with(n_name, 'IA') AS ia_suffix,
+               strlen(n_name) AS byte_len,
+               to_hex(n_nationkey * 257) AS hexed,
+               sha256(n_name) AS digest,
+               unicode(n_name) AS first_cp,
+               unicode('') AS empty_cp,
+               hamming(n_name, n_name) AS ham_zero,
+               mismatches(substr(n_name, 1, 3), 'AAA') AS mis3,
+               jaccard(n_name, 'ARGENTINA') AS jac
+        FROM nation
+        """,
+    ),
+    (
+        "r3_math_fns",
+        """
+        SELECT n_nationkey,
+               xor(n_nationkey, 9) AS x9,
+               even(n_nationkey + 0.5) AS ev_pos,
+               even(-(n_nationkey + 0.5)) AS ev_neg,
+               even(n_nationkey) AS ev_int,
+               round_even(n_nationkey + 0.5, 0) AS re_half,
+               fdiv(n_nationkey, 3) AS fd,
+               fdiv(-n_nationkey, 3) AS fd_neg,
+               fmod(n_nationkey, 2.5) AS fm,
+               fmod(-n_nationkey, 2.5) AS fm_neg,
+               fdiv(n_nationkey, 0) AS fd_zero,
+               fmod(n_nationkey, 0) AS fm_zero
+        FROM nation
+        """,
+    ),
+    (
+        "r3_calendar_parts",
+        """
+        SELECT o_orderkey,
+               date_trunc('week', o_orderdate) AS wk,
+               date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS mo,
+               yearweek(o_orderdate) AS yw,
+               century(o_orderdate) AS cent,
+               decade(o_orderdate) AS dec,
+               millennium(o_orderdate) AS mil,
+               microsecond(CAST(o_orderdate AS TIMESTAMP) + INTERVAL '3.456789' SECOND) AS us_part,
+               millisecond(CAST(o_orderdate AS TIMESTAMP) + INTERVAL '3.456789' SECOND) AS ms_part,
+               make_timestamp(CAST(o_orderkey AS BIGINT) * 1000000) AS ts_us
+        FROM orders WHERE o_orderkey < 200
+        """,
+    ),
+    (
+        "r3_agg_bias_corrections",
+        """
+        SELECT o_orderpriority,
+               round(skewness(o_totalprice), 6) AS sk,
+               round(kurtosis(o_totalprice), 6) AS ku,
+               round(kurtosis_pop(o_totalprice), 6) AS ku_pop,
+               round(fsum(o_totalprice), 4) AS ksum,
+               round(favg(o_totalprice), 6) AS kavg,
+               round(geomean(o_totalprice), 6) AS gm
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    (
+        "r3_agg_small_n_nulls",
+        """
+        SELECT g, round(skewness(v), 6) AS sk, round(kurtosis(v), 6) AS ku
+        FROM (SELECT o_orderkey % 3 AS g, o_totalprice AS v
+              FROM orders WHERE o_orderkey < 12) t
+        GROUP BY g
+        """,
+    ),
+    (
+        "r3_pow_and_quantified",
+        """
+        SELECT n_nationkey,
+               n_nationkey ** 2 AS sq,
+               2 ** n_nationkey % 7 AS pow_mod,
+               -2 ** 2 AS unary_pow,
+               2 ** 3 ** 2 AS left_assoc,
+               3 * 2 ** 2 AS precedence,
+               n_nationkey = ANY([1, 5, 9]) AS any_eq,
+               n_nationkey + 1 > ALL([3, 7]) AS all_gt,
+               n_nationkey = ANY([NULL, 5]) AS any_null,
+               n_nationkey <> ALL([]) AS all_empty
+        FROM nation
+        """,
+    ),
+    (
+        "r3_interval_builders",
+        """
+        SELECT o_orderkey,
+               o_orderdate + to_days(CAST(o_orderkey % 30 AS INT)) AS plus_days,
+               o_orderdate + to_hours(25) AS plus_hours,
+               CAST(o_orderdate AS TIMESTAMP) + to_minutes(90) AS plus_minutes,
+               CAST(o_orderdate AS TIMESTAMP) + to_seconds(3601) AS plus_seconds,
+               CAST(o_orderdate AS TIMESTAMP) + to_milliseconds(1500) AS plus_ms,
+               CAST(o_orderdate + to_months(1) AS DATE) AS plus_month,
+               CAST(o_orderdate + to_years(1) AS DATE) AS plus_year,
+               o_orderdate + to_weeks(2) AS plus_weeks
+        FROM orders WHERE o_orderkey < 100
+        """,
+    ),
+    (
+        "r3_list_utilities",
+        """
+        SELECT n_nationkey,
+               list_resize([n_nationkey, 2, 3], 2) AS trunc2,
+               list_resize([1, 2], 4, 9) AS pad9,
+               list_resize([n_nationkey], 0) AS empty,
+               list_select([10, 20, 30], [1, 3, 9, 0]) AS gathered,
+               list_where([10, 20, 30], [true, false, n_nationkey % 2 = 0]) AS masked_sel,
+               list_grade_up([n_regionkey, NULL, n_nationkey, n_regionkey]) AS grades,
+               list_reverse_sort([n_regionkey, NULL, n_nationkey]) AS rsorted,
+               array_unique([n_regionkey, n_regionkey, NULL, n_nationkey]) AS uniq_n
+        FROM nation
+        """,
+    ),
+    (
+        "r3_base_and_bytes",
+        """
+        SELECT n_nationkey,
+               to_base(n_nationkey * 37, 16) AS hex37,
+               to_base(n_nationkey, 2, 8) AS bin_padded,
+               base64(encode(n_name)) AS b64,
+               decode(from_base64(base64(encode(n_name)))) AS roundtrip,
+               ord(n_name) AS first_cp,
+               regexp_escape('c++ (v2.0) [beta] | $5,-') AS escaped,
+               approx_quantile(n_nationkey, 0.5) OVER () IS NOT NULL AS aq_runs
+        FROM nation
+        """,
+    ),
+    (
+        "r3_json_fns",
+        """
+        SELECT doc_id,
+               json_keys('{"b": 1, "a": {"c": 2}}') AS keys_ordered,
+               json_valid('{"x": ' || CAST(doc_id AS STRING) || '}') AS valid_obj,
+               json_valid('3') AS valid_scalar,
+               json_valid('null') AS valid_null_lit,
+               json_valid('{oops') AS invalid
+        FROM documents WHERE doc_id < 5
+        """,
+    ),
 ]
 
 
@@ -794,6 +969,20 @@ def test_unsupported_constructs_raise():
         )
     with pytest.raises(ValueError, match="non-literal separator"):
         duckdb_to_spark_sql("SELECT string_split(s, sep_col) FROM t")
+    with pytest.raises(ValueError, match="two-level"):
+        duckdb_to_spark_sql("SELECT entropy(x) FROM t")
+    with pytest.raises(ValueError, match="median of deviations"):
+        duckdb_to_spark_sql("SELECT mad(x) FROM t")
+    with pytest.raises(ValueError, match="transpositions"):
+        duckdb_to_spark_sql("SELECT damerau_levenshtein(a, b) FROM t")
+    with pytest.raises(ValueError, match="jaro"):
+        duckdb_to_spark_sql("SELECT jaro_winkler_similarity(a, b) FROM t")
+    with pytest.raises(ValueError, match="INTERVAL"):
+        duckdb_to_spark_sql("SELECT age(a, b) FROM t")
+    with pytest.raises(ValueError, match="printf"):
+        duckdb_to_spark_sql("SELECT format('{}-{}', a, b) FROM t")
+    with pytest.raises(ValueError, match="direction/null-order"):
+        duckdb_to_spark_sql("SELECT list_sort(l, dir_col) FROM t")
     with pytest.raises(ValueError, match="list_aggregate"):
         duckdb_to_spark_sql("SELECT list_aggregate(l, 'string_agg') FROM t")
     with pytest.raises(ValueError, match="exactly one inequality"):
