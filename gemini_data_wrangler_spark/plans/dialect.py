@@ -3704,7 +3704,77 @@ def _rewrite_r3_batch2(masked: str, literals: list[str]) -> str:
         return f"regexp_replace\x01({a[0]}, {pat}, {rep})"
 
     masked = _rewrite_call(masked, _REGEXP_ESCAPE_RE, _escape_build)
+
+    # Window frame exclusion: EXCLUDE NO OTHERS is the default (drop
+    # it); the real exclusion modes have no Spark spelling.
+    masked = _FRAME_EXCLUDE_NOOP_RE.sub("", masked)
+    if _FRAME_EXCLUDE_RE.search(masked):
+        raise ValueError(
+            "window frame EXCLUDE CURRENT ROW / GROUP / TIES has no "
+            "Spark equivalent; subtract the excluded rows' contribution "
+            "explicitly"
+        )
+    # arbitrary() is DuckDB's any_value: first NON-NULL value.
+    masked = _rewrite_call(
+        masked,
+        _ARBITRARY_RE,
+        lambda m, a: (
+            f"any_value\x01({a[0]}, true)" if len(a) == 1 else None
+        ),
+    )
+    # DuckDB permits ORDER BY inside ANY aggregate; for commutative
+    # aggregates it cannot change the result (beyond fp summation
+    # order) and Spark rejects the syntax — strip it.
+    masked = _rewrite_call(masked, _COMMUTATIVE_AGG_RE, _strip_agg_order)
     return masked
+
+
+def _strip_agg_order(m, a):
+    changed = False
+    out = []
+    for arg in a:
+        om = _top_level_order_by(arg)
+        if om is not None:
+            arg = arg[:om].rstrip()
+            changed = True
+        out.append(arg)
+    if not changed:
+        return None
+    return f"{m.group(1)}\x01({', '.join(out)})"
+
+
+def _top_level_order_by(arg: str) -> int | None:
+    """Start index of a depth-0 ' ORDER BY ' in ``arg``, else None."""
+    depth = 0
+    i = 0
+    up = arg.upper()
+    while i < len(arg):
+        ch = arg[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and up.startswith("ORDER", i):
+            before_ok = i == 0 or not (arg[i - 1].isalnum() or arg[i - 1] == "_")
+            rest = up[i + 5 :].lstrip()
+            if before_ok and rest.startswith("BY"):
+                return i
+        i += 1
+    return None
+
+
+_FRAME_EXCLUDE_NOOP_RE = re.compile(
+    r"\bEXCLUDE\s+NO\s+OTHERS\b", re.IGNORECASE
+)
+_FRAME_EXCLUDE_RE = re.compile(
+    r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES)\b", re.IGNORECASE
+)
+_ARBITRARY_RE = re.compile(r"\barbitrary\s*\(", re.IGNORECASE)
+_COMMUTATIVE_AGG_RE = re.compile(
+    r"\b(sum|avg|count|min|max|bool_and|bool_or|bit_and|bit_or|bit_xor)"
+    r"\s*\(",
+    re.IGNORECASE,
+)
 
 
 def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = None) -> str:

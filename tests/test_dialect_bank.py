@@ -922,6 +922,28 @@ BANK = [
         """,
     ),
     (
+        "r3_agg_order_and_frames",
+        """
+        SELECT o_orderpriority,
+               round(sum(o_totalprice ORDER BY o_orderkey), 4) AS s,
+               count(DISTINCT o_custkey ORDER BY o_custkey) AS c,
+               arbitrary(o_orderpriority) AS arb,
+               quantile_cont(o_totalprice, [0.25, 0.75]) AS quartiles
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    (
+        "r3_frame_exclude_noop",
+        """
+        SELECT o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                 EXCLUDE NO OTHERS), 4) AS win3
+        FROM orders WHERE o_orderkey < 300
+        """,
+    ),
+    (
         "r3_json_fns",
         """
         SELECT doc_id,
