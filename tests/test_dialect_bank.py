@@ -1297,3 +1297,132 @@ def test_fuzz_comprehensions_match_duckdb(spark, duck, seed):
     duck_rows = duck.execute(sql).fetchall()
     assert [list(r.r) for r in spark_rows] == [list(r[0]) for r in duck_rows]
     assert [list(r.src) for r in spark_rows] == [list(r[1]) for r in duck_rows]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_pow_operator_matches_duckdb(spark, duck, seed):
+    """Randomized ``**`` expressions mixed with * / % + -, parens and
+    unary minus: the power() rewrite must keep DuckDB's precedence
+    (tighter than multiplicative, looser than unary minus) and its
+    LEFT associativity."""
+    import random
+
+    rng = random.Random(7000 + seed)
+
+    def base(depth):
+        r = rng.random()
+        if r < 0.4:
+            return str(rng.choice([0, 1, 2, 3, -2, -3, 5]))
+        if r < 0.7 or depth >= 2:
+            return f"(o_orderkey % {rng.randint(2, 5)})"
+        return "(" + expr(depth + 1) + ")"
+
+    def powchain(depth):
+        parts = [base(depth)]
+        for _ in range(rng.randint(1, 2)):
+            parts += ["**", str(rng.randint(0, 3))]
+        return " ".join(parts)
+
+    def expr(depth):
+        parts = [powchain(depth)]
+        for _ in range(rng.randint(0, 2)):
+            parts += [rng.choice(["*", "+", "-"]), powchain(depth)]
+        return " ".join(parts)
+
+    cols = ", ".join(
+        f"round(({expr(0)}) * 1.0, 9) AS c{i}" for i in range(5)
+    )
+    sql = f"SELECT o_orderkey, {cols} FROM orders WHERE o_orderkey < 120"
+    sp = {r[0]: tuple(r)[1:] for r in spark.sql(duckdb_to_spark_sql(sql)).collect()}
+    dk = {r[0]: tuple(r)[1:] for r in duck.execute(sql).fetchall()}
+    assert sp == dk, sql
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_quantified_any_all_matches_duckdb(spark, duck, seed):
+    """Randomized ``x op ANY/ALL([...])`` with NULL elements, empty
+    arrays, and arithmetic left sides: exists/forall must reproduce
+    DuckDB's three-valued logic exactly."""
+    import random
+
+    rng = random.Random(8000 + seed)
+
+    def arr():
+        els = [
+            "NULL" if rng.random() < 0.25 else str(rng.randint(0, 6))
+            for _ in range(rng.randint(0, 4))
+        ]
+        return "[" + ", ".join(els) + "]" if els else "[]"
+
+    def lhs():
+        r = rng.random()
+        if r < 0.4:
+            return f"n_nationkey % {rng.randint(2, 7)}"
+        if r < 0.7:
+            return f"n_nationkey + {rng.randint(-2, 2)}"
+        return "NULL" if rng.random() < 0.5 else str(rng.randint(0, 5))
+
+    cols = []
+    for i in range(6):
+        op = rng.choice(["=", "<>", "<", ">", "<=", ">="])
+        q = rng.choice(["ANY", "ALL", "SOME"])
+        cols.append(f"({lhs()}) {op} {q}({arr()}) AS c{i}")
+    sql = f"SELECT n_nationkey, {', '.join(cols)} FROM nation"
+    sp = {r[0]: tuple(r)[1:] for r in spark.sql(duckdb_to_spark_sql(sql)).collect()}
+    dk = {r[0]: tuple(r)[1:] for r in duck.execute(sql).fetchall()}
+    assert sp == dk, sql
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_list_fns_match_duckdb(spark, duck, seed):
+    """Randomized int-with-NULL lists through the round-3 list-function
+    expansions (sort variants, folds, gather/filter/resize/grade_up)."""
+    import random
+
+    rng = random.Random(9000 + seed)
+
+    def lst():
+        els = [
+            "NULL"
+            if rng.random() < 0.2
+            else rng.choice(
+                [str(rng.randint(-3, 9)), f"n_nationkey % {rng.randint(2, 5)}"]
+            )
+            for _ in range(rng.randint(0, 5))
+        ]
+        return "[" + ", ".join(els) + "]" if els else "[]"
+
+    l1, l2 = lst(), lst()
+    n = rng.randint(0, 6)
+    idxs = "[" + ", ".join(
+        str(rng.randint(-1, 7)) for _ in range(rng.randint(0, 4))
+    ) + "]" if rng.random() < 0.9 else "[]"
+    mask = "[" + ", ".join(
+        rng.choice(["true", "false", "n_nationkey % 2 = 0"])
+        for _ in range(rng.randint(0, 4))
+    ) + "]" if rng.random() < 0.9 else "[]"
+    sql = f"""
+    SELECT n_nationkey,
+           list_sort({l1}, 'DESC') AS s_desc,
+           list_sort({l1}, 'ASC', 'NULLS FIRST') AS s_nf,
+           list_reverse_sort({l2}) AS s_rev,
+           list_count({l1}) AS cnt,
+           round(list_avg({l1}), 6) AS avg_v,
+           list_median({l2}) AS med,
+           list_grade_up({l1}) AS grades,
+           list_resize({l2}, {n}) AS resized,
+           list_select({l1}, {idxs}) AS gathered,
+           list_where({l2}, {mask}) AS masked_v,
+           list_any_value({l1}) AS anyv,
+           list_first({l2}) AS fst,
+           list_last({l1}) AS lst
+    FROM nation
+    """
+    sp = {r[0]: tuple(r)[1:] for r in spark.sql(duckdb_to_spark_sql(sql)).collect()}
+    dk = {r[0]: tuple(r)[1:] for r in duck.execute(sql).fetchall()}
+    norm = lambda row: tuple(  # noqa: E731
+        tuple(x) if isinstance(x, (list, tuple)) else x for x in row
+    )
+    assert {k: norm(v) for k, v in sp.items()} == {
+        k: norm(v) for k, v in dk.items()
+    }, sql
