@@ -159,6 +159,11 @@ engines and passes through untouched.
 | ``BLOB/BYTEA/VARBINARY``           | ``BINARY`` |
 | ``array_unique``                   | folded into the ``list_unique`` rewrite |
 | ``strip_accents/nfc_normalize/left_grapheme/right_grapheme/histogram/bitstring_agg/gcd/lcm/parse_path family`` | refused → explicit error |
+| ``TABLESAMPLE reservoir(10%)`` etc. | folded into the USING SAMPLE → ``TABLESAMPLE (n PERCENT/ROWS)`` rewrite (Spark's own spelling passes through) |
+| frame ``EXCLUDE NO OTHERS``        | dropped (it is the default); ``EXCLUDE CURRENT ROW/GROUP/TIES`` refused (no Spark spelling) |
+| ``arbitrary(x)``                   | ``any_value(x, true)`` (first NON-NULL) |
+| ``agg(x ORDER BY ...)`` commutative | ORDER BY stripped for sum/avg/count/min/max/bool_*/bit_* (value-identical; Spark rejects the syntax) |
+| ``PRAGMA/SET/COPY/ATTACH/...``     | refused → explicit error (administrative statements; config belongs in the session builder) |
 | ``SUMMARIZE t``                    | refused → explicit error (DuckDB statement; point at the engine's column-profile operator) |
 """
 
@@ -343,7 +348,7 @@ def _rewrite_distinct_on(sql: str) -> str:
 # USING SAMPLE → TABLESAMPLE
 # ---------------------------------------------------------------------------
 _USING_SAMPLE_RE = re.compile(
-    r"\bUSING\s+SAMPLE\s+"
+    r"\b(?:USING\s+SAMPLE|TABLESAMPLE)\s+"
     r"(?:(?P<method>reservoir|bernoulli|system)\s*\(\s*)?"
     r"(?P<num>\d+(?:\.\d+)?)\s*"
     r"(?P<unit>%|PERCENT|ROWS)?\s*"
@@ -377,6 +382,12 @@ def _rewrite_using_sample(sql: str) -> str:
 
 
 _ASOF_RE = re.compile(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", re.IGNORECASE)
+# DuckDB administrative statements a migrated flow might carry verbatim.
+_DUCK_STATEMENT_RE = re.compile(
+    r"\s*(PRAGMA|SET|RESET|INSTALL|LOAD|ATTACH|DETACH|COPY|EXPORT|"
+    r"IMPORT|CALL|CHECKPOINT|VACUUM|BEGIN|COMMIT|ROLLBACK)\b",
+    re.IGNORECASE,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3788,6 +3799,14 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
         raise ValueError(
             "POSITIONAL JOIN has no Spark equivalent; zip frames with a "
             "row_number window + equi-join instead"
+        )
+    sm = _DUCK_STATEMENT_RE.match(sql)
+    if sm:
+        raise ValueError(
+            f"{sm.group(1).upper()} is a DuckDB administrative statement "
+            "with no Spark SQL counterpart; pipelines reach Spark through "
+            "SELECT-shaped stages (configuration belongs in the session "
+            "builder, ingest in the LOAD stage)"
         )
     if _RECURSIVE_UNNEST_RE.search(sql):
         raise ValueError(

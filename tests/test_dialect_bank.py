@@ -1052,6 +1052,31 @@ def test_using_sample_rewrites(spark):
     assert "TABLESAMPLE (50 ROWS)" in out_rows
     assert spark.sql(out_rows).collect()[0]["n"] == 50
 
+    # DuckDB's postfix TABLESAMPLE spellings take the same path.
+    out_ts = duckdb_to_spark_sql(
+        "SELECT count(*) AS n FROM orders TABLESAMPLE reservoir(10%)"
+    )
+    assert "TABLESAMPLE (10 PERCENT)" in out_ts
+    assert 0 < spark.sql(out_ts).collect()[0]["n"]
+    # Spark's own spelling passes through untouched.
+    assert "TABLESAMPLE (20 PERCENT)" in duckdb_to_spark_sql(
+        "SELECT count(*) FROM orders TABLESAMPLE (20 PERCENT)"
+    )
+
+
+def test_admin_statements_refused():
+    for stmt in (
+        "PRAGMA table_info('orders')",
+        "SET threads TO 4",
+        "COPY orders TO 'out.csv'",
+        "ATTACH 'other.db'",
+        "INSTALL httpfs",
+    ):
+        with pytest.raises(ValueError, match="administrative"):
+            duckdb_to_spark_sql(stmt)
+    # mid-query occurrences of the same words must NOT trip the check
+    duckdb_to_spark_sql("SELECT 1 AS settled, 'COPY' AS label FROM orders")
+
 
 def test_columns_projection_matches_duckdb(spark, duck):
     """``COLUMNS('regex')`` expands to an explicit list when the caller
