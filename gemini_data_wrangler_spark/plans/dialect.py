@@ -548,11 +548,15 @@ def _rewrite_brackets(sql: str) -> str:
 _FN_RENAMES = [
     (re.compile(r"\bregexp_split_to_array\s*\(", re.IGNORECASE), "split("),
     (re.compile(r"\barray_to_string\s*\(", re.IGNORECASE), "array_join("),
-    (re.compile(r"\blist_transform\s*\(", re.IGNORECASE), "transform("),
-    (re.compile(r"\blist_filter\s*\(", re.IGNORECASE), "filter("),
+    (re.compile(r"\b(?:list|array)_transform\s*\(", re.IGNORECASE), "transform("),
+    (re.compile(r"\b(?:list|array)_filter\s*\(", re.IGNORECASE), "filter("),
+    (re.compile(r"\b(?:list_|array_)?apply\s*\(", re.IGNORECASE), "transform("),
+    (re.compile(r"\barray_indexof\s*\(", re.IGNORECASE), "array_position("),
+    (re.compile(r"\blist_pack\s*\(", re.IGNORECASE), "array("),
+    (re.compile(r"\barray_reverse\s*\(", re.IGNORECASE), "reverse("),
     (re.compile(r"\blist_contains\s*\(", re.IGNORECASE), "array_contains("),
     # list_distinct handled by a dedicated rewrite (DuckDB drops NULLs).
-    (re.compile(r"\blist_sort\s*\(", re.IGNORECASE), "array_sort("),
+    (re.compile(r"\b(?:list|array)_sort\s*\(", re.IGNORECASE), "array_sort("),
     (re.compile(r"\bunnest\s*\(", re.IGNORECASE), "explode("),
     (re.compile(r"\barg_max\s*\(", re.IGNORECASE), "max_by("),
     (re.compile(r"\barg_min\s*\(", re.IGNORECASE), "min_by("),
@@ -587,7 +591,7 @@ _FN_RENAMES = [
 ]
 # Refusals: close lookalikes whose semantics silently diverge.
 _QUANTILE_DISC_RE = re.compile(r"\bquantile_disc\s*\(", re.IGNORECASE)
-_LIST_REDUCE_RE = re.compile(r"\blist_reduce\s*\(", re.IGNORECASE)
+_LIST_REDUCE_RE = re.compile(r"\b(?:list|array)_reduce\s*\(", re.IGNORECASE)
 _RECURSIVE_RE = re.compile(r"\bWITH\s+RECURSIVE\b", re.IGNORECASE)
 _UNION_ALL_RE = re.compile(r"\bUNION\s+ALL\b", re.IGNORECASE)
 # DuckDB `//` is integer division; Spark's infix equivalent is `div`.
@@ -677,14 +681,14 @@ def _has_slice(masked: str) -> bool:
     return False
 
 
-_LIST_HAS_ALL_RE = re.compile(r"\blist_has_all\s*\(", re.IGNORECASE)
+_LIST_HAS_ALL_RE = re.compile(r"\b(?:list|array)_has_all\s*\(", re.IGNORECASE)
 _REGEXP_MATCHES_RE = re.compile(r"\bregexp_matches\s*\(", re.IGNORECASE)
 _STRING_SPLIT_RE = re.compile(r"\bstring_split\s*\(", re.IGNORECASE)
 # Aliases of string_split with the same LITERAL separator (Spark's split
 # takes a regex). `\b` keeps these off string_split/str_split_regex.
 _BARE_SPLIT_RE = re.compile(r"\bsplit\s*\(", re.IGNORECASE)
 _STR_SPLIT_RE = re.compile(r"\bstr_split\s*\(", re.IGNORECASE)
-_LIST_AGGREGATE_RE = re.compile(r"\blist_aggregate\s*\(", re.IGNORECASE)
+_LIST_AGGREGATE_RE = re.compile(r"\b(?:list|array)_agg(?:regate|r)\s*\(", re.IGNORECASE)
 _EPOCH_RE = re.compile(r"\bepoch_(us|ms)\s*\(", re.IGNORECASE)
 _REGEX_METACHARS = r"\.^$*+?()[]{}|"
 
@@ -1457,7 +1461,7 @@ def _rewrite_star_replace(
 
 
 _LEN_RE = re.compile(r"\blen\s*\(", re.IGNORECASE)
-_LIST_PREPEND_RE = re.compile(r"\blist_prepend\s*\(", re.IGNORECASE)
+_LIST_PREPEND_RE = re.compile(r"\b(?:list|array)_prepend\s*\(", re.IGNORECASE)
 _STRING_TO_ARRAY_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
 
 
@@ -2421,7 +2425,7 @@ def _null_keeping_collect(expr: str, distinct: bool) -> str:
     base = (
         f"transform(collect_list(struct(({expr}) AS _v)), _s -> _s._v)"
     )
-    return f"array_distinct({base})" if distinct else base
+    return f"array_distinct\x01({base})" if distinct else base
 
 
 def _rewrite_list_agg_fn(masked: str) -> str:
@@ -2708,9 +2712,9 @@ def _rewrite_similar_to(masked: str, literals: list[str]) -> str:
 
 _LIST_SLICE_RE = re.compile(r"\b(?:list|array)_slice\s*\(", re.IGNORECASE)
 _LIST_UNIQUE_RE = re.compile(r"\b(?:list|array)_unique\s*\(", re.IGNORECASE)
-_LIST_DISTINCT_RE = re.compile(r"\blist_distinct\s*\(", re.IGNORECASE)
-_LIST_HAS_ANY_RE = re.compile(r"\blist_has_any\s*\(", re.IGNORECASE)
-_LIST_CONCAT_RE = re.compile(r"\blist_(?:concat|cat)\s*\(", re.IGNORECASE)
+_LIST_DISTINCT_RE = re.compile(r"\b(?:list|array)_distinct\s*\(", re.IGNORECASE)
+_LIST_HAS_ANY_RE = re.compile(r"\b(?:list|array)_has_any\s*\(", re.IGNORECASE)
+_LIST_CONCAT_RE = re.compile(r"\b(?:list|array)_(?:concat|cat)\s*\(", re.IGNORECASE)
 _STRUCT_PACK_RE = re.compile(r"\bstruct_pack\s*\(", re.IGNORECASE)
 
 
@@ -2910,8 +2914,8 @@ _JSON_KEYS_RE = re.compile(r"\bjson_keys\s*\(", re.IGNORECASE)
 _JSON_VALID_RE = re.compile(r"\bjson_valid\s*\(", re.IGNORECASE)
 _HAMMING_RE = re.compile(r"\b(?:hamming|mismatches)\s*\(", re.IGNORECASE)
 _JACCARD_RE = re.compile(r"\bjaccard\s*\(", re.IGNORECASE)
-_LIST_ZIP_RE = re.compile(r"\blist_zip\s*\(", re.IGNORECASE)
-_LIST_SORT_ARGS_RE = re.compile(r"\blist_sort\s*\(", re.IGNORECASE)
+_LIST_ZIP_RE = re.compile(r"\b(?:list|array)_zip\s*\(", re.IGNORECASE)
+_LIST_SORT_ARGS_RE = re.compile(r"\b(?:list|array)_sort\s*\(", re.IGNORECASE)
 _LIST_ELEMENT_RE = re.compile(
     r"\b(?:list_element|list_extract|array_extract)\s*\(", re.IGNORECASE
 )
@@ -3245,6 +3249,9 @@ def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
     def _sort_build(m, a):
         if len(a) not in (2, 3):
             return None
+        if any("->" in arg for arg in a[1:]):
+            return None  # Spark-native comparator lambda (emitted by the
+            # ordered-aggregation rewrite or user-written): pass through.
         parts = []
         for arg in a[1:]:
             ph = re.fullmatch(r"\x00(\d+)\x00", arg)
@@ -3399,11 +3406,11 @@ _TO_INTERVAL_SLOT = {
     "hours": 4, "minutes": 5, "seconds": 6,
 }
 _LOCALTIMESTAMP_RE = re.compile(r"\bcurrent_localtimestamp\s*\(", re.IGNORECASE)
-_LIST_RESIZE_RE = re.compile(r"\blist_resize\s*\(", re.IGNORECASE)
-_LIST_SELECT_RE = re.compile(r"\blist_select\s*\(", re.IGNORECASE)
-_LIST_WHERE_RE = re.compile(r"\blist_where\s*\(", re.IGNORECASE)
-_LIST_GRADE_UP_RE = re.compile(r"\blist_grade_up\s*\(", re.IGNORECASE)
-_LIST_REVERSE_SORT_RE = re.compile(r"\blist_reverse_sort\s*\(", re.IGNORECASE)
+_LIST_RESIZE_RE = re.compile(r"\b(?:list|array)_resize\s*\(", re.IGNORECASE)
+_LIST_SELECT_RE = re.compile(r"\b(?:list|array)_select\s*\(", re.IGNORECASE)
+_LIST_WHERE_RE = re.compile(r"\b(?:list|array)_where\s*\(", re.IGNORECASE)
+_LIST_GRADE_UP_RE = re.compile(r"\b(?:list|array)_grade_up\s*\(", re.IGNORECASE)
+_LIST_REVERSE_SORT_RE = re.compile(r"\b(?:list|array)_reverse_sort\s*\(", re.IGNORECASE)
 _APPROX_QUANTILE_RE = re.compile(r"\bapprox_quantile\s*\(", re.IGNORECASE)
 _REGEXP_ESCAPE_RE = re.compile(r"\bregexp_escape\s*\(", re.IGNORECASE)
 
@@ -3887,7 +3894,7 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     masked = _rewrite_list_aggregate(masked, literals)
     # list_prepend(elem, list) → array_prepend(list, elem): reversed args.
     masked = _rewrite_two_arg(
-        masked, _LIST_PREPEND_RE, lambda a: f"array_prepend({a[1]}, {a[0]})"
+        masked, _LIST_PREPEND_RE, lambda a: f"array_prepend\x01({a[1]}, {a[0]})"
     )
     # list_has_all(haystack, needles) → every needle contained (Spark has
     # no direct equivalent; forall + array_contains is exact).
@@ -3963,7 +3970,7 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
         masked,
         _LIST_UNIQUE_RE,
         lambda m, arg: (
-            f"size(array_distinct(filter({arg}, _lu -> _lu IS NOT NULL)))"
+            f"size(array_distinct\x01(filter({arg}, _lu -> _lu IS NOT NULL)))"
         ),
     )
     # list_distinct DROPS null elements in DuckDB; Spark's array_distinct
@@ -3972,7 +3979,7 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
         masked,
         _LIST_DISTINCT_RE,
         lambda m, arg: (
-            f"array_distinct(filter({arg}, _ld -> _ld IS NOT NULL))"
+            f"array_distinct\x01(filter({arg}, _ld -> _ld IS NOT NULL))"
         ),
     )
     # list_has_any IGNORES null elements (false, not NULL, when only

@@ -142,6 +142,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         queries_ext98,
         queries_ext99,
         queries_ext100,
+        queries_ext101,
         queries_tpch,
     )
 

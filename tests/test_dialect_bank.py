@@ -944,6 +944,31 @@ BANK = [
         """,
     ),
     (
+        "r3_array_aliases",
+        """
+        SELECT n_nationkey,
+               array_distinct([n_regionkey, n_regionkey, NULL]) AS uniq,
+               array_prepend(CAST(n_nationkey AS BIGINT), [n_regionkey]) AS prepended,
+               array_sort([n_regionkey, NULL, n_nationkey], 'DESC') AS sorted_desc,
+               array_reverse_sort([n_nationkey, 1]) AS rsorted,
+               array_zip([n_nationkey], [n_regionkey, 2]) AS zipped,
+               array_aggr([CAST(n_nationkey AS DOUBLE), 2.0], 'sum') AS aggr_sum,
+               list_aggr([n_nationkey, 7], 'max') AS aggr_max,
+               array_transform([n_nationkey, 2], x -> x + 1) AS mapped,
+               apply([n_nationkey], x -> x * 2) AS applied,
+               array_filter([n_nationkey, 5, 9], x -> x > 4) AS filtered,
+               array_has_any([n_regionkey], [CAST(1 AS BIGINT), CAST(3 AS BIGINT)]) AS hasany,
+               array_where([n_nationkey, 5, 9], [true, false, true]) AS masked_vals,
+               array_select([n_nationkey, 5, 9], [3, 1]) AS gathered,
+               array_resize([n_nationkey], 2) AS resized,
+               array_grade_up([n_regionkey, n_nationkey]) AS graded,
+               array_reverse([n_nationkey, 8]) AS reversed_l,
+               list_pack(n_nationkey, n_regionkey) AS packed,
+               array_indexof([5, n_nationkey], n_nationkey) AS idx
+        FROM nation
+        """,
+    ),
+    (
         "r3_json_fns",
         """
         SELECT doc_id,
