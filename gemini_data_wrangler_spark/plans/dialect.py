@@ -2041,7 +2041,7 @@ def _rounded_int_cast(expr: str, target: str, try_: bool) -> str:
         f"as {target})"
     )
     return (
-        f"(CASE WHEN typeof(({expr})) IN (\x02double\x02, \x02float\x02) "
+        f"(CASE WHEN typeof\x01(({expr})) IN (\x02double\x02, \x02float\x02) "
         f"THEN {dbl} ELSE {dec} END)"
     )
 
@@ -3437,6 +3437,10 @@ _R3B2_REFUSALS = [
     (re.compile(r"\bparse_(?:path|dirname|filename)\s*\(", re.IGNORECASE),
      "parse_path/parse_dirname/parse_filename have no Spark equivalent; "
      "use split(path, '/') / regexp_extract"),
+    (re.compile(r"\bmd5_number(?:_lower|_upper)?\s*\(", re.IGNORECASE),
+     "md5_number/md5_number_lower return 128/64-bit UNSIGNED integers "
+     "Spark's types cannot hold; use md5() hex text or xxhash64 with "
+     "explicit expectations"),
 ]
 
 
@@ -3723,6 +3727,29 @@ def _rewrite_r3_batch2(masked: str, literals: list[str]) -> str:
 
     masked = _rewrite_call(masked, _REGEXP_ESCAPE_RE, _escape_build)
 
+    # typeof(): both engines have it, but the type-name SPELLINGS differ
+    # (DuckDB 'INTEGER'/'VARCHAR' vs Spark 'int'/'string') — a silent
+    # flip for flows that branch on the result. Map the scalar names;
+    # nested types (lists/structs) stay Spark-spelled (documented).
+    masked = _rewrite_call(
+        masked,
+        _TYPEOF_RE,
+        lambda m, a: (
+            (
+                f"(CASE typeof\x01({a[0]}) "
+                f"WHEN \x02int\x02 THEN \x02INTEGER\x02 "
+                f"WHEN \x02string\x02 THEN \x02VARCHAR\x02 "
+                f"WHEN \x02binary\x02 THEN \x02BLOB\x02 "
+                f"WHEN \x02timestamp_ntz\x02 THEN \x02TIMESTAMP\x02 "
+                f"ELSE upper(typeof\x01({a[0]})) END)"
+            )
+            if len(a) == 1
+            else None
+        ),
+    )
+    # JSON casts of a whole value: same target as to_json.
+    masked = _ARRAY_ROW_TO_JSON_RE.sub("to_json\x01(", masked)
+
     # Window frame exclusion: EXCLUDE NO OTHERS is the default (drop
     # it); the real exclusion modes have no Spark spelling.
     masked = _FRAME_EXCLUDE_NOOP_RE.sub("", masked)
@@ -3788,6 +3815,10 @@ _FRAME_EXCLUDE_RE = re.compile(
     r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES)\b", re.IGNORECASE
 )
 _ARBITRARY_RE = re.compile(r"\barbitrary\s*\(", re.IGNORECASE)
+_TYPEOF_RE = re.compile(r"\btypeof\s*\(", re.IGNORECASE)
+_ARRAY_ROW_TO_JSON_RE = re.compile(
+    r"\b(?:array|row)_to_json\s*\(", re.IGNORECASE
+)
 _COMMUTATIVE_AGG_RE = re.compile(
     r"\b(sum|avg|count|min|max|bool_and|bool_or|bit_and|bit_or|bit_xor)"
     r"\s*\(",

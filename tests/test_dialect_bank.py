@@ -969,6 +969,21 @@ BANK = [
         """,
     ),
     (
+        "r3_typeof_and_json",
+        """
+        SELECT o_orderkey,
+               typeof(o_orderkey) AS t_key,
+               typeof(o_totalprice) AS t_price,
+               typeof(o_orderpriority) AS t_prio,
+               typeof(o_orderdate) AS t_date,
+               typeof(1.5) AS t_dec,
+               typeof(CAST(1 AS INT)) AS t_int,
+               array_to_json([o_orderkey, 7]) AS arr_j,
+               row_to_json({'k': o_orderkey}) AS row_j
+        FROM orders WHERE o_orderkey < 50
+        """,
+    ),
+    (
         "r3_json_fns",
         """
         SELECT doc_id,
