@@ -2965,6 +2965,13 @@ _R3_REFUSALS = [
 ]
 
 
+
+def _null_lit(arg: str) -> bool:
+    """A bare NULL literal argument: DuckDB types it as NULL and
+    propagates, Spark cannot analysis-resolve HOFs over it — the
+    rewrites short-circuit to NULL (or empty, where DuckDB says so)."""
+    return arg.strip().upper() == "NULL"
+
 def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
     """Batch of exact DuckDB→Spark rewrites (see the module table);
     differentially verified in tests/test_dialect_bank.py."""
@@ -2978,10 +2985,14 @@ def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
         masked,
         _FLATTEN_RE,
         lambda m, a: (
-            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE "
-            f"flatten\x01(filter({a[0]}, _fl -> _fl IS NOT NULL)) END)"
-            if len(a) == 1
-            else None
+            "NULL"
+            if len(a) == 1 and _null_lit(a[0])
+            else (
+                f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE "
+                f"flatten\x01(filter({a[0]}, _fl -> _fl IS NOT NULL)) END)"
+                if len(a) == 1
+                else None
+            )
         ),
     )
     # 2-arg trim has REVERSED arguments in Spark (same flip as ltrim/
@@ -3231,6 +3242,8 @@ def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
     def _zip_build(m, a):
         if len(a) < 2:
             return None
+        if all(_null_lit(x) for x in a):
+            return "array()"
         sizes = ", ".join(f"size({x})" for x in a)
         fields = ", ".join(
             f"\x02list_{i + 1}\x02, try_element_at({x}, _zi)"
@@ -3249,6 +3262,8 @@ def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
     def _sort_build(m, a):
         if len(a) not in (2, 3):
             return None
+        if _null_lit(a[0]):
+            return "NULL"
         if any("->" in arg for arg in a[1:]):
             return None  # Spark-native comparator lambda (emitted by the
             # ordered-aggregation rewrite or user-written): pass through.
@@ -3295,7 +3310,9 @@ def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
         masked,
         _LIST_COUNT_RE,
         lambda m, a: (
-            f"size(filter({a[0]}, _lc -> _lc IS NOT NULL))"
+            "NULL"
+            if len(a) == 1 and _null_lit(a[0])
+            else f"size(filter({a[0]}, _lc -> _lc IS NOT NULL))"
             if len(a) == 1
             else None
         ),
@@ -3304,7 +3321,9 @@ def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
         masked,
         _LIST_AVG_RE,
         lambda m, a: (
-            f"try_divide(aggregate({a[0]}, cast(0.0 as double), "
+            "NULL"
+            if len(a) == 1 and _null_lit(a[0])
+            else f"try_divide(aggregate({a[0]}, cast(0.0 as double), "
             f"(_aa, _ax) -> _aa + coalesce(cast(_ax as double), 0.0d)), "
             f"size(filter({a[0]}, _an -> _an IS NOT NULL)))"
             if len(a) == 1
@@ -3319,6 +3338,8 @@ def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
     def _median_build(m, a):
         if len(a) != 1:
             return None
+        if _null_lit(a[0]):
+            return "NULL"
         nn = f"array_sort\x01(filter({a[0]}, _lm -> _lm IS NOT NULL))"
         n = f"size({nn})"
         return (
@@ -3335,7 +3356,9 @@ def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
         masked,
         _LIST_ANY_VALUE_RE,
         lambda m, a: (
-            f"try_element_at(filter({a[0]}, _lv -> _lv IS NOT NULL), 1)"
+            "NULL"
+            if len(a) == 1 and _null_lit(a[0])
+            else f"try_element_at(filter({a[0]}, _lv -> _lv IS NOT NULL), 1)"
             if len(a) == 1
             else None
         ),
@@ -3343,12 +3366,20 @@ def _rewrite_r3_tail_fns(masked: str, literals: list[str]) -> str:
     masked = _rewrite_call(
         masked,
         _LIST_FIRST_RE,
-        lambda m, a: f"try_element_at({a[0]}, 1)" if len(a) == 1 else None,
+        lambda m, a: (
+            "NULL"
+            if len(a) == 1 and _null_lit(a[0])
+            else f"try_element_at({a[0]}, 1)" if len(a) == 1 else None
+        ),
     )
     masked = _rewrite_call(
         masked,
         _LIST_LAST_RE,
-        lambda m, a: f"try_element_at({a[0]}, -1)" if len(a) == 1 else None,
+        lambda m, a: (
+            "NULL"
+            if len(a) == 1 and _null_lit(a[0])
+            else f"try_element_at({a[0]}, -1)" if len(a) == 1 else None
+        ),
     )
     # Kahan-summation aggregates: same math, DOUBLE result; the
     # compensated error term is below the repo's 6-decimal compare.
@@ -3638,7 +3669,9 @@ def _rewrite_r3_batch2(masked: str, literals: list[str]) -> str:
         masked,
         _LIST_SELECT_RE,
         lambda m, a: (
-            f"transform({a[1]}, _si -> CASE WHEN assert_true(_si IS NOT "
+            "NULL"
+            if len(a) == 2 and (_null_lit(a[0]) or _null_lit(a[1]))
+            else f"transform({a[1]}, _si -> CASE WHEN assert_true(_si IS NOT "
             f"NULL) IS NULL THEN (CASE WHEN _si >= 1 THEN "
             f"try_element_at({a[0]}, cast(_si as int)) END) END)"
             if len(a) == 2
@@ -3652,7 +3685,9 @@ def _rewrite_r3_batch2(masked: str, literals: list[str]) -> str:
         masked,
         _LIST_WHERE_RE,
         lambda m, a: (
-            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
+            "NULL"
+            if len(a) == 2 and (_null_lit(a[0]) or _null_lit(a[1]))
+            else f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL THEN NULL "
             f"WHEN size({a[1]}) = 0 THEN array() "
             f"ELSE transform(filter(sequence(1, cast(size({a[1]}) as int)), "
             f"_wi -> CASE WHEN assert_true(try_element_at({a[1]}, _wi) "
@@ -3669,6 +3704,8 @@ def _rewrite_r3_batch2(masked: str, literals: list[str]) -> str:
     def _grade_build(m, a):
         if len(a) != 1:
             return None
+        if _null_lit(a[0]):
+            return "NULL"
         pairs = (
             f"transform(sequence(1, cast(size({a[0]}) as int)), _gi -> "
             f"struct(try_element_at({a[0]}, _gi) as v, _gi as i))"
@@ -3694,7 +3731,9 @@ def _rewrite_r3_batch2(masked: str, literals: list[str]) -> str:
         masked,
         _LIST_REVERSE_SORT_RE,
         lambda m, a: (
-            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE "
+            "NULL"
+            if len(a) == 1 and _null_lit(a[0])
+            else f"(CASE WHEN ({a[0]}) IS NULL THEN NULL ELSE "
             f"concat\x01(reverse(array_sort\x01(filter({a[0]}, "
             f"_rs -> _rs IS NOT NULL))), "
             f"filter({a[0]}, _rs -> _rs IS NULL)) END)"
@@ -3741,6 +3780,7 @@ def _rewrite_r3_batch2(masked: str, literals: list[str]) -> str:
                 f"WHEN \x02string\x02 THEN \x02VARCHAR\x02 "
                 f"WHEN \x02binary\x02 THEN \x02BLOB\x02 "
                 f"WHEN \x02timestamp_ntz\x02 THEN \x02TIMESTAMP\x02 "
+                f'WHEN \x02void\x02 THEN \x02"NULL"\x02 '
                 f"ELSE upper(typeof\x01({a[0]})) END)"
             )
             if len(a) == 1
