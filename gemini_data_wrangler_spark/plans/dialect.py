@@ -164,6 +164,11 @@ engines and passes through untouched.
 | ``arbitrary(x)``                   | ``any_value(x, true)`` (first NON-NULL) |
 | ``agg(x ORDER BY ...)`` commutative | ORDER BY stripped for sum/avg/count/min/max/bool_*/bit_* (value-identical; Spark rejects the syntax) |
 | ``PRAGMA/SET/COPY/ATTACH/...``     | refused → explicit error (administrative statements; config belongs in the session builder) |
+| ``array_*`` alias spellings        | folded into the matching ``list_*`` rewrites (sort/zip/select/where/resize/grade_up/reverse_sort/prepend/distinct/has_any/has_all/concat/aggr/transform/filter/apply/indexof/reverse/pack/reduce); DuckDB's null-dropping ``array_distinct`` vs Spark's null-keeping same-name native was a silent flip |
+| ``typeof(x)``                      | scalar type names mapped to DuckDB's spellings (int→INTEGER, string→VARCHAR, binary→BLOB, timestamp_ntz→TIMESTAMP, void→"NULL", else upper()); nested types stay Spark-spelled |
+| ``array_to_json/row_to_json``      | ``to_json`` |
+| ``md5_number[_lower]``             | refused → explicit error (unsigned 128/64-bit results) |
+| bare ``NULL`` literal list args    | short-circuit to NULL (or ``array()`` where DuckDB says empty) — Spark cannot analysis-resolve HOFs over untyped NULL |
 | ``SUMMARIZE t``                    | refused → explicit error (DuckDB statement; point at the engine's column-profile operator) |
 """
 
