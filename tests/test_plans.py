@@ -305,3 +305,15 @@ def test_stickiness_dedups_before_range_join(spark):
     b, _ = registry()["events_stickiness_ratios"]
     plan = _plan(b(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_both_branches_broadcast_queries(spark):
+    # RRF's two candidate scans (lexical shingle Jaccard + cosine) must
+    # each broadcast the query rows — the corpus side streams without a
+    # join shuffle; only the bounded per-query rankings and the
+    # |queries| x 2k fusion join may exchange.
+    b, _ = registry()["rec_reciprocal_rank_fusion"]
+    plan = _plan(b(spark, SF_ORACLE))
+    assert plan.count("BroadcastExchange") >= 2 or (
+        "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+    )
