@@ -3795,6 +3795,25 @@ def _rewrite_r3_batch2(masked: str, literals: list[str]) -> str:
     # JSON casts of a whole value: same target as to_json.
     masked = _ARRAY_ROW_TO_JSON_RE.sub("to_json\x01(", masked)
 
+    # struct_extract(s, 'k') → parenthesized field access; the key must
+    # be a string literal (Spark has no runtime-keyed struct access).
+    def _struct_extract_build(m, a):
+        if len(a) != 2:
+            return None
+        ph = re.fullmatch(r"\x00(\d+)\x00", a[1])
+        if not ph:
+            raise ValueError(
+                "struct_extract with a non-literal (or integer) key has "
+                "no Spark equivalent; name the field explicitly"
+            )
+        key = literals[int(ph.group(1))][1:-1]
+        return f"(({a[0]}).`{key}`)"
+
+    masked = _rewrite_call(masked, _STRUCT_EXTRACT_RE, _struct_extract_build)
+    # row(...) builds an unnamed struct; Spark's struct() is positional
+    # too (field names differ — col1/col2 — but row compares by value).
+    masked = _ROW_CTOR_RE.sub("struct(", masked)
+
     # Window frame exclusion: EXCLUDE NO OTHERS is the default (drop
     # it); the real exclusion modes have no Spark spelling.
     masked = _FRAME_EXCLUDE_NOOP_RE.sub("", masked)
@@ -3864,6 +3883,8 @@ _TYPEOF_RE = re.compile(r"\btypeof\s*\(", re.IGNORECASE)
 _ARRAY_ROW_TO_JSON_RE = re.compile(
     r"\b(?:array|row)_to_json\s*\(", re.IGNORECASE
 )
+_STRUCT_EXTRACT_RE = re.compile(r"\bstruct_extract\s*\(", re.IGNORECASE)
+_ROW_CTOR_RE = re.compile(r"\brow\s*\(", re.IGNORECASE)
 _COMMUTATIVE_AGG_RE = re.compile(
     r"\b(sum|avg|count|min|max|bool_and|bool_or|bit_and|bit_or|bit_xor)"
     r"\s*\(",

@@ -984,6 +984,15 @@ BANK = [
         """,
     ),
     (
+        "r3_struct_utils",
+        """
+        SELECT n_nationkey,
+               struct_extract({'a': n_nationkey, 'b': n_regionkey}, 'b') AS field_b,
+               row(n_nationkey, n_regionkey) AS pair
+        FROM nation
+        """,
+    ),
+    (
         "r3_json_fns",
         """
         SELECT doc_id,
