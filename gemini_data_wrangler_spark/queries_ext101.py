@@ -231,3 +231,78 @@ def corpus_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-window duplication coverage (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+_RW_W = 32  # window width (chars)
+_RW_S = 16  # stride
+
+
+@register(
+    "dedup_repeated_window_rate",
+    f"""
+    WITH wins AS (
+      SELECT doc_id,
+             unnest([substr(text, i, {_RW_W})
+                     for i in generate_series(1, greatest(length(text)
+                                              - {_RW_W - 1}, 0), {_RW_S})]) AS w
+      FROM documents
+      WHERE length(text) >= {_RW_W}
+    ), dup AS (
+      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT wins.doc_id,
+           count(*) AS n_windows,
+           count(dup.w) AS n_dup_windows,
+           round(CAST(count(dup.w) AS DOUBLE) / count(*), 6) AS dup_rate
+    FROM wins LEFT JOIN dup ON wins.w = dup.w
+    GROUP BY wins.doc_id
+    """,
+)
+def dedup_repeated_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (the Lee et al. 2022 signal
+    behind suffix-array dedup, at window granularity): slide a
+    {_RW_W}-char window at stride {_RW_S} over every document; a window
+    is DUPLICATED when its exact text occurs in ≥ 2 distinct documents;
+    ``dup_rate`` is the duplicated fraction of a document's windows —
+    the per-doc "how much of this text exists elsewhere verbatim"
+    number that length-normalized Jaccard hides. Two shuffles, both on
+    the window key (the group-by that finds cross-doc windows and the
+    join back); windows are |chars|/{_RW_S} rows. At corpus scale, swap
+    the shuffled key for xxhash64(window) — here the raw text keys keep
+    the DuckDB oracle exact."""
+    docs = _table(spark, sf_dir, "documents")
+    wins = (
+        docs.filter(F.length("text") >= _RW_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length("text") - (_RW_W - 1),
+                    F.lit(_RW_S),
+                )
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substring(text, i, {_RW_W})").alias("w"))
+    )
+    dup = (
+        wins.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("w", F.lit(1).alias("_dup"))
+    )
+    return (
+        wins.join(dup, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_dup").alias("n_dup_windows"),
+            F.round(
+                F.count("_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )

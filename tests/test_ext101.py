@@ -111,3 +111,48 @@ def test_temperature_sampling_properties(spark):
             assert abs(
                 r["epochs_per_pass"] - r["sampled_p"] / r["natural_p"]
             ) < 1e-3
+
+
+def test_repeated_window_rate_properties(spark):
+    from collections import defaultdict
+
+    from gemini_data_wrangler_spark.queries import registry
+    from gemini_data_wrangler_spark.queries_ext101 import _RW_S, _RW_W
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    rows = registry()["dedup_repeated_window_rate"][0](spark, SF_ORACLE)
+    data = {r["doc_id"]: r for r in rows.collect()}
+    for r in data.values():
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+
+    # Full pure-Python recomputation of the window duplication counts.
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_sf_tables(spark, SF_ORACLE)["documents"]
+        .select("doc_id", "text")
+        .collect()
+    }
+    owners = defaultdict(set)
+    windows = {}
+    for did, tx in docs.items():
+        if len(tx) < _RW_W:
+            continue
+        ws = [
+            tx[i : i + _RW_W]
+            for i in range(0, len(tx) - _RW_W + 1, _RW_S)
+        ]
+        windows[did] = ws
+        for w in set(ws):
+            owners[w].add(did)
+    dup = {w for w, ds in owners.items() if len(ds) >= 2}
+    assert dup, "fixture corpus should contain cross-doc repeated windows"
+    assert set(data) == set(windows)
+    some_positive = False
+    for did, ws in windows.items():
+        n_dup = sum(1 for w in ws if w in dup)
+        assert data[did]["n_windows"] == len(ws), did
+        assert data[did]["n_dup_windows"] == n_dup, did
+        assert abs(data[did]["dup_rate"] - round(n_dup / len(ws), 6)) < 1e-9
+        some_positive = some_positive or n_dup > 0
+    assert some_positive
