@@ -104,7 +104,8 @@ def sketch_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select("doc_id", "_shingles"),
         "doc_id",
         num_perm=_MH_K,
-    )
+    ).persist()  # feeds BOTH sides of the pair join — without the persist
+    # the semi-join + shingle + 126-permutation subtree computes twice
     est = F.aggregate(
         F.zip_with(
             F.col("_sa"), F.col("_sb"), lambda x, y: F.when(x == y, 1).otherwise(0)

@@ -404,7 +404,7 @@ def sketch_bbit_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.expr(f"transform(_sig, v -> v & {mask})").alias("_bsig"),
-    )
+    ).persist()  # consumed by both pair-join sides (see queries_ext37)
     est = (
         F.expr("size(filter(zip_with(_ba, _bb, (x, y) -> x = y), m -> m))").cast(
             "double"
