@@ -100,10 +100,10 @@ def _rrf_oracle() -> str:
 def rec_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF hybrid retrieval: fuse a 5-gram-Jaccard lexical ranking and an
     exact cosine vector ranking per query document with
-    score = Σ 1/({_RRF_K} + rank), taking each ranking's top
-    {_RRF_LIST_K} and returning the fused top {_RRF_TOP}. Rankings use
-    rounded scores with id tie-breaks, and the fused score is a sum of
-    two dyadic-rational-free but ORDER-FIXED doubles, so the output is
+    score = Σ 1/(60 + rank), taking each ranking's top
+    20 and returning the fused top 10. Rankings use
+    rounded scores with id tie-breaks, and the fused score adds at most
+    two identically-computed doubles in a fixed order, so the output is
     engine-deterministic. Queries are broadcast on both branches —
     candidate scans are shuffle-free passes; the fusion join sees only
     |queries| x 2k rows."""
@@ -202,7 +202,7 @@ _TEMP_ALPHA = 0.3  # mT5's multilingual sampling exponent
 )
 def corpus_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (mT5 / XLM-R recipe): sampling
-    probability p_s ∝ chars_s^{_TEMP_ALPHA} flattens the natural size (char-budget)
+    probability p_s ∝ chars_s^0.3 flattens the natural size (char-budget)
     distribution so low-resource sources are seen more than their share;
     ``epochs_per_pass`` = sampled_p / natural_p is how many effective
     epochs each source runs per corpus pass (the repetition-budget
@@ -264,13 +264,13 @@ _RW_S = 16  # stride
 def dedup_repeated_window_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication coverage (the Lee et al. 2022 signal
     behind suffix-array dedup, at window granularity): slide a
-    {_RW_W}-char window at stride {_RW_S} over every document; a window
+    32-char window at stride 16 over every document; a window
     is DUPLICATED when its exact text occurs in ≥ 2 distinct documents;
     ``dup_rate`` is the duplicated fraction of a document's windows —
     the per-doc "how much of this text exists elsewhere verbatim"
     number that length-normalized Jaccard hides. Two shuffles, both on
     the window key (the group-by that finds cross-doc windows and the
-    join back); windows are |chars|/{_RW_S} rows. At corpus scale, swap
+    join back); windows are |chars|/16 rows. At corpus scale, swap
     the shuffled key for xxhash64(window) — here the raw text keys keep
     the DuckDB oracle exact."""
     docs = _table(spark, sf_dir, "documents")
