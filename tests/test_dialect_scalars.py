@@ -220,3 +220,38 @@ def test_scalar_expressions_match_duckdb(spark, duck, chunk_idx):
         assert _canon(sp[i]) == _canon(dk[i]), (
             f"{expr!r}: duck={dk[i]!r} spark={sp[i]!r}"
         )
+
+
+AGG_CASES = [
+    ("regr_avgx(y, x)", "(VALUES (1.0,2.0),(2.0,NULL),(3.0,6.0)) t(x,y)"),
+    ("regr_avgy(y, x)", "(VALUES (1.0,2.0),(2.0,NULL),(3.0,6.0)) t(x,y)"),
+    ("regr_count(y, x)", "(VALUES (1.0,2.0),(2.0,NULL),(3.0,6.0)) t(x,y)"),
+    ("round(regr_sxx(y, x), 9)", "(VALUES (1.0,2.0),(2.0,4.5),(3.0,6.0)) t(x,y)"),
+    ("round(regr_syy(y, x), 9)", "(VALUES (1.0,2.0),(2.0,4.5),(3.0,6.0)) t(x,y)"),
+    ("round(regr_sxy(y, x), 9)", "(VALUES (1.0,2.0),(2.0,4.5),(3.0,6.0)) t(x,y)"),
+    ("covar_pop(y, x)", "(VALUES (1.0,2.0),(2.0,NULL),(3.0,6.0)) t(x,y)"),
+    ("covar_samp(y, x)", "(VALUES (1.0,2.0),(2.0,NULL),(3.0,6.0)) t(x,y)"),
+    ("stddev(v)", "(VALUES (1.0),(2.0),(4.0)) t(v)"),
+    ("variance(v)", "(VALUES (1.0),(2.0),(4.0)) t(v)"),
+    ("sum(v) FILTER (WHERE v > 1)", "(VALUES (1),(2),(3)) t(v)"),
+    ("max_by(a, b)", "(VALUES (1,10),(2,30)) t(a,b)"),
+    ("min_by(a, b)", "(VALUES (1,10),(2,30)) t(a,b)"),
+    ("round(skewness(v), 6)", "(VALUES (1.0),(2.0),(4.0),(8.0),(16.0)) t(v)"),
+    ("round(kurtosis(v), 6)", "(VALUES (1.0),(2.0),(4.0),(8.0),(16.0)) t(v)"),
+    ("round(kurtosis_pop(v), 6)", "(VALUES (1.0),(2.0),(4.0),(8.0),(16.0)) t(v)"),
+    ("fsum(v)", "(VALUES (1),(2)) t(v)"),
+    ("favg(v)", "(VALUES (2.0),(3.0)) t(v)"),
+    ("geomean(v)", "(VALUES (1.0),(4.0)) t(v)"),
+    ("arbitrary(v)", "(VALUES (7),(7)) t(v)"),
+    ("count_if(v > 1)", "(VALUES (1),(2),(3)) t(v)"),
+    ("bool_and(v)", "(VALUES (true),(false)) t(v)"),
+    ("bit_xor(v)", "(VALUES (7),(5)) t(v)"),
+]
+
+
+@pytest.mark.parametrize("expr,frm", AGG_CASES, ids=[c[0][:30] for c in AGG_CASES])
+def test_aggregates_over_values_match_duckdb(spark, duck, expr, frm):
+    sql = f"SELECT {expr} AS r FROM {frm}"
+    dv = duck.execute(sql).fetchone()[0]
+    sv = spark.sql(duckdb_to_spark_sql(sql)).collect()[0][0]
+    assert _canon(sv) == _canon(dv), f"{expr}: duck={dv!r} spark={sv!r}"
