@@ -144,6 +144,93 @@ def _verify_jaccard(
     )
 
 
+_BITMAP_MAX_VOCAB = 16_384
+
+
+def _verify_jaccard_bitmap(
+    candidates: DataFrame,  # columns: doc_a, doc_b
+    shingled: DataFrame,  # columns: <id_col>, _shingles
+    vocab: DataFrame,  # columns: _g (distinct shingle hashes), _df
+    vocab_n: int,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-jaccard verify specialized for SMALL shingle vocabularies:
+    dictionary-encode each doc's shingle set into a dense bitmap of
+    ``ceil(vocab_n/64)`` longs, then intersect candidates with AND+popcount
+    instead of a hash-set ``array_intersect`` over ~|doc| elements.
+
+    Boilerplate-heavy corpora (templated pages, log-like text) collapse to
+    a few thousand distinct shingles while individual docs still carry
+    thousands of set members — there the candidate verify dominates the
+    whole PPJoin (measured 3.9 s of a 7 s sf0.1 run) and each AND+popcount
+    word replaces ~64 hash probes. Same integers, same double division,
+    same output as :func:`_verify_jaccard`; callers gate on the measured
+    vocabulary size (``_BITMAP_MAX_VOCAB`` words × 8 B = 2 KB/doc ceiling)
+    and fall back to the hash-set verify for open-domain corpora where the
+    vocabulary grows with the corpus.
+
+    The vocabulary→bit-index window is a single unpartitioned row_number,
+    bounded by the same gate (≤16 k rows), and the bitmap build reuses the
+    doc-keyed partitioning of ``shingled`` (explode + broadcast join keep
+    it), so both groupBys run exchange-free.
+    """
+    from pyspark.sql import Window
+
+    n_words = (vocab_n + 63) // 64
+    vid = vocab.select(
+        "_g", (F.row_number().over(Window.orderBy("_g")) - 1).alias("_vid")
+    )
+    ex = shingled.select(F.col(id_col), F.explode("_shingles").alias("_g"))
+    words = (
+        ex.join(F.broadcast(vid), "_g")
+        .select(
+            F.col(id_col),
+            (F.col("_vid") / 64).cast("int").alias("_wi"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_vid % 64 AS INT))").alias(
+                "_bit"
+            ),
+        )
+        .groupBy(id_col, "_wi")
+        .agg(F.expr("bit_or(_bit)").alias("_w"))
+    )
+    bm = (
+        words.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("_wi", "_w"))).alias("_m"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}),"
+                " wi -> coalesce(element_at(_m, wi), CAST(0 AS BIGINT)))"
+            ).alias("_bm"),
+        )
+        .join(shingled.select(F.col(id_col), F.size("_shingles").alias("_n")), id_col)
+    )
+    a = bm.select(
+        F.col(id_col).alias("doc_a"), F.col("_bm").alias("_ba"), F.col("_n").alias("_na")
+    )
+    b = bm.select(
+        F.col(id_col).alias("doc_b"), F.col("_bm").alias("_bb"), F.col("_n").alias("_nb")
+    )
+    # Same arithmetic as _verify_jaccard: integer intersection / integer
+    # union in double division — bit-identical jaccard values.
+    inter = F.expr(
+        "CAST(aggregate(zip_with(_ba, _bb, (x, y) -> bit_count(x & y)),"
+        " 0, (acc, v) -> acc + v) AS DOUBLE)"
+    )
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram jaccard (shingle self-join)
 # ---------------------------------------------------------------------------
@@ -189,9 +276,10 @@ def ngram_jaccard_pairs(
     # cached subtree, so the engine measures: freq is persisted, counted
     # (one aggregate over cached shingles), and joined broadcast iff small.
     freq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).persist()
+    vocab_n = freq.count()
     ranked_src = (
         ex.join(F.broadcast(freq), "_g")
-        if freq.count() <= 5_000_000  # ~80 MB of (long, long) — well in budget
+        if vocab_n <= 5_000_000  # ~80 MB of (long, long) — well in budget
         else ex.join(freq, "_g")
     )
     ranked = ranked_src.withColumn(
@@ -241,6 +329,16 @@ def ngram_jaccard_pairs(
     required = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb")))
     ubound = F.col("_c") + F.least(F.col("_na") - F.col("_mra"), F.col("_nb") - F.col("_mrb"))
     candidates = pair_stats.filter(ubound >= required).select("doc_a", "doc_b")
+    # Boilerplate-heavy corpora have tiny shingle vocabularies but huge
+    # candidate sets (weak prefix filter when every doc-frequency is high):
+    # there the dense-bitmap verify replaces ~64 hash probes per word with
+    # one AND+popcount. The vocabulary count is already on hand from the
+    # broadcast decision; open-domain corpora fall through to the hash-set
+    # verify, whose cost scales with doc length, not vocabulary.
+    if vocab_n <= _BITMAP_MAX_VOCAB:
+        return _verify_jaccard_bitmap(
+            candidates, shingled, freq, vocab_n, id_col, threshold
+        )
     return _verify_jaccard(candidates, shingled, id_col, threshold)
 
 

@@ -62,7 +62,17 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    # Checkpoint cadence: on dangling-free graphs `ranks` feeds exactly ONE
+    # downstream branch per round (the contribution join), so several rounds
+    # can chain inside a single plan segment with zero recompute — 3 rounds
+    # per materialization cuts the per-round job/materialization overhead
+    # (and the block-manager churn at cluster scale) ~3× while keeping
+    # lineage bounded. With dangling mass, `ranks` feeds TWO branches per
+    # round (contribs + the dangling-mass aggregate); Spark does not share
+    # unmaterialized common subplans across branches, so chaining would
+    # double the recompute per level — there every round materializes.
+    checkpoint_every = 1 if has_dangling else 3
+    for _it in range(iterations):
         contribs = (
             e.join(
                 ranks.join(outdeg, "node").withColumnRenamed("node", "_s"),
@@ -87,7 +97,9 @@ def pagerank(
                 + F.lit(damping)
                 * (F.coalesce(F.col("_in"), F.lit(0.0)) + redistributed)
             ).alias("rank"),
-        ).localCheckpoint()
+        )
+        if (_it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -141,7 +153,9 @@ def personalized_pagerank(
     ranks = seed_flags.select(
         "node", (F.col("_seed") / n_seeds).alias("rank")
     ).localCheckpoint()
-    for _ in range(iterations):
+    # Single-branch rank state per round (no dangling by contract) → chain
+    # 3 rounds per materialization, same cadence rationale as `pagerank`.
+    for _it in range(iterations):
         contribs = (
             e.join(
                 ranks.join(outdeg, "node").withColumnRenamed("node", "_s"),
@@ -151,17 +165,15 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = (
-            seed_flags.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * F.col("_seed") / n_seeds
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = seed_flags.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) * F.col("_seed") / n_seeds
+                + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if (_it + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -268,7 +280,10 @@ def label_propagation(
     labels = (
         und.select(F.col("_s").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
-    for _ in range(iterations):
+    # `labels` feeds exactly one branch per round, so rounds chain inside a
+    # plan segment with no recompute; materialize every 3rd round to bound
+    # lineage (same cadence rationale as `pagerank` on dangling-free graphs).
+    for _it in range(iterations):
         neigh = (
             und.join(labels.withColumnRenamed("node", "_d"), "_d")
             .groupBy(F.col("_s").alias("node"), "label")
@@ -286,7 +301,7 @@ def label_propagation(
             .filter(F.col("_rk") == 1)
             .select("node", "label")
         )
-        labels = best.localCheckpoint()
+        labels = best.localCheckpoint() if (_it + 1) % 3 == 0 else best
     return labels
 
 

@@ -43,6 +43,23 @@ def test_lsh_recall_matches_exact_pairs(spark, documents):
     assert lsh == exact
 
 
+def test_bitmap_verify_equals_hashset_verify(spark, documents, monkeypatch):
+    """The dense-bitmap verify (small-vocabulary fast path) must return the
+    exact pair set AND bit-identical jaccard values of the hash-set
+    ``array_intersect`` verify it replaces — same integers, same double
+    division, different physical evaluation only."""
+    import gemini_data_wrangler_spark.operators.dedup as dd
+
+    def _full(df):
+        return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+
+    bitmap = _full(ngram_jaccard_pairs(documents, "doc_id", "text", n=5, threshold=0.8))
+    monkeypatch.setattr(dd, "_BITMAP_MAX_VOCAB", 0)  # force the hash-set path
+    hashset = _full(ngram_jaccard_pairs(documents, "doc_id", "text", n=5, threshold=0.8))
+    assert len(bitmap) > 0
+    assert bitmap == hashset
+
+
 def test_simhash_recall_matches_exact_pairs(spark, documents):
     exact = _pairs(ngram_jaccard_pairs(documents, "doc_id", "text", n=5, threshold=0.8))
     sim = _pairs(simhash_pairs(documents, "doc_id", "text", n=5, jaccard_threshold=0.8))

@@ -207,6 +207,12 @@ def test_ngram_rank_window_needs_no_exchange(spark):
     for i, ln in enumerate(lines):
         if "Window [row_number" not in ln:
             continue
+        if "doc_id" not in ln:
+            # The bitmap verify's vocabulary→bit-index window is UNpartitioned
+            # by design (bounded ≤ _BITMAP_MAX_VOCAB rows by its gate); only
+            # the doc-partitioned prefix-rank window carries the full shingle
+            # stream and must stay exchange-free.
+            continue
         seen += 1
         for nxt in lines[i + 1 :]:
             if "BroadcastHashJoin" in nxt:
