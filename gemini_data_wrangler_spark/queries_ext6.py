@@ -77,16 +77,28 @@ def word_ngrams(tokens_col: str, n: int) -> F.Column:
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-train-doc count of distinct word n-grams also present in the
     eval set, plus a contaminated flag. The eval n-gram set is broadcast
-    (benchmarks are tiny); the train side never self-joins."""
+    (benchmarks are tiny); the train side never self-joins.
+
+    Two scale choices beyond the SQL shape: n-grams are hashed to longs
+    inside the projection (xxhash64 — trigram STRINGS never reach a
+    shuffle; collision odds over the vocabulary are ~1e-13, and the
+    sf0.01 DuckDB hash-match pins the counts), and the eval/train split
+    happens BEFORE the distinct so the tiny eval side never drags a
+    second full-corpus explode+distinct through its own plan branch
+    (Spark executes multi-referenced unpersisted subtrees once per
+    branch)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
     )
-    ng = docs.select(
-        "doc_id", F.explode(word_ngrams("t", 3)).alias("g")
-    ).distinct()
     is_eval = F.col("doc_id") % 97 == 0
-    ev = ng.filter(is_eval).select("g").distinct()
-    tr = ng.filter(~is_eval)
+
+    def _ngrams(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id", F.explode(word_ngrams("t", 3)).alias("_gs")
+        ).select("doc_id", F.xxhash64("_gs").alias("g"))
+
+    ev = _ngrams(docs.filter(is_eval)).select("g").distinct()
+    tr = _ngrams(docs.filter(~is_eval)).distinct()
     hits = (
         tr.join(F.broadcast(ev), "g")
         .groupBy("doc_id")
