@@ -300,14 +300,28 @@ def kmeans_lloyd(
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        # Assignment = broadcast crossJoin (k cosines per vector, all
+        # whole-stage-codegen — a row-local HOF argmax was A/B-tested and
+        # LOST ~1.5×: nested higher-order functions evaluate interpreted)
+        # + max_by aggregation instead of a ranking window: the window
+        # shuffled and sorted the full k×N exploded stream every round,
+        # while max_by's map-side partial collapses it to one row per
+        # vector BEFORE the exchange (k× less shuffle traffic). The
+        # ordering struct (_sim, -cell_id) reproduces the window's
+        # ORDER BY _sim DESC, cell_id ASC tie-break exactly (struct
+        # comparison is lexicographic; Spark orders NaN greatest in both).
         scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
             "_sim", cosine_similarity(F.col("_v"), F.col("_c"))
         )
-        w = Window.partitionBy("_id").orderBy(F.col("_sim").desc(), F.col("cell_id").asc())
         assigned = (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("cell_id", "_v")
+            scored.groupBy("_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cell_id"), F.col("_v")),
+                    F.struct(F.col("_sim"), (-F.col("cell_id")).alias("_nc")),
+                ).alias("_best")
+            )
+            .select(F.col("_best.cell_id").alias("cell_id"), F.col("_best._v").alias("_v"))
         )
         dims = assigned.select(
             "cell_id", F.posexplode("_v").alias("_pos", "_val")
