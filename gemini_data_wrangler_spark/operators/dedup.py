@@ -490,16 +490,22 @@ def simhash_bits(shingled: DataFrame, id_col: str, bits: int = 64) -> DataFrame:
     ex = shingled.select(F.col(id_col), F.explode("_shingles").alias("_g")).select(
         F.col(id_col), F.xxhash64("_g").alias("_h")
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"_v{j}")
+    # ±1 votes algebraically: votes_j = 2·ones_j − n, so the sign test
+    # votes_j > 0 is 2·ones_j > n. Summing the raw bit (shift+mask+add)
+    # instead of a ±1 CASE keeps the per-row hot loop branch-free — 64
+    # conditional selects per shingle removed, same sign bit out.
+    ones = [
+        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_o{j}")
         for j in range(bits)
     ]
-    agg = ex.groupBy(id_col).agg(*votes)
+    agg = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nsh"), *ones)
     packed = None
     for j in range(bits):
-        bit = F.when(F.col(f"_v{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bit = (
+            F.when(F.col(f"_o{j}") * 2 > F.col("_nsh"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
         term = F.shiftleft(bit, j)
         packed = term if packed is None else packed.bitwiseOR(term)
     return agg.select(F.col(id_col), packed.alias("_simhash"))
