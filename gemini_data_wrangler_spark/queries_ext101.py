@@ -115,9 +115,14 @@ def rec_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     emb = _table(spark, sf_dir, "embeddings")
 
+    # Shingles hash to longs INSIDE the transform (the jaccard below only
+    # needs set sizes, which xxhash64 preserves at ~1e-13 collision odds —
+    # the sf0.01 oracle hash-check pins the counts): the per-(doc,query)
+    # array_intersect then probes primitive longs instead of hashing 5-char
+    # strings, and no shingle string survives past the scan projection.
     sh = (
         "array_distinct(transform(sequence(1, greatest(length({t}) - 4, 1)), "
-        "i -> substring({t}, i, 5)))"
+        "i -> xxhash64(substring({t}, i, 5))))"
     )
     shingled = docs.select(
         "doc_id", F.expr(sh.format(t="text")).alias("_sh")
