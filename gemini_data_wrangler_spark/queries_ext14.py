@@ -3,10 +3,10 @@ incremental corpus dedup, skew diagnostics, EWMA smoothing, and an
 array-function bank.
 
 - SemDeDup (Abbas et al. 2023): k-means blocking + within-cluster exact
-  cosine — the embedding-space dedup that scales past all-pairs. Pairs
-  are rows-only (k-means isn't SQL); the companion check query reduces it
-  to oracle-checkable booleans: precision must be exactly 1 (every pair
-  re-verified against the exact pair set) and recall ≥ a floor.
+  cosine — the embedding-space dedup that scales past all-pairs. Directly
+  oracle-backed since round 3 (the unrolled Lloyd CTE extends to the
+  multi-assign + pair verify); the companion check query additionally
+  gates precision (exactly 1 vs the exact pair set) and a recall floor.
 - Int8-quantized top-k: the ¼-footprint serving tier, gated the same way
   as LSH/IVF (recall@10 vs the exact brute-force ranking ≥ floor).
 - Incremental batch dedup: the nightly-crawl shape — dedup a NEW batch
@@ -46,8 +46,50 @@ _SEM_THRESHOLD = 0.45
 _SEM_K = 8
 
 
-@register("dedup_semantic", None)  # k-means blocking: rows-only; gated below
+def _semantic_oracle(k: int = _SEM_K, iters: int = 3, n_assign: int = 2) -> str:
+    """Full SemDeDup re-derivation in DuckDB: the unrolled Lloyd CTE from
+    queries_ext3 (shared with the hash-matched `embedding_kmeans` oracle —
+    identical centroids through every iteration), extended with the final
+    rank≤n_assign multi-assignment and within-cell pair verify. Both
+    engines round the pair cosine to 6 before thresholding, and the cosine
+    accumulates left-to-right in doubles on both sides, so the pair set
+    and sims are hash-comparable. The per-cell numpy prefilter on the
+    Spark side admits everything within 1e-3 of the threshold before the
+    exact verify, so it cannot flip membership."""
+    from gemini_data_wrangler_spark.queries_ext3 import _cos_sql, _kmeans_cte
+
+    return (
+        _kmeans_cte(k=k, iters=iters)
+        + f""", asg AS MATERIALIZED (
+  SELECT vec_id, cell_id FROM (
+    SELECT s.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY {_cos_sql("s.v", "c.c")} DESC, c.cell_id) AS rn
+    FROM vecs s CROSS JOIN c{iters} c
+  ) WHERE rn <= {n_assign}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM asg a JOIN asg b USING (cell_id)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, sim FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         round({_cos_sql("va.v", "vb.v")}, 6) AS sim
+  FROM cand
+  JOIN vecs va ON va.vec_id = cand.doc_a
+  JOIN vecs vb ON vb.vec_id = cand.doc_b
+) WHERE sim >= {_SEM_THRESHOLD}"""
+    )
+
+
+@register("dedup_semantic", _semantic_oracle())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs, now DIRECTLY oracle-backed (was rows-only through
+    round 2): the DuckDB side re-derives k-means blocking, multi-assign,
+    and the within-cell rounded-cosine verify from scratch — two
+    independent implementations of the full pipeline must emit the
+    identical (doc_a, doc_b, sim) set. `dedup_semantic_check` stays as
+    the precision/recall gate against the exact all-pairs set."""
     from gemini_data_wrangler_spark.operators.similarity import semantic_dedup_pairs
 
     emb = _table(spark, sf_dir, "embeddings")

@@ -477,24 +477,28 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lloyd CTE; determinism and monotone inertia additionally asserted in
 # tests/test_ext_stages.py)
 # ---------------------------------------------------------------------------
-def _kmeans_oracle(k: int = 8, iters: int = 3, stride: int = 50, dim: int = 64) -> str:
-    """Unrolled Lloyd re-derivation in DuckDB: deterministic stride init
-    (k smallest ids ≡ vec_id % stride = 0, dense 0..k-1 cell ids), per
-    iteration assign-by-max-cosine (tie → lower cell_id, same formula as
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB cosine with the same arithmetic as
     `functions/vectors.py::cosine_similarity`: double-cast elements,
-    sequential accumulation) then element-wise means. Centroids compare
-    as DECIMAL(18,6) so sub-ulp summation-order noise cannot flip the
-    hash."""
+    left-to-right accumulation — binary-comparable with the Spark side."""
+    return (
+        f"list_sum(list_transform(range(1, {dim} + 1), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> "
+        f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> "
+        f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+def _kmeans_cte(k: int = 8, iters: int = 3, stride: int = 50, dim: int = 64) -> str:
+    """The unrolled Lloyd WITH-chain through ``c{iters}`` (final centroid
+    table) — shared by the `embedding_kmeans` oracle and the SemDeDup
+    oracle in queries_ext14, which extends it with the final multi-assign
+    + within-cell pair verify."""
 
     def cos(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(range(1, {dim} + 1), i -> "
-            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
-            f"(sqrt(list_sum(list_transform({a}, x -> "
-            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
-            f"sqrt(list_sum(list_transform({b}, x -> "
-            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
-        )
+        return _cos_sql(a, b, dim)
 
     parts = [
         f"""WITH vecs AS MATERIALIZED (
@@ -524,8 +528,19 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, stride: int = 50, dim: int = 64) 
   ) GROUP BY cell_id
 )"""
         )
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, stride: int = 50, dim: int = 64) -> str:
+    """Unrolled Lloyd re-derivation in DuckDB: deterministic stride init
+    (k smallest ids ≡ vec_id % stride = 0, dense 0..k-1 cell ids), per
+    iteration assign-by-max-cosine (tie → lower cell_id, same formula as
+    `functions/vectors.py::cosine_similarity`: double-cast elements,
+    sequential accumulation) then element-wise means. Centroids compare
+    as DECIMAL(18,6) so sub-ulp summation-order noise cannot flip the
+    hash."""
     return (
-        "".join(parts)
+        _kmeans_cte(k, iters, stride, dim)
         + f"""
 SELECT cell_id,
        list_transform(c, x -> CAST(round(x, 6) AS DECIMAL(18,6))) AS centroid,
