@@ -418,14 +418,150 @@ def similarity_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
 
 
-@register("similarity_lsh_topk", None)  # approximate: rows-only check
+def _lsh_topk_oracle(
+    k: int = 10, n_planes: int = 4, n_tables: int = 12, dim: int = 64
+) -> str:
+    """Direct DuckDB re-derivation of random-hyperplane LSH top-k: the
+    hyperplanes are sha256-derived ±1 constants, baked here as SQL
+    literals, so the whole index — sign-bit bucket strings per (vector,
+    table), hamming≤1 multi-probe on the query side, exact rounded-cosine
+    rerank — is re-derivable from scratch. The one float-sensitive step is
+    the bucket sign bit: numpy's matmul and DuckDB's sequential list_sum
+    accumulate in different orders, so a projection within ~1e-15 of zero
+    could bucket differently — odds ~1e-13 per (vector, plane), pinned
+    green by the sf0.01/sf0.001 hash checks."""
+    from gemini_data_wrangler_spark.operators.similarity import _hyperplane_weights
+    from gemini_data_wrangler_spark.queries_ext3 import _cos_sql
+
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    wrows = ",\n      ".join(
+        "({t}, {p}, [{ws}])".format(
+            t=t,
+            p=p,
+            ws=", ".join(
+                "1.0" if x > 0 else "-1.0" for x in _hyperplane_weights(t, p, dim)
+            ),
+        )
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    flips = ", ".join(
+        f"concat(substr(b.bucket, 1, {p - 1}), "
+        f"CASE WHEN substr(b.bucket, {p}, 1) = '1' THEN '0' ELSE '1' END, "
+        f"substr(b.bucket, {p + 1}, {n_planes - p}))"
+        for p in range(1, n_planes + 1)
+    )
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), w(tbl, plane, wt) AS (
+      VALUES
+      {wrows}
+    ), b AS MATERIALIZED (
+      SELECT vec_id, tbl,
+             string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY plane) AS bucket
+      FROM (
+        SELECT v.vec_id, w.tbl, w.plane,
+               list_sum(list_transform(range(1, {dim} + 1),
+                 i -> v.v[i] * wt[i])) AS dot
+        FROM v CROSS JOIN w
+      ) GROUP BY vec_id, tbl
+    ), probes AS (
+      SELECT b.vec_id AS query_id, b.tbl,
+             unnest([b.bucket, {flips}]) AS bucket
+      FROM b WHERE b.vec_id IN ({ids})
+    ), pairs AS (
+      SELECT DISTINCT p.query_id, c.vec_id
+      FROM probes p
+      JOIN b c ON c.tbl = p.tbl AND c.bucket = p.bucket
+      WHERE c.vec_id != p.query_id
+    ), scored AS (
+      SELECT pr.query_id, pr.vec_id,
+             round({_cos_sql("vq.v", "vc.v")}, 6) AS sim
+      FROM pairs pr
+      JOIN v vq ON vq.vec_id = pr.query_id
+      JOIN v vc ON vc.vec_id = pr.vec_id
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_lsh_topk", _lsh_topk_oracle())
 def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k, DIRECTLY oracle-backed since round 3 (was
+    rows-only): the planes are deterministic sha256 constants, so DuckDB
+    re-derives buckets, multi-probe, and the exact rerank from scratch.
+    The recall gate below still anchors it to the brute-force ranking."""
     emb = _table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
 
 
-@register("similarity_ivf_topk", None)  # approximate: rows-only check
+def _ivf_topk_oracle(
+    k: int = 10, n_cells: int = 10, nprobe: int = 3, stride: int = 50, dim: int = 64
+) -> str:
+    """Direct DuckDB re-derivation of IVF top-k: the index is DETERMINISTIC
+    (stride-sampled centroids, argmax-cosine assignment with cell-id
+    tie-breaks, nprobe nearest cells, exact rounded-cosine rerank), so
+    like the quantized tier it admits a full oracle rather than only a
+    recall gate. Cosines mirror the Spark side's left-to-right double
+    arithmetic (the same pairing the kmeans / SemDeDup oracles already
+    hash-match through three Lloyd iterations). The centroid sample pins
+    ORDER BY vec_id — the id order Spark's stride-filter + limit yields on
+    the id-ordered parquet source."""
+    from gemini_data_wrangler_spark.queries_ext3 import _cos_sql
+
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cent AS MATERIALIZED (
+      SELECT vec_id AS cell_id, v AS c FROM v
+      WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {n_cells}
+    ), asg AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell_id AS cell,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_cos_sql("s.v", "c.c")} DESC, c.cell_id) AS rn
+        FROM v s CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), qasg AS (
+      SELECT query_id, cell FROM (
+        SELECT s.vec_id AS query_id, c.cell_id AS cell,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_cos_sql("s.v", "c.c")} DESC, c.cell_id) AS rn
+        FROM v s CROSS JOIN cent c
+        WHERE s.vec_id IN ({ids})
+      ) WHERE rn <= {nprobe}
+    ), scored AS (
+      SELECT q.query_id, a.vec_id,
+             round({_cos_sql("vq.v", "va.v")}, 6) AS sim
+      FROM qasg q
+      JOIN asg a USING (cell)
+      JOIN v vq ON vq.vec_id = q.query_id
+      JOIN v va ON va.vec_id = a.vec_id
+      WHERE a.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_ivf_topk", _ivf_topk_oracle())
 def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k, DIRECTLY oracle-backed since round 3 (was rows-only):
+    every index step is deterministic, so DuckDB re-derives centroids,
+    assignments, probing, and the exact rerank from scratch. The recall
+    gate below still anchors it to the brute-force ranking."""
     emb = _table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
 

@@ -163,8 +163,52 @@ def dedup_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Int8-quantized ANN + recall gate
 # ---------------------------------------------------------------------------
-@register("similarity_quantized_topk", None)  # approximate: rows-only; gated below
+def _quantized_topk_oracle(k: int = 10, dim: int = 64) -> str:
+    """Direct DuckDB re-derivation of int8-quantized top-k: the
+    approximation is DETERMINISTIC (unit-normalize → round(127·x) int8
+    codes → exact integer dot / 127²), so unlike the hash-bucketed ANN
+    tiers it admits a full oracle, not just a recall gate. The only
+    floating-point steps — the normalization and the final /16129 —
+    mirror the Spark side's left-to-right double arithmetic; the dot
+    itself is integer-exact, and ranking uses the rounded sim with
+    vec_id tie-breaks on both sides."""
+    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) / nrm * 127.0) AS INT)) AS qv
+      FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding, x ->
+                 CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings)
+    ), q AS (
+      SELECT vec_id AS query_id, qv AS qq FROM u WHERE vec_id IN ({ids})
+    ), scored AS (
+      SELECT q.query_id, u.vec_id,
+             round(CAST(list_sum(list_transform(range(1, {dim} + 1), i ->
+               CAST(q.qq[i] AS BIGINT) * CAST(u.qv[i] AS BIGINT))) AS DOUBLE)
+               / (127.0 * 127.0), 6) AS sim
+      FROM u CROSS JOIN q
+      WHERE u.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_quantized_topk", _quantized_topk_oracle())
 def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized top-k, DIRECTLY oracle-backed since round 3 (was
+    rows-only): quantization is deterministic, so DuckDB re-derives the
+    codes, the exact integer dot, and the ranking from scratch. The
+    recall gate below additionally anchors it to the float ranking."""
     from gemini_data_wrangler_spark.operators.similarity import (
         quantized_topk,
         queries_from_ids,

@@ -352,8 +352,54 @@ def _rerank_topk(emb: DataFrame, q: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
-@register("similarity_rerank_topk", None)  # approximate: rows-only; gated below
+def _rerank_topk_oracle(k: int = 10) -> str:
+    """Direct DuckDB re-derivation of retrieve-then-rerank: both stages
+    are DETERMINISTIC (truncated-dim rounded cosine with vec_id
+    tie-breaks → exact full-dim rounded cosine), so the whole two-stage
+    pipeline admits a full oracle. Cosines mirror Spark's left-to-right
+    double accumulation; the coarse cut ranks on the same rounded sim as
+    `_ranked_topk`, so the 100-candidate boundary is identical."""
+    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+    from gemini_data_wrangler_spark.queries_ext3 import _cos_sql
+
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT vec_id, embedding, embedding[1:{_RERANK_DIMS}] AS tv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             embedding[1:{_RERANK_DIMS}] AS qt
+      FROM embeddings WHERE vec_id IN ({ids})
+    ), coarse AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_cos_sql("q.qt", "e.tv", _RERANK_DIMS)}, 6) DESC,
+                          e.vec_id) AS crank
+        FROM q CROSS JOIN t e
+        WHERE e.vec_id != q.query_id
+      ) WHERE crank <= {_RERANK_CAND}
+    ), scored AS (
+      SELECT c.query_id, c.vec_id,
+             round({_cos_sql("q.qv", "e.embedding", 64)}, 6) AS sim
+      FROM coarse c
+      JOIN t e ON e.vec_id = c.vec_id
+      JOIN q ON q.query_id = c.query_id
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_rerank_topk", _rerank_topk_oracle())
 def similarity_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank top-k, DIRECTLY oracle-backed since round 3
+    (was rows-only): both stages are deterministic, so DuckDB re-derives
+    the truncated-dim coarse cut and the exact rerank from scratch. The
+    recall gate below still anchors it to the brute-force ranking."""
     from gemini_data_wrangler_spark.operators.similarity import queries_from_ids
     from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
 
