@@ -851,10 +851,22 @@ def pq_topk(
         .withColumn("_p", pdot)
         .select("query_id", "j", "code", "_p")
     )
+    # ADC = fold of the m LUT entries in SUBSPACE ORDER, not F.sum: a
+    # groupBy sum adds the m doubles in partial-aggregation arrival order,
+    # which is plan-dependent — the ordered fold makes the score a
+    # deterministic left-to-right sum, bit-reproducible across engines
+    # (this is what lets the PQ tier carry a full DuckDB oracle instead of
+    # only a recall gate). m is 8: the collect_list holds 8 structs.
     adc = (
         codes.join(F.broadcast(lut), ["j", "code"])
         .groupBy("query_id", F.col(id_col).alias("vec_id"))
-        .agg(F.sum("_p").alias("_adc"))
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "_p"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["_p"],
+            ).alias("_adc")
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     wsl = Window.partitionBy("query_id").orderBy(

@@ -416,8 +416,106 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Product-quantization ANN + recall gate
 # ---------------------------------------------------------------------------
-@register("similarity_pq_topk", None)  # approximate: rows-only; gated below
+def _pq_topk_oracle(
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    shortlist: int = 100,
+    code_stride: int = 31,
+) -> str:
+    """Direct DuckDB re-derivation of PQ+ADC top-k, possible because every
+    float reduction in the Spark operator is a FIXED-ORDER fold: unit
+    normalization, per-subspace L2² encode distances, LUT partial dots,
+    and (since round 3) the ADC score itself — a subspace-ordered fold,
+    not a plan-order groupBy sum. DuckDB's list_sum accumulates the same
+    left-to-right order, so codes, LUT, ADC, the 100-candidate shortlist
+    boundary (unrounded ADC with vec_id tie-breaks — identical doubles on
+    both sides), and the exact rerank all reproduce bit-for-bit."""
+    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+    from gemini_data_wrangler_spark.queries_ext3 import _cos_sql
+
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    sub = dim // m
+
+    def sub_dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub} + 1), i -> {a}[i] * {b}[i]))"
+        )
+
+    def sub_l2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sub} + 1), i -> "
+            f"({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+      FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding, x ->
+                 CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings)
+    ), subs AS MATERIALIZED (
+      SELECT vec_id, j, u[j * {sub} + 1 : (j + 1) * {sub}] AS sv
+      FROM u CROSS JOIN range(0, {m}) r(j)
+    ), cb AS MATERIALIZED (
+      SELECT j, code, sv AS cv FROM (
+        SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS code, sv
+        FROM subs WHERE vec_id % {code_stride} = 0
+      ) WHERE code < {n_codes}
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY {sub_l2("s.sv", "c.cv")} ASC, c.code ASC) AS rn
+        FROM subs s JOIN cb c ON c.j = s.j
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT s.vec_id AS query_id, c.j, c.code,
+             {sub_dot("s.sv", "c.cv")} AS p
+      FROM subs s JOIN cb c ON c.j = s.j
+      WHERE s.vec_id IN ({ids})
+    ), adc AS (
+      SELECT l.query_id, co.vec_id,
+             list_sum(list(l.p ORDER BY l.j)) AS adc
+      FROM codes co JOIN lut l ON l.j = co.j AND l.code = co.code
+      WHERE co.vec_id <> l.query_id
+      GROUP BY l.query_id, co.vec_id
+    ), short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc DESC, vec_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= {shortlist}
+    ), v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), scored AS (
+      SELECT s.query_id, s.vec_id,
+             round({_cos_sql("vq.v", "vc.v")}, 6) AS sim
+      FROM short s
+      JOIN v vq ON vq.vec_id = s.query_id
+      JOIN v vc ON vc.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_pq_topk", _pq_topk_oracle())
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ+ADC top-k, DIRECTLY oracle-backed since round 3 (was rows-only):
+    with the ADC score computed as a subspace-ordered fold, every float
+    reduction in the pipeline is fixed-order, so DuckDB re-derives the
+    codebook, codes, LUT, shortlist, and exact rerank from scratch. The
+    recall gate below still anchors it to the brute-force ranking."""
     from gemini_data_wrangler_spark.operators.similarity import (
         pq_topk,
         queries_from_ids,
