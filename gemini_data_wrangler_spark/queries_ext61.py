@@ -45,10 +45,18 @@ def mmr_topk(
     exact cosine, then greedily pick items maximizing
     λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s). The greedy loop runs
     per query group in one Arrow batch (pool ≤ {_MMR_POOL}); ties break
-    by vec_id so the selection is deterministic."""
-    import numpy as np
+    by vec_id so the selection is deterministic.
+
+    The pairwise pool similarities are computed JVM-SIDE with the exact
+    left-to-right fold and rounded to 6 BEFORE the kernel sees them
+    (round 3; previously a numpy matmul inside the kernel): the greedy
+    chain then runs on engine-reproducible inputs, which is what lets
+    `similarity_mmr_topk` carry a full recursive-CTE DuckDB oracle
+    instead of only invariant gates. Pool pairs are |Q|·pool² skinny
+    rows — trivial beside the corpus scan that feeds the pool."""
     import pandas as pd
 
+    from gemini_data_wrangler_spark.functions.vectors import cosine_similarity
     from gemini_data_wrangler_spark.operators.similarity import (
         cosine_topk,
         queries_from_ids,
@@ -56,39 +64,128 @@ def mmr_topk(
 
     q = queries_from_ids(emb, query_ids)
     cand = cosine_topk(emb, q, k=pool).select("query_id", "vec_id", "sim")
-    vecs = emb.select("vec_id", F.col("embedding").alias("_v"))
-    pool_df = cand.join(vecs, "vec_id")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    )
+    pool_v = cand.join(vecs, "vec_id").select("query_id", "vec_id", "sim", "_v")
+    a = pool_v.select(
+        "query_id",
+        F.col("vec_id").alias("va"),
+        F.col("sim").alias("rel_a"),
+        F.col("_v").alias("_xa"),
+    )
+    b = pool_v.select(
+        "query_id", F.col("vec_id").alias("vb"), F.col("_v").alias("_xb")
+    )
+    # Self-pairs stay in (the greedy never consults S[i][i] — i is skipped
+    # once chosen) so single-candidate pools still form a pandas group.
+    pairs = a.join(b, "query_id").select(
+        "query_id",
+        "va",
+        "vb",
+        "rel_a",
+        F.round(cosine_similarity(F.col("_xa"), F.col("_xb")), 6).alias("s"),
+    )
 
     schema = "query_id long, vec_id long, sim double, mmr_rank int"
 
     def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["sim", "vec_id"], ascending=[False, True])
-        M = np.array(pdf["_v"].tolist(), dtype=np.float64)
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        S = M @ M.T
-        rel = pdf["sim"].to_numpy()
-        ids = pdf["vec_id"].to_numpy()
+        rel: dict[int, float] = {}
+        sim: dict[tuple[int, int], float] = {}
+        for row in pdf.itertuples():
+            rel[row.va] = row.rel_a
+            sim[(row.va, row.vb)] = row.s
+        ids = sorted(rel)
         chosen: list[int] = []
-        for _ in range(min(k, len(pdf))):
-            best, best_score = None, None
-            for i in range(len(pdf)):
+        for _ in range(min(k, len(ids))):
+            best, best_key = None, None
+            for i in ids:
                 if i in chosen:
                     continue
-                div = max(S[i][j] for j in chosen) if chosen else 0.0
+                div = max(sim[(i, j)] for j in chosen) if chosen else 0.0
                 score = lam * rel[i] - (1 - lam) * div
-                key = (score, -ids[i])
-                if best is None or key > best_score:
-                    best, best_score = i, key
+                key = (score, -i)
+                if best is None or key > best_key:
+                    best, best_key = i, key
             chosen.append(best)
-        out = pdf.iloc[chosen][["query_id", "vec_id", "sim"]].copy()
-        out["mmr_rank"] = range(1, len(chosen) + 1)
-        return out
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "vec_id": chosen,
+                "sim": [rel[c] for c in chosen],
+                "mmr_rank": range(1, len(chosen) + 1),
+            }
+        )
 
-    return pool_df.groupBy("query_id").applyInPandas(select_group, schema)
+    return pairs.groupBy("query_id").applyInPandas(select_group, schema)
 
 
-@register("similarity_mmr_topk", None)  # greedy selection: rows-only; gated below
+def _mmr_topk_oracle(
+    k: int = _MMR_K, pool: int = _MMR_POOL, lam: float = _MMR_LAMBDA
+) -> str:
+    """Direct DuckDB re-derivation of the MMR greedy chain as a recursive
+    CTE: with the pool's pairwise similarities rounded to 6 on both sides
+    (identical left-to-right cosine arithmetic), each greedy step is an
+    argmax over engine-identical doubles — the score expression spells
+    ``λ·rel − (1−λ)·div`` with λ CAST to DOUBLE so ``1−λ`` produces the
+    same binary64 value Python's float arithmetic does. One recursion
+    step per selection, window-ranked argmax with the kernel's
+    (score DESC, vec_id ASC) tie-break."""
+    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+    from gemini_data_wrangler_spark.queries_ext3 import _cos_sql
+
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    lamd = f"CAST({lam!r} AS DOUBLE)"
+    return f"""
+    WITH RECURSIVE v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), pool AS MATERIALIZED (
+      SELECT query_id, vec_id, sim FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               round({_cos_sql("q.v", "e.v")}, 6) AS sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({_cos_sql("q.v", "e.v")}, 6) DESC, e.vec_id) AS rn
+        FROM v q CROSS JOIN v e
+        WHERE q.vec_id IN ({ids}) AND e.vec_id != q.vec_id
+      ) WHERE rn <= {pool}
+    ), ps AS MATERIALIZED (
+      SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+             round({_cos_sql("x.v", "y.v")}, 6) AS s
+      FROM pool a
+      JOIN pool b ON b.query_id = a.query_id AND b.vec_id != a.vec_id
+      JOIN v x ON x.vec_id = a.vec_id
+      JOIN v y ON y.vec_id = b.vec_id
+    ), sel AS (
+      SELECT query_id, 1 AS step, vec_id, sim, [vec_id] AS sel_list FROM (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {lamd} * sim DESC, vec_id) AS rn
+        FROM pool
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT query_id, step + 1, vec_id, sim, list_append(sel_list, vec_id) FROM (
+        SELECT s.query_id, s.step, p.vec_id, p.sim, s.sel_list,
+               row_number() OVER (PARTITION BY s.query_id ORDER BY
+                 {lamd} * p.sim - (1 - {lamd}) * (
+                   SELECT max(ps.s) FROM ps
+                   WHERE ps.query_id = s.query_id AND ps.va = p.vec_id
+                     AND list_contains(s.sel_list, ps.vb)
+                 ) DESC, p.vec_id) AS rn
+        FROM sel s
+        JOIN pool p ON p.query_id = s.query_id
+        WHERE s.step < {k} AND NOT list_contains(s.sel_list, p.vec_id)
+      ) WHERE rn = 1
+    )
+    SELECT query_id, vec_id, sim, step AS mmr_rank FROM sel"""
+
+
+@register("similarity_mmr_topk", _mmr_topk_oracle())
 def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR top-k, DIRECTLY oracle-backed since round 3 (was rows-only):
+    with rounded engine-identical pairwise sims, the greedy chain is
+    reproducible, and DuckDB replays it step by step in a recursive CTE.
+    The invariant gates below still pin diversity and relevance."""
     from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
 
     emb = _table(spark, sf_dir, "embeddings")
