@@ -126,8 +126,90 @@ def graph_ann_beam_topk(
     )
 
 
-@register("similarity_graph_ann_topk", None)  # approximate: rows-only check
+def _gann_oracle(
+    k: int = _GANN_K,
+    degree: int = _GANN_DEGREE,
+    beam: int = _GANN_BEAM,
+    hops: int = _GANN_HOPS,
+) -> str:
+    """Direct DuckDB re-derivation of the beam search: the hop count is
+    FIXED, so the whole search unrolls into chained CTEs (one
+    neighbors→fresh→score→visited→frontier block per hop), the same
+    trick as the unrolled-Lloyd and unrolled-PageRank oracles. Every
+    decision point — the kNN graph, the beam cut, the final ranking —
+    compares ROUNDED sims with vec_id tie-breaks on both sides, so the
+    search path reproduces exactly."""
+    from gemini_data_wrangler_spark.queries_ext3 import _cos_sql
+
+    ids = ", ".join(str(i) for i in _GANN_QUERY_IDS)
+    head = f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), graph AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round({_cos_sql("a.v", "b.v")}, 6) DESC, b.vec_id) AS rk
+        FROM v a JOIN v b ON b.vec_id != a.vec_id
+      ) WHERE rk <= {degree}
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id IN ({ids})
+    ), ent AS (
+      SELECT min(vec_id) AS e FROM v
+    ), vis0 AS (
+      SELECT q.query_id, ev.vec_id AS node,
+             round({_cos_sql("q.qv", "ev.v")}, 6) AS sim
+      FROM q JOIN v ev ON ev.vec_id = (SELECT e FROM ent)
+    ), f0 AS (
+      SELECT query_id, node FROM vis0
+    )"""
+    blocks = []
+    for h in range(1, hops + 1):
+        p = h - 1
+        blocks.append(f""", n{h} AS (
+      SELECT DISTINCT f.query_id, g.dst AS node
+      FROM f{p} f JOIN graph g ON g.src = f.node
+    ), s{h} AS MATERIALIZED (
+      SELECT fr.query_id, fr.node, round({_cos_sql("q.qv", "nv.v")}, 6) AS sim
+      FROM (
+        SELECT n.query_id, n.node FROM n{h} n
+        WHERE NOT EXISTS (
+          SELECT 1 FROM vis{p} pv
+          WHERE pv.query_id = n.query_id AND pv.node = n.node)
+      ) fr
+      JOIN q ON q.query_id = fr.query_id
+      JOIN v nv ON nv.vec_id = fr.node
+    ), vis{h} AS MATERIALIZED (
+      SELECT * FROM vis{p} UNION ALL SELECT * FROM s{h}
+    ), f{h} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, node) AS rk
+        FROM s{h}
+      ) WHERE rk <= {beam}
+    )""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT query_id, node AS vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, node) AS rank
+      FROM vis{hops} WHERE node != query_id
+    ) WHERE rank <= {k}"""
+    )
+
+
+@register("similarity_graph_ann_topk", _gann_oracle())
 def similarity_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN beam top-k, DIRECTLY oracle-backed since round 3 (was
+    rows-only): the fixed hop count unrolls the search into chained CTEs
+    and every decision compares rounded sims, so DuckDB replays the exact
+    search path. The recall gate below still anchors it to the
+    brute-force ranking."""
     from gemini_data_wrangler_spark.operators.similarity import queries_from_ids
 
     emb = _table(spark, sf_dir, "embeddings")
