@@ -112,7 +112,11 @@ def graph_ann_beam_topk(
         )
         fresh = neigh.join(visited.select("query_id", "node"), ["query_id", "node"], "left_anti")
         scored = score(fresh).localCheckpoint()
-        visited = visited.union(scored).localCheckpoint()
+        # visited is a union of ALREADY-materialized pieces (the entry
+        # frame and each hop's checkpointed `scored`), so re-reading it in
+        # the next anti-join or the final ranking replays cached blocks —
+        # checkpointing the union again was one redundant job per hop.
+        visited = visited.union(scored)
         frontier = (
             scored.withColumn("_r", F.row_number().over(by_sim))
             .filter(F.col("_r") <= beam)
