@@ -404,7 +404,10 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        # Both operands are already-materialized checkpoints, so the
+        # union replays cached blocks wherever it is referenced -- no
+        # extra checkpoint job per round.
+        visited = visited.unionAll(nxt)
         frontier = nxt
     sym.unpersist()
     return visited

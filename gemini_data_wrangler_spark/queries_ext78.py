@@ -132,7 +132,10 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        # Both operands are already-materialized checkpoints, so the
+        # union replays cached blocks wherever it is referenced -- no
+        # extra checkpoint job per round.
+        visited = visited.unionAll(nxt)
         frontier = nxt
     sym.unpersist()
     return (
