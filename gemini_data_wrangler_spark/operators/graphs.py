@@ -404,10 +404,7 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        # Both operands are already-materialized checkpoints, so the
-        # union replays cached blocks wherever it is referenced -- no
-        # extra checkpoint job per round.
-        visited = visited.unionAll(nxt)
+        visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
     sym.unpersist()
     return visited
