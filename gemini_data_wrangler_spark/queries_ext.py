@@ -6,7 +6,8 @@ surface (SURVEY.md §7.2 M6): window functions, dedup (exact / exact-jaccard
 Registered into the same ``queries.registry()`` the driver consumes. Every
 query that is SQL-expressible carries a DuckDB oracle; approximate operators
 whose *verified* output equals the exact answer on the test corpus carry the
-exact oracle (recall confirmed in tests); the rest are rows-only.
+exact oracle (recall confirmed in tests), and the deterministic approximate
+tiers (LSH / IVF here) carry FULL index re-derivation oracles since round 3.
 """
 
 from __future__ import annotations

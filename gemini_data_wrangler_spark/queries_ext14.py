@@ -7,8 +7,9 @@ array-function bank.
   oracle-backed since round 3 (the unrolled Lloyd CTE extends to the
   multi-assign + pair verify); the companion check query additionally
   gates precision (exactly 1 vs the exact pair set) and a recall floor.
-- Int8-quantized top-k: the ¼-footprint serving tier, gated the same way
-  as LSH/IVF (recall@10 vs the exact brute-force ranking ≥ floor).
+- Int8-quantized top-k: the ¼-footprint serving tier — full oracle since
+  round 3 (deterministic codes + exact integer dot re-derived in DuckDB),
+  plus the recall@10 gate vs the exact brute-force ranking.
 - Incremental batch dedup: the nightly-crawl shape — dedup a NEW batch
   against the existing corpus (near-dup via the MinHash pair set, which
   is exact-verified ≡ the jaccard-0.8 pair set). At 100 TB the corpus
