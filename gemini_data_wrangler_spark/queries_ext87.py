@@ -112,8 +112,10 @@ def graph_hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (growth stays far below double overflow — see the oracle note) and
     # a single L2 normalizer divides each side at the end: one
     # materialization per round instead of two, no per-round scalar
-    # passes. The final auth recompute is one join+agg off the
-    # checkpointed hub — cheaper than checkpointing auth every round.
+    # passes. The FINAL auth is materialized once after the loop — it
+    # feeds three consumers (its norm, the output projection, and the
+    # last hub round already inside the loop), and unmaterialized Spark
+    # branches would recompute the join+agg per reference.
     auth = None
     for _ in range(_HITS_ITERS):
         auth = edges.join(hub, "c").groupBy("s").agg(F.sum("h").alias("a"))
@@ -123,6 +125,7 @@ def graph_hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("a").alias("h"))
             .localCheckpoint()
         )
+    auth = auth.localCheckpoint()
     anorm = auth.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("_z"))
     hnorm = hub.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("_z"))
     hub_top = hub.crossJoin(F.broadcast(hnorm)).select(
