@@ -128,7 +128,8 @@ def text_boilerplate_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT DISTINCT term, doc_id FROM tokens)
     ),
     postings AS (
-      SELECT term, list_sort(list(doc_id)) AS posting_head
+      SELECT term,
+             array_to_string(list_sort(list(doc_id)), ',') AS posting_head
       FROM ranked WHERE rn <= 100 GROUP BY term
     )
     SELECT s.term, s.df, s.cf, p.posting_head
@@ -157,7 +158,15 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = (
         ranked.filter(F.col("rn") <= 100)
         .groupBy("term")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("posting_head"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("posting_head")
+        )
     )
     return stats.join(postings, "term").select("term", "df", "cf", "posting_head")
 

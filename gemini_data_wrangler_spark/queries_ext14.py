@@ -386,11 +386,12 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(ws) AS n_words,
-           list_sort(list_distinct(ws))[1:5] AS first5_distinct,
+           array_to_string(list_sort(list_distinct(ws))[1:5], '|')
+             AS first5_distinct,
            list_contains(ws, 'the') AS has_the,
            list_position(ws, 'table') AS pos_table,
            list_max(list_transform(ws, x -> len(x))) AS max_word_len,
-           list_reverse(ws[1:3]) AS first3_rev
+           array_to_string(list_reverse(ws[1:3]), '|') AS first3_rev
     FROM w
     """,
 )
@@ -406,11 +407,13 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size("ws").alias("n_words"),
-        F.slice(F.array_sort(F.array_distinct("ws")), 1, 5).alias("first5_distinct"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("ws")), 1, 5), "|"
+        ).alias("first5_distinct"),
         F.array_contains("ws", "the").alias("has_the"),
         F.array_position("ws", "table").alias("pos_table"),
         F.array_max(F.transform("ws", F.length)).alias("max_word_len"),
-        F.reverse(F.slice("ws", 1, 3)).alias("first3_rev"),
+        F.array_join(F.reverse(F.slice("ws", 1, 3)), "|").alias("first3_rev"),
     )
 
 

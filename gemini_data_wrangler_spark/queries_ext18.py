@@ -192,7 +192,7 @@ def _survivorship_oracle() -> str:
            min(d.doc_id) AS canonical_id,
            count(*) AS n_members,
            max(d.n_chars) AS max_chars,
-           list_sort(list(DISTINCT d.source)) AS sources
+           array_to_string(list_sort(list(DISTINCT d.source)), '|') AS sources
     FROM comp c JOIN documents d ON c.doc_id = d.doc_id
     GROUP BY c.cluster_id
     """
@@ -220,7 +220,9 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_id"),
             F.count(F.lit(1)).alias("n_members"),
             F.max("n_chars").alias("max_chars"),
-            F.sort_array(F.collect_set("source")).alias("sources"),
+            F.array_join(F.sort_array(F.collect_set("source")), "|").alias(
+                "sources"
+            ),
         )
     )
 

@@ -187,9 +187,13 @@ def agg_top_decile_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey,
            count(*) AS n_orders,
-           (list(o_orderpriority ORDER BY o_orderdate, o_orderkey))[1:5]
+           array_to_string(
+             (list(o_orderpriority ORDER BY o_orderdate, o_orderkey))[1:5], '|')
              AS first5_priorities,
-           (list(round(o_totalprice, 6) ORDER BY o_orderdate, o_orderkey))[1:3]
+           array_to_string(
+             list_transform(
+               (list(o_totalprice ORDER BY o_orderdate, o_orderkey))[1:3],
+               v -> CAST(CAST(v AS DECIMAL(18,6)) AS VARCHAR)), '|')
              AS first3_values
     FROM orders
     WHERE o_custkey < 100
@@ -202,13 +206,15 @@ def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence models. Spark's collect_list has no ORDER BY, so the sort
     key rides inside a struct (array_sort on (date, key, value) structs,
     then project) — hash-identical to DuckDB's `list(x ORDER BY ...)`
-    because the ordering is total."""
+    because the ordering is total.  The arrays are serialized with
+    `array_join` (values at a pinned DECIMAL(18,6) scale) so every output
+    column is a scalar the driver's pandas canonicalizer can hash."""
     orders = _table(spark, sf_dir, "orders")
     triple = F.struct(
         F.col("o_orderdate").alias("d"),
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("p"),
-        F.round("o_totalprice", 6).alias("v"),
+        F.col("o_totalprice").alias("v"),
     )
     g = (
         orders.filter(F.col("o_custkey") < 100)
@@ -221,6 +227,17 @@ def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "o_custkey",
         "n_orders",
-        F.slice(F.expr("transform(_a, s -> s.p)"), 1, 5).alias("first5_priorities"),
-        F.slice(F.expr("transform(_a, s -> s.v)"), 1, 3).alias("first3_values"),
+        F.array_join(
+            F.slice(F.expr("transform(_a, s -> s.p)"), 1, 5), "|"
+        ).alias("first5_priorities"),
+        F.array_join(
+            F.slice(
+                F.expr(
+                    "transform(_a, s -> CAST(CAST(s.v AS DECIMAL(18,6)) AS STRING))"
+                ),
+                1,
+                3,
+            ),
+            "|",
+        ).alias("first3_values"),
     )

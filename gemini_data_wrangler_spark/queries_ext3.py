@@ -543,7 +543,8 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, stride: int = 50, dim: int = 64) 
         _kmeans_cte(k, iters, stride, dim)
         + f"""
 SELECT cell_id,
-       list_transform(c, x -> CAST(round(x, 6) AS DECIMAL(18,6))) AS centroid,
+       unnest(range(0, {dim})) AS pos,
+       unnest(list_transform(c, x -> CAST(round(x, 6) AS DECIMAL(18,6)))) AS val,
        n_members
 FROM c{iters}"""
     )
@@ -555,18 +556,22 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is a fully unrolled Lloyd CTE in DuckDB — two independent
     implementations of the same deterministic algorithm must converge to
     the identical centroid table (compared at DECIMAL(18,6) to absorb
-    summation-order noise in the means)."""
+    summation-order noise in the means).  Output is exploded to one
+    ``(cell_id, pos, val)`` row per centroid dimension — all-scalar
+    columns so any pandas-style canonicalizer can sort/hash it."""
     from gemini_data_wrangler_spark.operators.similarity import kmeans_lloyd
 
     emb = _table(spark, sf_dir, "embeddings")
     cents = kmeans_lloyd(emb, k=8, max_iter=3)
     return cents.select(
         "cell_id",
-        F.transform(
-            "centroid", lambda x: F.round(x, 6).cast("decimal(18,6)")
-        ).alias("centroid"),
         "n_members",
-    )
+        F.posexplode(
+            F.transform(
+                "centroid", lambda x: F.round(x, 6).cast("decimal(18,6)")
+            )
+        ).alias("pos", "val"),
+    ).select("cell_id", "pos", "val", "n_members")
 
 
 # ---------------------------------------------------------------------------

