@@ -382,7 +382,7 @@ def _embedding_cosine_pairs(spark: SparkSession, sf_dir: str, route: str) -> Dat
             l2_norm(F.col("embedding")).alias("_norm"),
         )
         .repartition(sc.defaultParallelism, "vec_id")
-        .persist()
+        .localCheckpoint()  # eager: both pair-join sides (a, b) scan this frame
     )
     a = prepped.select(F.col("vec_id").alias("doc_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
     b = prepped.select(F.col("vec_id").alias("doc_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))

@@ -81,7 +81,8 @@ def rec_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("period").orderBy(F.desc("cents"), F.asc("p_brand"))
-    ranked = rev.withColumn("rk", F.row_number().over(w)).persist()
+    # eager: period-0 and period-1 branches both scan the ranking
+    ranked = rev.withColumn("rk", F.row_number().over(w)).localCheckpoint()
     depths = li.sparkSession.range(1, _RBO_K + 1).select(
         F.col("id").cast("int").alias("d")
     )

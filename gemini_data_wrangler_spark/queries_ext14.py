@@ -276,14 +276,17 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     in_batch = lambda c: (F.col(c) % 7) == 0  # noqa: E731
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    # Single pass over the pair set: at most one side of a pair can be the
+    # batch-vs-corpus orientation, so a when() chain replaces the former
+    # two-filter union (which referenced — and recomputed — the whole LSH
+    # pipeline once per branch).
     dup = (
-        pairs.filter(in_batch("doc_a") & ~in_batch("doc_b"))
-        .select(F.col("doc_a").alias("doc_id"))
-        .union(
-            pairs.filter(in_batch("doc_b") & ~in_batch("doc_a")).select(
-                F.col("doc_b").alias("doc_id")
-            )
+        pairs.select(
+            F.when(in_batch("doc_a") & ~in_batch("doc_b"), F.col("doc_a"))
+            .when(in_batch("doc_b") & ~in_batch("doc_a"), F.col("doc_b"))
+            .alias("doc_id")
         )
+        .filter(F.col("doc_id").isNotNull())
         .distinct()
         .withColumn("_d", F.lit(1))
     )

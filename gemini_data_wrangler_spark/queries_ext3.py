@@ -609,9 +609,16 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     which in Spark comes ONLY from `hll_union_agg` over the per-group
     sketches) must sit within 5% of the shared exact anchor."""
     orders = _table(spark, sf_dir, "orders")
-    per_seg = orders.groupBy("o_orderpriority").agg(
-        F.hll_sketch_agg(F.col("o_custkey").cast("string")).alias("_sk"),
-        F.count_distinct("o_custkey").alias("exact_distinct"),
+    # Eagerly materialize the 5-row sketch table: seg_est and the merged
+    # global_est branch both consume it, and a lazy plan would re-scan and
+    # re-sketch the fact table once per branch.
+    per_seg = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_agg(F.col("o_custkey").cast("string")).alias("_sk"),
+            F.count_distinct("o_custkey").alias("exact_distinct"),
+        )
+        .localCheckpoint()
     )
     seg_est = per_seg.select(
         "o_orderpriority",

@@ -82,9 +82,11 @@ def sketch_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame
     # Named `pairs`, not `exact`: exactness of this set is INHERITED from
     # the oracle-pinned recall guarantee of dedup_minhash_lsh at the 0.8
     # threshold (band-collision recall-dependent), not re-proven here.
+    # eager localCheckpoint: `participants` and the final pair join consume
+    # this concurrently — a lazy persist lets both recompute the LSH pass.
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=5, threshold=_MH_THRESHOLD
-    ).select("doc_a", "doc_b", "jaccard").persist()
+    ).select("doc_a", "doc_b", "jaccard").localCheckpoint()
     # Signatures are only needed for pair PARTICIPANTS — a tiny fraction
     # of the corpus; the k min-aggregates run over that semi-joined
     # subset, not every document (3× the suite's next-heaviest query
@@ -104,8 +106,9 @@ def sketch_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select("doc_id", "_shingles"),
         "doc_id",
         num_perm=_MH_K,
-    ).persist()  # feeds BOTH sides of the pair join — without the persist
-    # the semi-join + shingle + 126-permutation subtree computes twice
+    ).localCheckpoint()  # eagerly feeds BOTH sides of the pair join —
+    # lazily cached, the semi-join + shingle + 126-permutation subtree
+    # computes twice when the two join sides race
     est = F.aggregate(
         F.zip_with(
             F.col("_sa"), F.col("_sb"), lambda x, y: F.when(x == y, 1).otherwise(0)

@@ -125,7 +125,9 @@ def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_s", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("_s") >= _DB_TAU)
         .select("doc_a", "doc_b")
-        .persist()
+        # eager localCheckpoint: deg/core_edges/edges branches are scheduled
+        # concurrently and a lazy persist lets each recompute the ε-graph.
+        .localCheckpoint()
     )
     deg = (
         pairs.select(F.col("doc_a").alias("vec_id"))
@@ -133,7 +135,9 @@ def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    core = deg.filter(F.col("degree") >= _DB_MINPTS).select("vec_id").persist()
+    core = (
+        deg.filter(F.col("degree") >= _DB_MINPTS).select("vec_id").localCheckpoint()
+    )
     core_edges = (
         pairs.join(core.select(F.col("vec_id").alias("doc_a")), "doc_a")
         .join(core.select(F.col("vec_id").alias("doc_b")), "doc_b")
@@ -143,7 +147,7 @@ def embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     core_clusters = cc.unionByName(
         core.join(cc.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti")
         .select(F.col("vec_id").alias("doc_id"), F.col("vec_id").alias("cluster_id"))
-    ).persist()
+    ).localCheckpoint()
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))

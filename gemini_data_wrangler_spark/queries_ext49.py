@@ -236,7 +236,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemini_data_wrangler_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8).persist()
+    # localCheckpoint (eager), NOT lazy persist: deg and e fan out into
+    # concurrently-scheduled stages, and an unmaterialized cache makes each
+    # branch recompute the whole LSH pipeline (28.9 s vs ~1 s, round 3).
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.8
+    ).localCheckpoint()
     deg = (
         pairs.select(F.col("doc_a").alias("vec_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("vec_id")))

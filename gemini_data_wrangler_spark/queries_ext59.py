@@ -78,7 +78,9 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8).persist()
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.8
+    ).localCheckpoint()  # eager: CC + internal + deg branches all scan it
     comp = connected_components(pairs)
     ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("_ca"))
     cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("_cb"))

@@ -88,9 +88,15 @@ def graph_ann_beam_topk(
     # convergence probe — a single aggregate, not data on the driver).
     entry = embeddings.agg(F.min("vec_id")).collect()[0][0]
 
+    # Every loop-state frame (frontier / fresh / scored) is bounded by
+    # queries × beam × degree — a few hundred rows at ANY corpus scale, so
+    # broadcasting it into corpus-side joins and coalescing to one
+    # partition before each checkpoint is scale-correct: it removes the
+    # 32-partition shuffle/task overhead that dominated these tiny hops
+    # (graph-ANN was ~8 s of pure scheduling at sf0.1).
     def score(nodes: DataFrame) -> DataFrame:
         return (
-            nodes.join(vecs, "node")
+            vecs.join(F.broadcast(nodes), "node")
             .join(q, "query_id")
             .select(
                 "query_id",
@@ -99,19 +105,25 @@ def graph_ann_beam_topk(
             )
         )
 
-    visited = score(
-        queries.select("query_id").withColumn("node", F.lit(entry).cast("bigint"))
-    ).localCheckpoint()
+    visited = (
+        score(queries.select("query_id").withColumn("node", F.lit(entry).cast("bigint")))
+        .coalesce(1)
+        .localCheckpoint()
+    )
     frontier = visited.select("query_id", "node")
     by_sim = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("node"))
     for _ in range(hops):
         neigh = (
-            frontier.join(graph, frontier["node"] == graph["_src"])
+            graph.join(F.broadcast(frontier), graph["_src"] == frontier["node"])
             .select("query_id", F.col("_dst").alias("node"))
             .distinct()
         )
-        fresh = neigh.join(visited.select("query_id", "node"), ["query_id", "node"], "left_anti")
-        scored = score(fresh).localCheckpoint()
+        fresh = neigh.join(
+            F.broadcast(visited.select("query_id", "node")),
+            ["query_id", "node"],
+            "left_anti",
+        )
+        scored = score(fresh).coalesce(1).localCheckpoint()
         # visited is a union of ALREADY-materialized pieces (the entry
         # frame and each hop's checkpointed `scored`), so re-reading it in
         # the next anti-join or the final ranking replays cached blocks —

@@ -285,7 +285,7 @@ def stats_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("double").alias("y"),
         )
         .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+        .localCheckpoint()  # eager: the sample branch and the full inlier scan race
     )
     # hypothesis draws from a 10% deterministic key-sample (inlier
     # counting below still scans every point)
@@ -385,7 +385,7 @@ def sketch_bbit_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=_BBIT_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        .persist()
+        .localCheckpoint()  # eager: participants + the final pair join both scan
     )
     participants = (
         exact.select(F.col("doc_a").alias("doc_id"))
@@ -404,7 +404,7 @@ def sketch_bbit_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.expr(f"transform(_sig, v -> v & {mask})").alias("_bsig"),
-    ).persist()  # consumed by both pair-join sides (see queries_ext37)
+    ).localCheckpoint()  # eagerly consumed by both pair-join sides (see queries_ext37)
     est = (
         F.expr("size(filter(zip_with(_ba, _bb, (x, y) -> x = y), m -> m))").cast(
             "double"

@@ -316,7 +316,7 @@ def ab_propensity_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFra
             F.floor(F.col("o_totalprice") / _PS_BUCKET).cast("int").alias("x1"),
             (F.ascii(F.substring("c_mktsegment", 1, 1)) - 65).alias("x2"),
         )
-        .persist()
+        .localCheckpoint()  # eager: grid and the scoring branch both scan it
     )
     grid = unit.groupBy("x1", "x2").agg(
         F.count(F.lit(1)).alias("n"), F.sum("tr").alias("k")

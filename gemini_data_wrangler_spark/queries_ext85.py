@@ -227,7 +227,8 @@ def stats_eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("k"),
     )
-    elig = pp.filter(F.col("n") >= _EB_MIN_N).persist()
+    # eager: the moment aggregate and the per-row posterior both scan it
+    elig = pp.filter(F.col("n") >= _EB_MIN_N).localCheckpoint()
     rate = F.col("k").cast("double") / F.col("n")
     mom = elig.agg(
         F.avg(rate).alias("mu"),

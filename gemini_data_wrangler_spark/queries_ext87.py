@@ -229,7 +229,7 @@ def events_funnel_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("n4"),
-    ).persist()
+    ).localCheckpoint()  # eager: three per-step selects union off this one row
     rows = []
     names = ["view->click", "click->signup", "signup->purchase"]
     for i, nm in enumerate(names, start=1):

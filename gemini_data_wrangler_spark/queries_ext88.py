@@ -102,11 +102,12 @@ def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("y", "b")
     bins = scored.groupBy("b").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
-    ).persist()
+    )
     wp = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    # eager: a / z / p fan out of this frame inside one action
     pre = bins.select(
         "b", F.sum("n").over(wp).alias("cn"), F.sum("k").over(wp).alias("ck")
-    ).persist()
+    ).localCheckpoint()
     a = pre.select(F.col("b").alias("lo"))
     z = pre.select(F.col("b").alias("hi"), F.col("cn").alias("cnh"), F.col("ck").alias("ckh"))
     p = pre.select((F.col("b") + 1).alias("lo"), F.col("cn").alias("cnp"), F.col("ck").alias("ckp"))

@@ -121,7 +121,7 @@ def attribution_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = u.groupBy("mask").agg(
         F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
-    ).persist()
+    ).localCheckpoint()  # eager: total + the subset-mask join both scan it
     total = cells.agg(F.sum("n").alias("nt"))
     masks = (
         cells.sparkSession.range(0, 1 << _N_CH).select(F.col("id").cast("int").alias("smask"))
@@ -134,7 +134,7 @@ def attribution_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum(F.col("k").cast("double")), F.lit(0.0)).alias("kk"))
         .crossJoin(F.broadcast(total))
         .select("smask", (F.col("kk") / F.col("nt")).alias("val"))
-        .persist()
+        .localCheckpoint()  # eager: s and vy branches both scan it
     )
     chans = cells.sparkSession.createDataFrame(
         [(b, ch) for b, ch in enumerate(_SHAP_CHANNELS)], "bit int, channel string"

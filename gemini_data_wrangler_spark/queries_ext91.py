@@ -89,7 +89,7 @@ def rec_offpolicy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("arm"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("r"),
         split.alias("split"),
-    ).persist()
+    ).localCheckpoint()  # eager: train and the held-out eval branch both scan
     train = (
         logged.filter(F.col("split") == 0)
         .groupBy("ctx", "arm")

@@ -86,7 +86,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .persist()
+        .localCheckpoint()  # eager: clubs + both club_edges sides scan it
     )
     levels = docs.sparkSession.createDataFrame([(k,) for k in _RC_LEVELS], "k int")
     clubs = (

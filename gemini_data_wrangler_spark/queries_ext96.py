@@ -99,7 +99,8 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g"),
         )
         .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+        # eager: obs and the exploded lab branch both scan this frame
+        .localCheckpoint()
     )
     obs = base.agg(
         (
@@ -112,18 +113,35 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("d_obs")
     )
+    # Hoist the md5 digests ABOVE the 96-way explode: each order row needs
+    # only ceil(R/32)=3 digests, so compute them once into an array in a
+    # project BELOW the Generate, then the post-explode expression merely
+    # indexes bits — 32× fewer hashes than digesting per (okey, r) row.
+    n_digests = -(-_PERM_R // 32)
+    digests = F.array(
+        *[
+            F.expr(
+                "CAST(conv(substring(md5(concat(cast(okey as string),"
+                f" ':', '{j}')), 1, 8), 16, 10) AS BIGINT)"
+            )
+            for j in range(n_digests)
+        ]
+    )
     # SQL-form shiftright accepts an expression shift amount (the Python
     # API requires a literal int)
     gl = F.expr(
-        "shiftright(CAST(conv(substring(md5(concat(cast(okey as string), ':',"
-        " cast((r - 1) div 32 as string))), 1, 8), 16, 10) AS BIGINT),"
+        "shiftright(element_at(_digs, CAST((r - 1) div 32 AS INT) + 1),"
         " CAST((r - 1) % 32 AS INT)) & 1"
     )
-    lab = base.select(
-        "okey",
-        "cents",
-        F.explode(F.sequence(F.lit(1), F.lit(_PERM_R))).alias("r"),
-    ).select("r", "cents", gl.alias("gl"))
+    lab = (
+        base.select("cents", digests.alias("_digs"))
+        .select(
+            "cents",
+            "_digs",
+            F.explode(F.sequence(F.lit(1), F.lit(_PERM_R))).alias("r"),
+        )
+        .select("r", "cents", gl.alias("gl"))
+    )
     perm = lab.groupBy("r").agg(
         (
             (
