@@ -335,7 +335,11 @@ def ngram_jaccard_pairs(
     # one AND+popcount. The vocabulary count is already on hand from the
     # broadcast decision; open-domain corpora fall through to the hash-set
     # verify, whose cost scales with doc length, not vocabulary.
-    if vocab_n <= _BITMAP_MAX_VOCAB:
+    # vocab_n must be strictly positive: at 0 the bitmap width expression
+    # becomes sequence(0, -1) — a DESCENDING two-element array in Spark,
+    # not an empty one — so a degenerate corpus falls through to the
+    # hash-set verify instead.
+    if 0 < vocab_n <= _BITMAP_MAX_VOCAB:
         return _verify_jaccard_bitmap(
             candidates, shingled, freq, vocab_n, id_col, threshold
         )

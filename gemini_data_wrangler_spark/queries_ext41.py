@@ -112,22 +112,14 @@ def forecast_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Compression-ratio quality signal (rows-only: no SQL deflate)
+# Compression-ratio quality signal (bound-gated: no SQL deflate)
 # ---------------------------------------------------------------------------
-@register("text_compression_signal", None)
-def text_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deflate compression ratio per document (zlib level 6 over utf-8
-    bytes): templated/repetitive text compresses far below natural
-    prose, making the ratio a cheap standalone quality screen (the
-    information-theoretic cousin of `text_repetition_stats`, which
-    tests cross-check it against). Arrow-batched ``mapInPandas`` —
-    content work like the media decoders; rows-only by contract (no
-    SQL deflate), pinned by exact equality with direct zlib in tests.
-
-    Output: doc_id, raw_bytes, compressed_bytes, ratio (round 6)."""
+def compression_signal_frame(docs: DataFrame) -> DataFrame:
+    """Per-document deflate signal with the full column set
+    (doc_id, raw_bytes, compressed_bytes, ratio) — the registered query
+    projects the bound-gate subset; the unit test pins byte-exactness
+    against direct zlib through this frame."""
     import zlib
-
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -151,4 +143,41 @@ def text_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("raw_bytes"), F.lit(1)).cast("double"),
             6,
         ),
+    )
+
+
+@register(
+    "text_compression_signal",
+    """
+    SELECT doc_id,
+           coalesce(strlen(text), 0) AS raw_bytes,
+           TRUE AS bound_ok
+    FROM documents
+    """,
+)
+def text_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate compression ratio per document (zlib level 6 over utf-8
+    bytes): templated/repetitive text compresses far below natural
+    prose, making the ratio a cheap standalone quality screen (the
+    information-theoretic cousin of `text_repetition_stats`, which
+    tests cross-check it against). Arrow-batched ``mapInPandas`` —
+    content work like the media decoders.
+
+    DuckDB has no deflate, so the oracle follows the repo's bound-gate
+    pattern (queries_ext10 module docstring): doc_id and raw_bytes are
+    pinned EXACTLY (``strlen`` = utf-8 byte length) and ``bound_ok``
+    pins the deflate envelope — 0 < compressed ≤ raw + 64 (stored-block
+    overhead is ≤ 5 bytes per 64 KiB window + 6 header/trailer bytes).
+    zlib byte-exactness stays pinned by the unit test.
+
+    Output: doc_id, raw_bytes, bound_ok."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = compression_signal_frame(docs)
+    return out.select(
+        "doc_id",
+        "raw_bytes",
+        (
+            (F.col("compressed_bytes") > 0)
+            & (F.col("compressed_bytes") <= F.col("raw_bytes") + 64)
+        ).alias("bound_ok"),
     )

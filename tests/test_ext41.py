@@ -22,13 +22,15 @@ def test_backtest_errors_positive_and_beat_nothing_trivially(spark):
 
 
 def test_compression_signal_equals_direct_zlib(spark):
-    rows = {
-        r["doc_id"]: r
-        for r in _q("text_compression_signal")(spark, SF_ORACLE).collect()
-    }
+    from gemini_data_wrangler_spark.queries_ext41 import compression_signal_frame
     from gemini_data_wrangler_spark.sources.readers import load_sf_tables
 
-    docs = load_sf_tables(spark, SF_ORACLE)["documents"].collect()
+    table = load_sf_tables(spark, SF_ORACLE)["documents"]
+    rows = {
+        r["doc_id"]: r
+        for r in compression_signal_frame(table.select("doc_id", "text")).collect()
+    }
+    docs = table.collect()
     assert len(rows) == len(docs)
     for d in docs:
         raw = d["text"].encode("utf-8")
@@ -41,3 +43,8 @@ def test_compression_signal_equals_direct_zlib(spark):
     import statistics
 
     assert statistics.mean(r["ratio"] for r in rows.values()) < 0.6
+    # The registered bound-gate projection must pin TRUE on every row
+    # (what the DuckDB oracle asserts).
+    gated = _q("text_compression_signal")(spark, SF_ORACLE).collect()
+    assert len(gated) == len(docs)
+    assert all(r["bound_ok"] for r in gated)
