@@ -261,7 +261,27 @@ def compile_stage(
                 t2.name: spark.table(t2.name).columns
                 for t2 in spark.catalog.listTables()
             }
-        return spark.sql(duckdb_to_spark_sql(text, table_columns))
+        column_kinds = None
+        if re.search(r"\blen\s*\(", text, re.IGNORECASE):
+            # len() dispatch needs column TYPES (string vs array); build a
+            # flat column→kind map from the catalog, marking cross-table
+            # name collisions with conflicting kinds as undecidable.
+            column_kinds = {}
+            for t2 in spark.catalog.listTables():
+                for f in spark.table(t2.name).schema.fields:
+                    tn = f.dataType.typeName()
+                    kind = (
+                        "string"
+                        if tn == "string"
+                        else "array" if tn in ("array", "map") else "other"
+                    )
+                    key = f.name.lower()
+                    prev = column_kinds.get(key)
+                    if prev is not None and prev != kind:
+                        column_kinds[key] = "conflict"
+                    else:
+                        column_kinds[key] = kind
+        return spark.sql(duckdb_to_spark_sql(text, table_columns, column_kinds))
 
     if t == "LOAD":
         # In the engine, LOAD resolves an already-registered table (the

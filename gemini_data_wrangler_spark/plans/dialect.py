@@ -43,7 +43,8 @@ engines and passes through untouched.
 | ``list_aggregate(l, 'sum'/...)``   | ``list_sum``/``array_min``/``array_max``/``size`` (others → error) |
 | ``epoch_us`` / ``epoch_ms``        | ``unix_micros`` / ``unix_millis`` (NTZ-cast wrapped) |
 | ``quantile_cont(x, q)``            | ``percentile(x, q)`` |
-| ``quantile_disc`` / ``list_reduce``| refused → explicit error (index / seed semantics diverge) |
+| ``quantile_disc``                  | refused → explicit error (index semantics diverge) |
+| ``list_reduce(l, λ)``              | ``aggregate(slice(l, 2, …), element_at(l, 1), λ)`` (DuckDB's first-element seed replayed; empty list errors on both engines) |
 | ``WITH RECURSIVE`` (UNION ALL)     | pass through (Spark ≥ 4.0 native) |
 | ``WITH RECURSIVE`` (UNION)         | refused → explicit error (Spark recursion is UNION ALL-only; a distinct-dedup cyclic closure would not terminate) |
 | ``GROUP BY ALL`` / ``ILIKE``       | pass through (Spark-native) |
@@ -64,8 +65,8 @@ engines and passes through untouched.
 | ``json_extract[_string](j, p)``    | same targets as the arrow forms (literal single path only) |
 | ``{'k': v}`` / ``MAP {'k': v}``    | ``named_struct('k', v)`` / ``map('k', v)`` (innermost-first) |
 | ``SELECT * REPLACE (e AS c)``      | explicit column list with ``e AS c`` substituted (schema-supplied) |
-| ``len(x)``                         | refused → explicit error (type-overloaded: length() for strings, size() for arrays) |
-| ``regexp_replace(s, p, r, 'g')``   | 3-arg Spark call; ``i``/``s``/``m`` options fold into ``(?flags)``; first-match-only (no ``'g'``) refused — Spark replaces every match |
+| ``len(x)``                         | ``length(x)`` / ``size(x)`` dispatched on the inferred kind (literal shape, leading function, CAST target, or caller-supplied column kinds); undecidable → explicit error |
+| ``regexp_replace(s, p, r[, opts])``| global (``'g'``): 3-arg Spark call, ``i``/``s``/``m`` fold into ``(?flags)``, literal replacements convert RE2 rewrite syntax (``\\k``, literal ``$``) to Java (``$k``, ``\\$``); first-match (no ``'g'``): anchored ``^((?s).*?)(p)`` wrapper + ``$1``-prefixed replacement with group refs shifted by 2 (needs a literal replacement → else error) |
 | ``date_part('dow'/'isodow'/'epoch', x)`` | ``dayofweek(x)-1`` / ``weekday(x)+1`` / fractional epoch seconds (numbering diverges); shared fields pass through, ``datepart`` renamed |
 | ``epoch(ts)``                      | ``unix_micros(cast(ts as timestamp)) / 1e6`` |
 | ``x SIMILAR TO 'p'``               | ``x RLIKE '^(?:p)$'`` (DuckDB anchors the full string; ``%`` is a literal) |
@@ -1469,6 +1470,99 @@ _LEN_RE = re.compile(r"\blen\s*\(", re.IGNORECASE)
 _LIST_PREPEND_RE = re.compile(r"\b(?:list|array)_prepend\s*\(", re.IGNORECASE)
 _STRING_TO_ARRAY_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
 
+# len() dispatch support: DuckDB's len() is type-overloaded over strings
+# AND lists; Spark splits the surface into length()/size(). The kind of
+# the argument is inferred from literal shape, the leading function name,
+# a CAST target, or — when the caller supplies ``column_kinds`` (same
+# catalog plumbing class as COLUMNS expansion) — the resolved column type.
+_LEN_STRING_FNS = frozenset(
+    """concat concat_ws substr substring trim ltrim rtrim btrim upper lower
+    ucase lcase replace translate repeat left right lpad rpad format printf
+    format_string md5 regexp_extract initcap chr base64 hex to_hex
+    string_agg listagg array_to_string strftime to_json json_extract_string
+    get_json_object split_part typeof""".split()
+)
+_LEN_ARRAY_FNS = frozenset(
+    """split string_split str_split str_split_regex string_to_array
+    regexp_split_to_array regexp_extract_all array list_value transform
+    list_transform filter list_filter array_distinct list_distinct
+    array_sort list_sort list_reverse_sort sort_array sequence
+    generate_series range flatten slice list_slice array_concat list_concat
+    array_append list_append array_prepend list_prepend array_remove
+    map_keys map_values collect_list collect_set array_agg shuffle
+    array_repeat array_union array_intersect array_except list_zip
+    arrays_zip""".split()
+)
+_LEN_IDENT_RE = re.compile(r"^(?:[A-Za-z_][A-Za-z_0-9]*\.)*([A-Za-z_][A-Za-z_0-9]*)$")
+_LEN_LEADING_FN_RE = re.compile(r"^([A-Za-z_][A-Za-z_0-9]*)\s*\(")
+_CAST_TARGET_RE = re.compile(r"\bas\s+([A-Za-z_]+)\s*(?:\(\s*\d+\s*\))?\s*$", re.IGNORECASE)
+
+
+def _len_kind(arg: str, column_kinds: dict[str, str] | None) -> str | None:
+    """'string' | 'array' | None (undecidable) for a len() argument."""
+    a = arg.strip()
+    if re.fullmatch(r"\x00\d+\x00", a):
+        return "string"
+    if a.startswith("["):
+        return "array"
+    m = _LEN_LEADING_FN_RE.match(a)
+    if m and _find_matching(a, a.index("("), "(", ")") == len(a) - 1:
+        fn = m.group(1).lower()
+        if fn == "cast":
+            tm = _CAST_TARGET_RE.search(a[: len(a) - 1])
+            if tm and tm.group(1).lower() in ("varchar", "string", "text", "char", "bpchar"):
+                return "string"
+            return None
+        if fn in _LEN_STRING_FNS:
+            return "string"
+        if fn in _LEN_ARRAY_FNS:
+            return "array"
+        return None
+    im = _LEN_IDENT_RE.match(a)
+    if im and column_kinds:
+        kind = column_kinds.get(im.group(1).lower())
+        return kind if kind in ("string", "array") else None
+    return None
+
+
+def _rewrite_len(masked: str, column_kinds: dict[str, str] | None) -> str:
+    def build(m, args):
+        if len(args) != 1:
+            return None
+        kind = _len_kind(args[0], column_kinds)
+        if kind == "string":
+            return f"length({args[0]})"
+        if kind == "array":
+            return f"size({args[0]})"
+        raise ValueError(
+            "len() is type-overloaded in DuckDB (strings AND lists) and the "
+            "argument's type could not be resolved from the expression or "
+            "the supplied schema; write length() for strings or size() for "
+            "arrays"
+        )
+
+    return _rewrite_call(masked, _LEN_RE, build)
+
+
+def _rewrite_list_reduce(masked: str) -> str:
+    """DuckDB ``list_reduce(l, λ)`` seeds the left fold with the FIRST
+    element and folds λ(acc, x) over the rest; Spark's ``aggregate``
+    requires an explicit seed, so replay DuckDB's semantics as
+    ``aggregate(slice(l, 2, …), element_at(l, 1), λ)``. Empty lists error
+    on both engines (DuckDB refuses the fold; ANSI ``element_at`` raises
+    on index 1), NULL lists return NULL on both."""
+
+    def build(m, args):
+        if len(args) != 2:
+            raise ValueError("list_reduce takes exactly (list, lambda)")
+        l, lam = args
+        return (
+            f"aggregate(slice({l}, 2, greatest(size({l}) - 1, 0)), "
+            f"element_at({l}, 1), {lam})"
+        )
+
+    return _rewrite_call(masked, _LIST_REDUCE_RE, build)
+
 
 def _rewrite_call(masked: str, pattern: re.Pattern, build) -> str:
     """Generic ``fn(...)`` rewrite: ``build(match, args) -> replacement``
@@ -2615,48 +2709,115 @@ def _rewrite_from_unnest(masked: str) -> str:
 _REGEXP_REPLACE_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
 
 
+def _re2_rewrite_to_java(body: str, shift: int) -> str:
+    """RE2 rewrite-string → Java ``Matcher`` replacement: ``\\k`` group
+    refs become ``$(k+shift)``, ``\\\\`` stays a literal backslash, and
+    literal ``$`` is escaped (Java treats bare ``$`` as a group ref)."""
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            n = body[i + 1]
+            if n.isdigit():
+                out.append(f"${int(n) + shift}")
+                i += 2
+                continue
+            if n == "\\":
+                out.append("\\\\")
+                i += 2
+                continue
+        if c == "$":
+            out.append("\\$")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_regexp_replace(masked: str, literals: list[str]) -> str:
     """DuckDB ``regexp_replace`` replaces only the FIRST match unless the
     ``'g'`` option is given; Spark's replaces every match (its optional
     4th argument is a start POSITION — same name, different meaning, so
-    passing through would silently change results both ways). Translate
-    the ``'g'`` form to Spark's 3-arg call, fold ``i``/``s``/``m`` options
-    into inline regex flags, and refuse first-match-only calls."""
+    passing through would silently change results both ways).
+
+    Global form → Spark's 3-arg call, with ``i``/``s``/``m`` options
+    folded into inline regex flags and literal replacements converted
+    from RE2 rewrite syntax (``\\k`` group refs, literal ``$``) to Java
+    ``Matcher`` syntax (``$k`` refs, ``\\$`` literal).
+
+    First-match form → anchored single-match pattern: the user pattern is
+    wrapped as ``^((?s).*?)(pat)`` so the leftmost occurrence is the ONLY
+    possible match, the replacement becomes ``$1`` + user replacement
+    with group refs shifted by 2 (prefix group, wrapper group). Requires
+    a literal replacement (group refs must renumber); non-literal
+    replacements keep the explicit refusal."""
     first_match_msg = (
         "DuckDB regexp_replace replaces only the FIRST match while Spark "
-        "replaces every one — a silent divergence; add the 'g' option for "
-        "global replace (translatable), or express a single replacement "
-        "with instr()/substring() arithmetic"
+        "replaces every one; the first-match translation (anchored "
+        "single-match wrapper) needs a string-literal replacement to "
+        "renumber group references — add the 'g' option for global "
+        "replace, or pass the replacement as a literal"
     )
 
+    def new_lit(raw: str) -> str:
+        literals.append(raw)
+        return f"\x00{len(literals) - 1}\x00"
+
     def build(m, args):
-        if len(args) == 3:
-            raise ValueError(first_match_msg)
-        if len(args) != 4:
+        if len(args) not in (3, 4):
             return None
-        ph = re.fullmatch(r"\x00(\d+)\x00", args[3])
-        if not ph:
-            raise ValueError(
-                "regexp_replace options must be a string literal"
-            )
-        opts = literals[int(ph.group(1))].strip("'").lower()
-        if "g" not in opts:
+        flags = ""
+        if len(args) == 4:
+            ph = re.fullmatch(r"\x00(\d+)\x00", args[3])
+            if not ph:
+                raise ValueError(
+                    "regexp_replace options must be a string literal"
+                )
+            opts = literals[int(ph.group(1))].strip("'").lower()
+            flags = "".join(sorted(set(opts) - {"g"}))
+            if not set(flags) <= {"i", "s", "m"}:
+                raise ValueError(
+                    f"regexp_replace options {opts!r} have no Spark "
+                    "equivalent (translatable: g, i, s, m)"
+                )
+            if "g" in opts:
+                pat = args[1]
+                if flags:
+                    pp = re.fullmatch(r"\x00(\d+)\x00", pat)
+                    if pp:
+                        body = literals[int(pp.group(1))][1:-1]
+                        literals[int(pp.group(1))] = f"'(?{flags}){body}'"
+                    else:
+                        pat = f"concat('(?{flags})', {pat})"
+                repl = args[2]
+                rp = re.fullmatch(r"\x00(\d+)\x00", repl)
+                if rp:
+                    body = literals[int(rp.group(1))][1:-1]
+                    literals[int(rp.group(1))] = (
+                        f"'{_re2_rewrite_to_java(body, 0)}'"
+                    )
+                return f"regexp_replace\x01({args[0]}, {pat}, {repl})"
+        # First-match form (3-arg, or 4-arg options without 'g').
+        rp = re.fullmatch(r"\x00(\d+)\x00", args[2])
+        if not rp:
             raise ValueError(first_match_msg)
-        flags = "".join(sorted(set(opts) - {"g"}))
-        if not set(flags) <= {"i", "s", "m"}:
-            raise ValueError(
-                f"regexp_replace options {opts!r} have no Spark equivalent "
-                "(translatable: g, i, s, m)"
+        repl_body = literals[int(rp.group(1))][1:-1]
+        # \0 = whole match of the user pattern = wrapper group 2 (shift 2).
+        java_repl = "$1" + _re2_rewrite_to_java(repl_body, 2)
+        repl = new_lit(f"'{java_repl}'")
+        flag_pfx = f"(?{flags})" if flags else ""
+        pp = re.fullmatch(r"\x00(\d+)\x00", args[1])
+        if pp:
+            pat_body = literals[int(pp.group(1))][1:-1]
+            pat = new_lit(f"'^((?s).*?)({flag_pfx}{pat_body})'")
+        else:
+            pat = (
+                f"concat({new_lit(chr(39) + '^((?s).*?)(' + flag_pfx + chr(39))}, "
+                f"{args[1]}, {new_lit(chr(39) + ')' + chr(39))})"
             )
-        pat = args[1]
-        if flags:
-            pp = re.fullmatch(r"\x00(\d+)\x00", pat)
-            if pp:
-                body = literals[int(pp.group(1))][1:-1]
-                literals[int(pp.group(1))] = f"'(?{flags}){body}'"
-            else:
-                pat = f"concat('(?{flags})', {pat})"
-        return f"regexp_replace\x01({args[0]}, {pat}, {args[2]})"
+        return f"regexp_replace\x01({args[0]}, {pat}, {repl})"
 
     return _rewrite_call(masked, _REGEXP_REPLACE_RE, build)
 
@@ -3892,13 +4053,20 @@ _COMMUTATIVE_AGG_RE = re.compile(
 )
 
 
-def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = None) -> str:
+def duckdb_to_spark_sql(
+    sql: str,
+    table_columns: dict[str, list[str]] | None = None,
+    column_kinds: dict[str, str] | None = None,
+) -> str:
     """Rewrite known DuckDB-isms to Spark SQL; raise on constructs with no
     Spark equivalent rather than letting them fail with a parser error.
 
     ``table_columns`` (optional, table name → column list, as the CLI and
     pipeline runner supply) enables the schema-dependent rewrites:
-    ``COLUMNS('regex')`` / ``COLUMNS(*)`` projection expansion."""
+    ``COLUMNS('regex')`` / ``COLUMNS(*)`` projection expansion.
+    ``column_kinds`` (optional, lowercase column name → 'string'/'array')
+    enables ``len()`` dispatch on bare column references; expressions with
+    a recognizable literal/function/CAST shape dispatch without it."""
     if _POSITIONAL_RE.search(sql):
         raise ValueError(
             "POSITIONAL JOIN has no Spark equivalent; zip frames with a "
@@ -3926,11 +4094,7 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
     masked = _rewrite_struct_literals(masked)
     masked = _rewrite_json_arrows(masked, literals)
     masked = _rewrite_json_extract(masked, literals)
-    if _LEN_RE.search(masked):
-        raise ValueError(
-            "len() is type-overloaded in DuckDB (strings AND lists); Spark "
-            "splits it — write length() for strings or size() for arrays"
-        )
+    masked = _rewrite_len(masked, column_kinds)
     if _RECURSIVE_RE.search(masked) and not _UNION_ALL_RE.search(masked):
         raise ValueError(
             "Spark recursive CTEs support only UNION ALL between anchor and "
@@ -3945,12 +4109,7 @@ def duckdb_to_spark_sql(sql: str, table_columns: dict[str, list[str]] | None = N
             "percentile_disc (floor(q·(n-1)) vs first cume_dist ≥ q); use "
             "quantile_cont, or spell the rank arithmetic explicitly"
         )
-    if _LIST_REDUCE_RE.search(masked):
-        raise ValueError(
-            "list_reduce seeds the fold with the first element; Spark's "
-            "aggregate/reduce requires an explicit seed — rewrite as "
-            "aggregate(slice(l, 2, size(l) - 1), element_at(l, 1), <lambda>)"
-        )
+    masked = _rewrite_list_reduce(masked)
     if _has_slice(masked):
         raise ValueError(
             "[i:j] slicing has no Spark equivalent; use substring()/slice()"

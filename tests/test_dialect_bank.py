@@ -362,6 +362,49 @@ BANK = [
         """,
     ),
     (
+        "regexp_replace_first_match",
+        r"""
+        SELECT n_name,
+               regexp_replace(n_name, '[AEIOU]', '_') AS first_vowel,
+               regexp_replace(n_name, '([A-Z])([A-Z])', '\2\1') AS swap_first,
+               regexp_replace(n_name, 'N', '<\0>', 'i') AS tag_first_n,
+               regexp_replace(n_name, 'Q+', '$') AS dollar_lit
+        FROM nation
+        """,
+    ),
+    (
+        "regexp_replace_global_backrefs",
+        r"""
+        SELECT n_name,
+               regexp_replace(n_name, '([A-Z])([A-Z])', '\2\1', 'g') AS swapped,
+               regexp_replace(n_name, '(A)', '[\0]$', 'g') AS tagged
+        FROM nation
+        """,
+    ),
+    (
+        "len_dispatch",
+        """
+        SELECT n_name,
+               len(n_name) AS name_len,
+               len(concat(n_name, '!')) AS concat_len,
+               len(string_split(n_name, 'A')) AS part_count,
+               len([n_nationkey, n_regionkey]) AS lit_list_len,
+               len(CAST(n_nationkey AS VARCHAR)) AS cast_len
+        FROM nation
+        """,
+    ),
+    (
+        "list_reduce_fold",
+        """
+        SELECT n_nationkey,
+               list_reduce([n_nationkey, n_regionkey, 7],
+                           (acc, x) -> acc * 100 + x) AS folded,
+               list_reduce(string_split(n_name, 'A'),
+                           (a, b) -> concat(a, '-', b)) AS dashed
+        FROM nation
+        """,
+    ),
+    (
         "date_part_divergent_fields",
         """
         SELECT o_orderkey,
@@ -1013,9 +1056,30 @@ def _register_views(spark):
         df.createOrReplaceTempView(name)
 
 
+def _column_kinds(spark) -> dict[str, str]:
+    """Flat column→kind map over the fixture tables, mirroring how the
+    compiler's CUSTOM stage builds it from the session catalog for len()
+    dispatch."""
+    kinds: dict[str, str] = {}
+    for tbl in load_sf_tables(spark, SF_ORACLE).values():
+        for f in tbl.schema.fields:
+            tn = f.dataType.typeName()
+            kind = (
+                "string"
+                if tn == "string"
+                else "array" if tn in ("array", "map") else "other"
+            )
+            prev = kinds.get(f.name.lower())
+            kinds[f.name.lower()] = (
+                kind if prev in (None, kind) else "conflict"
+            )
+    return kinds
+
+
 @pytest.mark.parametrize("name,sql", BANK, ids=[b[0] for b in BANK])
 def test_duckdb_idiom_matches(spark, duck, name, sql):
-    spark_df = spark.sql(duckdb_to_spark_sql(sql))
+    kinds = _column_kinds(spark) if "len(" in sql.lower() else None
+    spark_df = spark.sql(duckdb_to_spark_sql(sql, column_kinds=kinds))
     diag = compare(spark_df, duck, sql)
     assert diag["ok"], f"{name}: {diag}"
 
@@ -1031,8 +1095,6 @@ def test_unsupported_constructs_raise():
         duckdb_to_spark_sql("SELECT 2 ^ 8 FROM t")
     with pytest.raises(ValueError, match="quantile_disc"):
         duckdb_to_spark_sql("SELECT quantile_disc(x, 0.5) FROM t")
-    with pytest.raises(ValueError, match="list_reduce"):
-        duckdb_to_spark_sql("SELECT list_reduce(l, (a, b) -> a + b) FROM t")
     with pytest.raises(ValueError, match="UNION ALL"):
         duckdb_to_spark_sql(
             "WITH RECURSIVE r(u,v) AS (SELECT u,v FROM e UNION "
