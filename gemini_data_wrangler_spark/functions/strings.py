@@ -118,12 +118,75 @@ def jaro_winkler_udf():
     return F.pandas_udf(_score, "double")
 
 
+def damerau_levenshtein_batch(a_list, b_list):
+    """Vectorized unrestricted Damerau-Levenshtein over a batch of pairs:
+    one (La×Lb)-step DP whose every cell update is a numpy op across the
+    whole pair axis — turning N·|a|·|b| Python-interpreted steps into
+    |a|·|b| vector steps. Bit-exact with the scalar Lowrance-Wagner
+    implementation above (asserted in tests), which remains the oracle.
+
+    Padding uses two distinct sentinel char ids (a-side, b-side) so padded
+    positions can never produce spurious matches; each pair's answer is
+    read from its own (la+1, lb+1) cell, which padded-region updates can
+    never influence (DP cells only depend on smaller indices, and the
+    last-occurrence table keyed by the a-sentinel is never probed by a
+    real b char)."""
+    import numpy as np
+
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    la = np.array([len(x) for x in a_list], dtype=np.int32)
+    lb = np.array([len(x) for x in b_list], dtype=np.int32)
+    La, Lb = int(la.max()), int(lb.max())
+    chars = sorted(set("".join(a_list)) | set("".join(b_list)))
+    cmap = {c: i for i, c in enumerate(chars)}
+    nc = len(chars)
+    pad_a, pad_b = nc, nc + 1
+    A = np.full((n, max(La, 1)), pad_a, dtype=np.int32)
+    B = np.full((n, max(Lb, 1)), pad_b, dtype=np.int32)
+    for idx, s in enumerate(a_list):
+        if s:
+            A[idx, : len(s)] = [cmap[c] for c in s]
+    for idx, s in enumerate(b_list):
+        if s:
+            B[idx, : len(s)] = [cmap[c] for c in s]
+    maxdist = La + Lb  # ≥ every pair's la+lb: an "infinity" never selected
+    d = np.full((La + 2, Lb + 2, n), maxdist, dtype=np.int32)
+    d[1 : La + 2, 1] = np.arange(La + 1, dtype=np.int32)[:, None]
+    d[1, 1 : Lb + 2] = np.arange(Lb + 1, dtype=np.int32)[:, None]
+    da = np.zeros((n, nc + 2), dtype=np.int32)
+    rows = np.arange(n)
+    for i in range(1, La + 1):
+        ai = A[:, i - 1]
+        db = np.zeros(n, dtype=np.int32)
+        for j in range(1, Lb + 1):
+            bj = B[:, j - 1]
+            k = da[rows, bj]
+            l = db
+            eq = ai == bj
+            cost = np.where(eq, 0, 1).astype(np.int32)
+            db = np.where(eq, j, db)
+            trans = d[k, l, rows] + (i - k - 1) + 1 + (j - l - 1)
+            d[i + 1, j + 1] = np.minimum(
+                np.minimum(d[i, j] + cost, d[i + 1, j] + 1),
+                np.minimum(d[i, j + 1] + 1, trans),
+            )
+        da[rows, ai] = i
+    return d[la + 1, lb + 1, rows]
+
+
 def damerau_levenshtein_udf():
     def _score(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [damerau_levenshtein(x, y) if x is not None and y is not None else None
-             for x, y in zip(a, b)],
-            dtype="Int32",
-        )
+        import numpy as np
+
+        mask = a.notna() & b.notna()
+        out = np.full(len(a), None, dtype=object)
+        if mask.any():
+            vals = damerau_levenshtein_batch(
+                a[mask].tolist(), b[mask].tolist()
+            )
+            out[np.flatnonzero(mask.to_numpy())] = vals
+        return pd.Series(out, dtype="Int32")
 
     return F.pandas_udf(_score, "int")
