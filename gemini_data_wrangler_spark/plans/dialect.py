@@ -44,6 +44,7 @@ engines and passes through untouched.
 | ``epoch_us`` / ``epoch_ms``        | ``unix_micros`` / ``unix_millis`` (NTZ-cast wrapped) |
 | ``quantile_cont(x, q)``            | ``percentile(x, q)`` |
 | ``quantile_disc``                  | refused → explicit error (index semantics diverge) |
+| ``T[]`` list-type spelling         | ``ARRAY<T>`` (innermost-first for ``T[][]``; element names map to Spark spellings, e.g. varchar→STRING, hugeint→DECIMAL(38,0)) |
 | ``list_reduce(l, λ)``              | ``aggregate(slice(l, 2, …), element_at(l, 1), λ)`` (DuckDB's first-element seed replayed; empty list errors on both engines) |
 | ``WITH RECURSIVE`` (UNION ALL)     | pass through (Spark ≥ 4.0 native) |
 | ``WITH RECURSIVE`` (UNION)         | refused → explicit error (Spark recursion is UNION ALL-only; a distinct-dedup cyclic closure would not terminate) |
@@ -2106,6 +2107,47 @@ _INT_TYPE_MAP = {
     "tinyint": "TINYINT", "int1": "TINYINT",
     "hugeint": "DECIMAL(38, 0)",  # Spark has no int128
 }
+# DuckDB list-type spelling `T[]` (in CAST targets and `::` casts) →
+# Spark `ARRAY<T>`, innermost-first so `INT[][]` nests correctly. Element
+# names map to their Spark spellings (varchar→STRING, hugeint→DECIMAL).
+_ARRAY_ELEM_TYPE_MAP = {
+    **_INT_TYPE_MAP,
+    "varchar": "STRING", "text": "STRING", "string": "STRING",
+    "char": "STRING", "bpchar": "STRING",
+    "double": "DOUBLE", "float8": "DOUBLE",
+    "float": "FLOAT", "real": "FLOAT", "float4": "FLOAT",
+    "boolean": "BOOLEAN", "bool": "BOOLEAN",
+    "date": "DATE", "timestamp": "TIMESTAMP", "datetime": "TIMESTAMP",
+    "decimal": "DECIMAL", "numeric": "DECIMAL", "blob": "BINARY",
+}
+_ARRAY_TYPE_RE = re.compile(
+    r"(\b(?:" + "|".join(_ARRAY_ELEM_TYPE_MAP) + r")\b"
+    r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+    r"|ARRAY<[^\[\]]*>)\s*\[\s*\]",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_array_types(masked: str) -> str:
+    def repl(m: re.Match) -> str:
+        inner = m.group(1)
+        base = re.match(r"[A-Za-z_0-9]+", inner)
+        if base and base.group(0).lower() in _ARRAY_ELEM_TYPE_MAP:
+            mapped = _ARRAY_ELEM_TYPE_MAP[base.group(0).lower()]
+            suffix = inner[base.end():]
+            if not suffix.strip():
+                inner = mapped
+            elif "(" not in mapped:
+                inner = mapped + suffix
+        return f"ARRAY<{inner}>"
+
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = _ARRAY_TYPE_RE.sub(repl, masked)
+    return masked
+
+
 _CAST_CALL_RE = re.compile(r"\b(try_)?cast\s*\(", re.IGNORECASE)
 _COLON_INT_CAST_RE = re.compile(
     r"::\s*(" + "|".join(_INT_TYPE_MAP) + r")\b", re.IGNORECASE
@@ -4086,6 +4128,9 @@ def duckdb_to_spark_sql(
             "explode struct fields explicitly instead"
         )
     masked, literals = _mask_strings(sql)
+    # Before any cast handling: `T[]` list-type spellings → ARRAY<T> so the
+    # int-cast rounding rewrites never see a `[]`-suffixed target.
+    masked = _rewrite_array_types(masked)
     masked = _rewrite_asof(masked)
     masked = _rewrite_pivot_stmt(masked)
     masked = _rewrite_unpivot_stmt(masked)

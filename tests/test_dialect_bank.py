@@ -394,6 +394,18 @@ BANK = [
         """,
     ),
     (
+        "array_type_spellings",
+        """
+        SELECT n_nationkey,
+               CAST([n_nationkey, n_regionkey] AS BIGINT[]) AS prompted,
+               CAST([[n_nationkey]] AS INT[][]) AS nested,
+               CAST([n_nationkey + 0.554] AS DECIMAL(10,2)[]) AS dec_arr,
+               list_reduce(CAST([n_nationkey, 3] AS INT[]),
+                           (a, b) -> a + b) AS folded_cast
+        FROM nation
+        """,
+    ),
+    (
         "list_reduce_fold",
         """
         SELECT n_nationkey,
