@@ -22,7 +22,10 @@ def test_regex_bank_values(spark):
         assert r["swapped"].startswith(f"{r['prio_word']}_{r['prio_num']}")
         assert r["is_top3"] == (r["prio_num"] in {"1", "2", "3"})
         assert r["n_digits"] == len(str(r["o_orderkey"]))
-        assert all(d in "01234567" for d in r["low_digits"])
+        # low_digits is '|'-joined (scalar-only output contract)
+        assert all(
+            d in "01234567" for d in r["low_digits"].split("|") if d
+        )
 
 
 def test_higher_order_bank_values(spark):
@@ -30,12 +33,15 @@ def test_higher_order_bank_values(spark):
     assert rows
     for r in rows:
         nk = r["n_nationkey"]
-        assert r["multiples"] == [nk, 2 * nk, 3 * nk]
-        assert len(r["repeated"]) == 3 and len(set(r["repeated"])) == 1
-        assert len(r["flat"]) == 3
+        # array outputs are '|'-joined (scalar-only output contract)
+        assert r["multiples"] == f"{nk}|{2 * nk}|{3 * nk}"
+        repeated = r["repeated"].split("|")
+        assert len(repeated) == 3 and len(set(repeated)) == 1
+        assert len(r["flat"].split("|")) == 3
         assert r["all_nonneg"] is True
         # zipped sums are symmetric: both entries equal nk + rk
-        assert r["zipped_sums"][0] == r["zipped_sums"][1]
+        zipped = r["zipped_sums"].split("|")
+        assert zipped[0] == zipped[1]
 
 
 def test_json_bank_values(spark):
