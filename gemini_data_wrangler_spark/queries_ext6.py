@@ -331,16 +331,28 @@ def _cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
     )
-    keyed, bucket = cms_digest_buckets(words, "w")
-    per_source = (
-        keyed.select("source", F.posexplode(bucket).alias("row", "bucket"))
-        .groupBy("source", "row", "bucket")
+    # One map-side-combined pass over the exploded words: both the counter
+    # branch and the candidate branch derive from the per-(source, word)
+    # count table, so the corpus is exploded ONCE and md5 runs once per
+    # DISTINCT (source, word) — vocabulary-sized — instead of once per
+    # occurrence (at 100 TB the per-occurrence digest is the whole cost).
+    wc = (
+        words.groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # eager: the counter branch and the candidate branch both scan this
+        # vocabulary-sized table; lazy, each would re-explode the corpus.
+        .localCheckpoint()
+    )
+    keyed, bucket = cms_digest_buckets(wc, "w")
+    per_source = (
+        keyed.select("source", "cnt", F.posexplode(bucket).alias("row", "bucket"))
+        .groupBy("source", "row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
     )
     counters = cms_merge(per_source.drop("source"))
     cand = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+        wc.groupBy("w")
+        .agg(F.sum("cnt").alias("exact_count"))
         .orderBy(F.col("exact_count").desc(), F.col("w").asc())
         .limit(HH_K)
     )
