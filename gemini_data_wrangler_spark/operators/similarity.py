@@ -633,7 +633,12 @@ def mutual_knn_edges(
 
     Output: vec_u < vec_v, sim, rank_uv, rank_vu.
     """
-    knn = knn_directed(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    # Eagerly materialize the directed kNN table: the mutuality self-join
+    # consumes it on BOTH sides, and a lazy plan re-runs the whole tiled
+    # kernel + rescore once per side.
+    knn = knn_directed(
+        embeddings, k=k, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
     r1 = knn.select(
         F.col("query_id").alias("vec_u"),
         F.col("vec_id").alias("vec_v"),

@@ -176,9 +176,11 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    # Single explode instead of union(pairs.a, pairs.b): a union references
+    # the LSH pipeline once per branch and Spark executes self-referencing
+    # branches independently — the whole pair kernel would run twice.
     deg = (
-        pairs.select(F.col("doc_a").alias("doc"))
-        .union(pairs.select(F.col("doc_b").alias("doc")))
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

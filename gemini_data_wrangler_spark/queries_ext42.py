@@ -206,14 +206,21 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
-    sel = g.select("doc_id", F.min("key").over(win).alias("fp_key"))
+    # eager: per_doc and fp both scan the selected-fingerprint frame (and
+    # fp fans out again below) — lazily, the md5-per-gram + window-min
+    # pipeline would recompute once per branch.
+    sel = g.select(
+        "doc_id", F.min("key").over(win).alias("fp_key")
+    ).localCheckpoint()
     per_doc = sel.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.countDistinct("fp_key").alias("n_fingerprints"),
     )
-    fp = sel.select(
-        "doc_id", F.substring("fp_key", 1, 8).alias("fp_hash")
-    ).distinct()
+    fp = (
+        sel.select("doc_id", F.substring("fp_key", 1, 8).alias("fp_hash"))
+        .distinct()
+        .localCheckpoint()  # eager: shared + ns branches
+    )
     shared = (
         fp.groupBy("fp_hash")
         .agg(F.countDistinct("doc_id").alias("_nd"))
