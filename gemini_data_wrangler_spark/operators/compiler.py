@@ -262,10 +262,13 @@ def compile_stage(
                 for t2 in spark.catalog.listTables()
             }
         column_kinds = None
-        if re.search(r"\blen\s*\(", text, re.IGNORECASE):
-            # len() dispatch needs column TYPES (string vs array); build a
-            # flat column→kind map from the catalog, marking cross-table
-            # name collisions with conflicting kinds as undecidable.
+        if re.search(r"\blen\s*\(", text, re.IGNORECASE) or re.search(
+            r"\[[^\]\[]*:", text
+        ):
+            # len() dispatch and [i:j] slicing need column TYPES (string vs
+            # array); build a flat column→kind map from the catalog, marking
+            # cross-table name collisions with conflicting kinds as
+            # undecidable.
             column_kinds = {}
             for t2 in spark.catalog.listTables():
                 for f in spark.table(t2.name).schema.fields:

@@ -43,7 +43,7 @@ engines and passes through untouched.
 | ``list_aggregate(l, 'sum'/...)``   | ``list_sum``/``array_min``/``array_max``/``size`` (others → error) |
 | ``epoch_us`` / ``epoch_ms``        | ``unix_micros`` / ``unix_millis`` (NTZ-cast wrapped) |
 | ``quantile_cont(x, q)``            | ``percentile(x, q)`` |
-| ``quantile_disc``                  | refused → explicit error (index semantics diverge) |
+| ``quantile_disc`` / ``quantile``   | type-preserving rank arithmetic: ``element_at(sort_array(collect_list(x)), max(ceil(q·count), 1))`` with NULL on empty groups (Spark's percentile_disc agrees on the index but forces DOUBLE); literal quantile LISTS unroll per element |
 | ``T[]`` list-type spelling         | ``ARRAY<T>`` (innermost-first for ``T[][]``; element names map to Spark spellings, e.g. varchar→STRING, hugeint→DECIMAL(38,0)) |
 | ``list_reduce(l, λ)``              | ``aggregate(slice(l, 2, …), element_at(l, 1), λ)`` (DuckDB's first-element seed replayed; empty list errors on both engines) |
 | ``WITH RECURSIVE`` (UNION ALL)     | pass through (Spark ≥ 4.0 native) |
@@ -51,7 +51,7 @@ engines and passes through untouched.
 | ``GROUP BY ALL`` / ``ILIKE``       | pass through (Spark-native) |
 | ``a ^ b`` (DuckDB POWER)           | refused → explicit error (Spark ``^`` is XOR) |
 | ``t1 POSITIONAL JOIN t2``          | unsupported → explicit error |
-| ``str[i:j]`` slicing               | unsupported → explicit error |
+| ``expr[i:j]`` slicing              | ``substring``/``slice`` dispatched on the operand's inferred kind (same inference as ``len()``): 1-based end-inclusive, negatives from the end, clamped, empty bounds default to the ends; unresolvable operand type → explicit error |
 | ``SELECT DISTINCT ON (k) ...``     | row_number window wrapper (requires ORDER BY for determinism → else error) |
 | ``USING SAMPLE n% / n ROWS``       | ``TABLESAMPLE (n PERCENT / n ROWS)`` (+ ``REPEATABLE(seed)``; reservoir/bernoulli/system methods accepted) |
 | ``ASOF [LEFT] JOIN``               | correlated ``[LEFT] JOIN LATERAL (... ORDER BY <ineq operand> LIMIT 1)`` keeping the right alias (projections untouched); operator-level as-of (operators/temporal.py) remains the tuned path |
@@ -1506,6 +1506,22 @@ def _len_kind(arg: str, column_kinds: dict[str, str] | None) -> str | None:
         return "string"
     if a.startswith("["):
         return "array"
+    if a.startswith("(") and _find_matching(a, 0, "(", ")") == len(a) - 1:
+        inner = a[1:-1].strip()
+        # top-level || is string (or list) concat: dispatch on the first
+        # operand's kind ('s' || x is a string, l || x is a list)
+        parts = _split_top_level(inner, "|")
+        if len(parts) > 1 and inner.count("||"):
+            # _split_top_level splits on single chars; re-split on '||'
+            depth = 0
+            for i in range(len(inner) - 1):
+                if inner[i] in "([":
+                    depth += 1
+                elif inner[i] in ")]":
+                    depth -= 1
+                elif depth == 0 and inner[i : i + 2] == "||":
+                    return _len_kind(inner[:i], column_kinds)
+        return _len_kind(inner, column_kinds)
     m = _LEN_LEADING_FN_RE.match(a)
     if m and _find_matching(a, a.index("("), "(", ")") == len(a) - 1:
         fn = m.group(1).lower()
@@ -1543,6 +1559,158 @@ def _rewrite_len(masked: str, column_kinds: dict[str, str] | None) -> str:
         )
 
     return _rewrite_call(masked, _LEN_RE, build)
+
+
+_QUANTILE_DISC_CALL_RE = re.compile(
+    r"\b(?:quantile_disc|quantile)\s*\(", re.IGNORECASE
+)
+
+
+def _quantile_disc_expr(x: str, q: str) -> str:
+    """DuckDB ``quantile_disc(x, q)`` picks the sorted element at 1-based
+    index ``ceil(q·n)`` over the non-NULL values (measured: n=4 gives
+    q=.25→1st, .26→2nd, .5→2nd, .75→3rd, 1.0→4th — the SQL-standard
+    cume_dist pick). Spark's ``percentile_disc`` agrees on the INDEX but
+    returns DOUBLE; this spelling keeps the element type (ints stay ints,
+    strings/dates work) via sort_array+element_at. The all-NULL group
+    short-circuits to NULL (DuckDB's result; ANSI element_at would
+    error)."""
+    return (
+        f"CASE WHEN count({x}) = 0 THEN NULL "
+        f"ELSE element_at(sort_array(collect_list({x})), "
+        f"greatest(CAST(ceil(({q}) * count({x})) AS INT), 1)) END"
+    )
+
+
+def _rewrite_quantile_disc(masked: str) -> str:
+    """``quantile_disc`` / its ``quantile`` alias → type-preserving rank
+    arithmetic. The list-of-quantiles form unrolls to one expression per
+    literal element (aggregates cannot live inside lambdas); a non-literal
+    quantile list keeps an explicit refusal. Memory note: like DuckDB's
+    own implementation this materializes each group's values; the
+    streaming-friendly path at scale is quantile_cont/percentile."""
+
+    def build(m, args):
+        if len(args) != 2:
+            return None
+        x, q = args[0].strip(), args[1].strip()
+        if q.startswith("["):
+            inner = q[1:-1] if q.endswith("]") else None
+            if inner is None:
+                raise ValueError(
+                    "quantile_disc: quantile list must be a literal [..]"
+                )
+            qs = [s.strip() for s in _split_top_level(inner)]
+            exprs = ", ".join(_quantile_disc_expr(x, qq) for qq in qs)
+            return f"array({exprs})"
+        return _quantile_disc_expr(x, q)
+
+    return _rewrite_call(masked, _QUANTILE_DISC_CALL_RE, build)
+
+
+def _find_matching_back(sql: str, close_idx: int) -> int:
+    """Index of the bracket matching ``sql[close_idx]`` (``)`` or ``]``),
+    scanning left; -1 if unbalanced."""
+    close_ch = sql[close_idx]
+    open_ch = "(" if close_ch == ")" else "["
+    depth = 0
+    for i in range(close_idx, -1, -1):
+        if sql[i] == close_ch:
+            depth += 1
+        elif sql[i] == open_ch:
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _slice_operand_start(masked: str, open_idx: int) -> int:
+    """Start index of the expression being subscripted at ``open_idx``
+    (walks identifier / call / subscript / placeholder chains and dotted
+    qualifiers leftward)."""
+    j = open_idx - 1
+    while j >= 0 and masked[j].isspace():
+        j -= 1
+    while j >= 0:
+        if masked[j] in ")]":
+            o = _find_matching_back(masked, j)
+            if o < 0:
+                return j + 1
+            j = o - 1
+            while j >= 0 and (masked[j].isalnum() or masked[j] == "_"):
+                j -= 1
+        elif masked[j] == "\x00":
+            j -= 1
+            while j >= 0 and masked[j] != "\x00":
+                j -= 1
+            j -= 1
+        elif masked[j].isalnum() or masked[j] == "_":
+            while j >= 0 and (masked[j].isalnum() or masked[j] == "_"):
+                j -= 1
+        else:
+            break
+        if j >= 0 and masked[j] == ".":
+            j -= 1
+            continue
+        break
+    return j + 1
+
+
+def _rewrite_slices(masked: str, column_kinds: dict[str, str] | None) -> str:
+    """DuckDB ``expr[a:b]`` slicing (1-based, end-inclusive, negatives
+    from the end, out-of-range clamped, empty bounds defaulting to the
+    ends) → ``substring`` for strings / ``slice`` for arrays, dispatched
+    on the operand's inferred kind (same inference as ``len()``).
+    Undecidable operands keep an explicit refusal."""
+    while True:
+        target = None
+        for i, ch in enumerate(masked):
+            if ch != "[" or not _is_subscript(masked, i):
+                continue
+            close = _find_matching(masked, i, "[", "]")
+            if close < 0:
+                continue
+            body = masked[i + 1 : close]
+            depth = 0
+            colon = -1
+            for j, c in enumerate(body):
+                if c in "([":
+                    depth += 1
+                elif c in ")]":
+                    depth -= 1
+                elif (
+                    c == ":"
+                    and depth == 0
+                    and (j == 0 or body[j - 1] != ":")
+                    and (j + 1 >= len(body) or body[j + 1] != ":")
+                ):
+                    colon = j
+                    break
+            if colon >= 0:
+                target = (i, close, body, colon)
+                break
+        if target is None:
+            return masked
+        i, close, body, colon = target
+        a, b = body[:colon].strip(), body[colon + 1 :].strip()
+        start_op = _slice_operand_start(masked, i)
+        op = masked[start_op:i].strip()
+        kind = _len_kind(op, column_kinds)
+        if kind == "string":
+            fn, ln = "substring", f"length({op})"
+        elif kind == "array":
+            fn, ln = "slice", f"size({op})"
+        else:
+            raise ValueError(
+                f"[i:j] slicing target {op!r} has an unresolvable type "
+                "(string vs list dispatch); use substring()/slice() "
+                "explicitly"
+            )
+        ai = f"(CASE WHEN ({a}) < 0 THEN {ln} + ({a}) + 1 ELSE ({a}) END)" if a else "1"
+        start = f"greatest({ai}, 1)" if a else "1"
+        bi = f"(CASE WHEN ({b}) < 0 THEN {ln} + ({b}) + 1 ELSE ({b}) END)" if b else ln
+        repl = f"{fn}({op}, {start}, greatest({bi} - {start} + 1, 0))"
+        masked = masked[:start_op] + repl + masked[close + 1 :]
 
 
 def _rewrite_list_reduce(masked: str) -> str:
@@ -4148,17 +4316,9 @@ def duckdb_to_spark_sql(
             "an explicit depth bound, or use the connected-components "
             "operator for graph closures"
         )
-    if _QUANTILE_DISC_RE.search(masked):
-        raise ValueError(
-            "quantile_disc picks a different element index than Spark's "
-            "percentile_disc (floor(q·(n-1)) vs first cume_dist ≥ q); use "
-            "quantile_cont, or spell the rank arithmetic explicitly"
-        )
+    masked = _rewrite_quantile_disc(masked)
     masked = _rewrite_list_reduce(masked)
-    if _has_slice(masked):
-        raise ValueError(
-            "[i:j] slicing has no Spark equivalent; use substring()/slice()"
-        )
+    masked = _rewrite_slices(masked, column_kinds)
     if _CARET_RE.search(masked):
         raise ValueError(
             "'^' is POWER in DuckDB but bitwise XOR in Spark — a silent "

@@ -406,6 +406,31 @@ BANK = [
         """,
     ),
     (
+        "bracket_slicing",
+        """
+        SELECT n_name,
+               n_name[2:4] AS midchars,
+               n_name[:3] AS prefix3,
+               n_name[-2:] AS suffix2,
+               n_name[0:2] AS clamped,
+               string_split(n_name, 'A')[1:2] AS first_parts,
+               (n_name || '!')[2:] AS shifted
+        FROM nation
+        """,
+    ),
+    (
+        "quantile_disc_rank_semantics",
+        """
+        SELECT o_orderpriority,
+               quantile_disc(o_totalprice, 0.5) AS med_price,
+               quantile_disc(o_orderkey, 0.25) AS q1_key,
+               quantile(o_orderkey, 0.5) AS med_key,
+               quantile_disc(o_totalprice, [0.1, 0.9]) AS deciles
+        FROM orders WHERE o_orderkey < 2000
+        GROUP BY o_orderpriority
+        """,
+    ),
+    (
         "list_reduce_fold",
         """
         SELECT n_nationkey,
@@ -1090,7 +1115,10 @@ def _column_kinds(spark) -> dict[str, str]:
 
 @pytest.mark.parametrize("name,sql", BANK, ids=[b[0] for b in BANK])
 def test_duckdb_idiom_matches(spark, duck, name, sql):
-    kinds = _column_kinds(spark) if "len(" in sql.lower() else None
+    import re as _re
+
+    needs_kinds = "len(" in sql.lower() or _re.search(r"\[[^\]\[]*:", sql)
+    kinds = _column_kinds(spark) if needs_kinds else None
     spark_df = spark.sql(duckdb_to_spark_sql(sql, column_kinds=kinds))
     diag = compare(spark_df, duck, sql)
     assert diag["ok"], f"{name}: {diag}"
@@ -1105,8 +1133,6 @@ def test_unsupported_constructs_raise():
         duckdb_to_spark_sql("SELECT unnest(x, recursive := true) FROM t")
     with pytest.raises(ValueError, match="POWER"):
         duckdb_to_spark_sql("SELECT 2 ^ 8 FROM t")
-    with pytest.raises(ValueError, match="quantile_disc"):
-        duckdb_to_spark_sql("SELECT quantile_disc(x, 0.5) FROM t")
     with pytest.raises(ValueError, match="UNION ALL"):
         duckdb_to_spark_sql(
             "WITH RECURSIVE r(u,v) AS (SELECT u,v FROM e UNION "
