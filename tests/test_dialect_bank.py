@@ -1600,3 +1600,58 @@ def test_fuzz_list_fns_match_duckdb(spark, duck, seed):
     assert {k: norm(v) for k, v in sp.items()} == {
         k: norm(v) for k, v in dk.items()
     }, sql
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_bracket_slicing_matches_duckdb(spark, duck, seed):
+    """Randomized [i:j] slicing over string and integer-list literals —
+    negative bounds, empty bounds, zero, out-of-range, inverted ranges —
+    shimmed Spark result must equal DuckDB's for the raw text."""
+    import random
+
+    rng = random.Random(3000 + seed)
+
+    def bound():
+        r = rng.random()
+        if r < 0.2:
+            return ""
+        return str(rng.randint(-8, 9))
+
+    s = "".join(rng.choice("abcdefg") for _ in range(rng.randint(0, 8)))
+    xs = [rng.randint(-9, 99) for _ in range(rng.randint(1, 6))]
+    cols = []
+    for i in range(4):
+        a, b = bound(), bound()
+        cols.append(f"'{s}'[{a}:{b}] AS sl{i}")
+    for i in range(4):
+        a, b = bound(), bound()
+        cols.append(f"[{', '.join(map(str, xs))}][{a}:{b}] AS ll{i}")
+    sql = "SELECT " + ", ".join(cols)
+    out = duckdb_to_spark_sql(sql)
+    diag = compare(spark.sql(out), duck, sql)
+    assert diag["ok"], f"{sql}\n{out}\n{diag}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_quantile_disc_matches_duckdb(spark, duck, seed):
+    """Randomized quantile_disc probabilities over a grouped integer
+    column: the rank-arithmetic rewrite must pick the same element DuckDB
+    picks for every q, including the 0/1 extremes and tie-adjacent
+    fractions."""
+    import random
+
+    rng = random.Random(4000 + seed)
+    qs = sorted(
+        {round(rng.random(), 3) for _ in range(3)} | {0.0, 1.0, 0.5}
+    )
+    cols = ", ".join(
+        f"quantile_disc(o_orderkey, {q}) AS q_{str(q).replace('.', '_')}"
+        for q in qs
+    )
+    sql = (
+        f"SELECT o_orderpriority, {cols} FROM orders "
+        "WHERE o_orderkey < 3000 GROUP BY o_orderpriority"
+    )
+    out = duckdb_to_spark_sql(sql)
+    diag = compare(spark.sql(out), duck, sql)
+    assert diag["ok"], f"{sql}\n{diag}"
