@@ -74,6 +74,7 @@ engines and passes through untouched.
 | ``list_slice(l, a, b)``            | ``slice`` with normalized absolute bounds (1-based end-inclusive, negatives from end, clamped; step form refused) |
 | ``list_unique(l)``                 | ``size(array_distinct(filter(l, not null)))`` (it COUNTS, not dedups) |
 | ``list_concat(a, b)``              | NULL-as-empty ``concat`` via CASE |
+| ``array_pop_back/front(l)``        | ``slice(l, 1|2, greatest(size(l) - 1, 0))`` (empty stays empty, NULL stays NULL) |
 | ``struct_pack(k := v)``            | ``named_struct('k', v)`` |
 | ``list_/array_cosine_similarity`` etc. | exact double HOF expansions (dot, norms, L2) |
 | ``time_bucket(INTERVAL 'n u', ts)``| origin-anchored epoch/month arithmetic (origins 2000-01-03 / 2000-01-01; pmod keeps floor pre-origin; origin/offset args refused) |
@@ -1469,6 +1470,9 @@ def _rewrite_star_replace(
 
 _LEN_RE = re.compile(r"\blen\s*\(", re.IGNORECASE)
 _LIST_PREPEND_RE = re.compile(r"\b(?:list|array)_prepend\s*\(", re.IGNORECASE)
+_LIST_POP_RE = re.compile(
+    r"\b(?:list|array)_pop_(?:back|front)\s*\(", re.IGNORECASE
+)
 _STRING_TO_ARRAY_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
 
 # len() dispatch support: DuckDB's len() is type-overloaded over strings
@@ -4356,6 +4360,17 @@ def duckdb_to_spark_sql(
     # list_prepend(elem, list) → array_prepend(list, elem): reversed args.
     masked = _rewrite_two_arg(
         masked, _LIST_PREPEND_RE, lambda a: f"array_prepend\x01({a[1]}, {a[0]})"
+    )
+    # array/list_pop_back|front → slice (empty list stays empty, NULL NULL)
+    masked = _rewrite_call(
+        masked,
+        _LIST_POP_RE,
+        lambda m, a: (
+            f"slice({a[0]}, {'2' if 'front' in m.group(0).lower() else '1'}, "
+            f"greatest(size({a[0]}) - 1, 0))"
+        )
+        if len(a) == 1
+        else None,
     )
     # list_has_all(haystack, needles) → every needle contained (Spark has
     # no direct equivalent; forall + array_contains is exact).

@@ -419,6 +419,16 @@ BANK = [
         """,
     ),
     (
+        "array_pop_ends",
+        """
+        SELECT n_nationkey,
+               array_pop_back([n_nationkey, n_regionkey, 7]) AS popped_back,
+               array_pop_front(string_split(n_name, 'A')) AS popped_front,
+               array_pop_back(CAST(NULL AS INT[])) AS popped_null
+        FROM nation
+        """,
+    ),
+    (
         "quantile_disc_rank_semantics",
         """
         SELECT o_orderpriority,
