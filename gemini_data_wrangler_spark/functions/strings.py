@@ -103,17 +103,105 @@ def damerau_levenshtein(a: str, b: str) -> int:
     return d[la + 1][lb + 1]
 
 
+def jaro_winkler_batch(a_list, b_list, p: float = 0.1, boost: float = 0.7):
+    """Vectorized Jaro-Winkler over a batch of pairs — the same
+    pair-axis-vectorization treatment ``damerau_levenshtein_batch`` got
+    (the per-pair interpreted loop inside the Arrow batch cost DL ~4×
+    before it was numpy-vectorized). Every step of the greedy
+    window-match scan is a numpy op across ALL pairs: the i/j loops run
+    max-length × max-window times total, independent of batch size.
+
+    Bit-exact with the scalar ``jaro_winkler`` above (asserted in tests):
+    the match scan replays the scalar's exact greedy order (i ascending,
+    first unmatched equal j within the window), the transposition count
+    compares k-th matched chars via a vectorized rank scatter, and the
+    float formulas evaluate in the scalar's operation order.
+
+    Padding uses distinct a-side/b-side sentinel char ids so padded
+    positions can never produce spurious matches or prefix agreement.
+    """
+    import numpy as np
+
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    la = np.array([len(x) for x in a_list], dtype=np.int64)
+    lb = np.array([len(x) for x in b_list], dtype=np.int64)
+    La, Lb = max(int(la.max()), 1), max(int(lb.max()), 1)
+    eq_all = np.array([x == y for x, y in zip(a_list, b_list)], dtype=bool)
+    chars = sorted(set("".join(a_list)) | set("".join(b_list)))
+    cmap = {c: i for i, c in enumerate(chars)}
+    nc = len(chars)
+    A = np.full((n, La), nc, dtype=np.int32)
+    B = np.full((n, Lb), nc + 1, dtype=np.int32)
+    for idx, s in enumerate(a_list):
+        if s:
+            A[idx, : len(s)] = [cmap[c] for c in s]
+    for idx, s in enumerate(b_list):
+        if s:
+            B[idx, : len(s)] = [cmap[c] for c in s]
+    window = np.maximum(la, lb) // 2 - 1  # can be negative (len-1 pairs)
+    a_match = np.zeros((n, La), dtype=bool)
+    b_match = np.zeros((n, Lb), dtype=bool)
+    rows = np.arange(n)
+    for i in range(La):
+        lo = np.maximum(0, i - window)
+        hi = np.minimum(lb, i + window + 1)
+        active = (i < la) & (hi > lo)
+        if not active.any():
+            continue
+        found = np.zeros(n, dtype=bool)
+        ai = A[:, i]
+        for off in range(int((hi - lo).max())):
+            j = lo + off
+            valid = active & ~found & (j < hi)
+            if not valid.any():
+                break
+            jc = np.minimum(j, Lb - 1)  # clamp only protects invalid rows
+            cond = valid & ~b_match[rows, jc] & (ai == B[rows, jc])
+            if cond.any():
+                b_match[rows[cond], jc[cond]] = True
+                a_match[cond, i] = True
+                found |= cond
+    m = a_match.sum(axis=1).astype(np.int64)
+    # Transpositions: k-th matched char of a vs k-th matched char of b.
+    # Scatter matched chars into rank order (fancy indexing, no loops).
+    Mm = max(int(m.max()), 1)
+    Am = np.zeros((n, Mm), dtype=np.int32)
+    Bm = np.full((n, Mm), -1, dtype=np.int32)
+    r, c = np.nonzero(a_match)
+    Am[r, a_match.cumsum(axis=1)[r, c] - 1] = A[r, c]
+    r, c = np.nonzero(b_match)
+    Bm[r, b_match.cumsum(axis=1)[r, c] - 1] = B[r, c]
+    t = (((Am != Bm) & (np.arange(Mm) < m[:, None])).sum(axis=1) // 2).astype(
+        np.int64
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jar = (m / la + m / lb + (m - t) / m) / 3.0
+    jar = np.where((m == 0) | (la == 0) | (lb == 0), 0.0, jar)
+    # a == b short-circuits to 1.0 in the scalar (the window formula
+    # yields m=0 for identical length-1 strings); empty-vs-empty stays 0.
+    jar = np.where(eq_all & (la > 0), 1.0, jar)
+    pl = min(4, La, Lb)
+    pref = np.cumprod(A[:, :pl] == B[:, :pl], axis=1).sum(axis=1)
+    return np.where(jar > boost, jar + pref * p * (1.0 - jar), jar)
+
+
 def jaro_winkler_udf():
     """Arrow-batched pandas UDF — built lazily (pandas_udf parses its DDL
     return type against the ACTIVE session, so decoration can't happen at
-    import time)."""
+    import time). Scores via the numpy pair-axis kernel."""
 
     def _score(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [jaro_winkler(x, y) if x is not None and y is not None else None
-             for x, y in zip(a, b)],
-            dtype="float64",
-        )
+        import numpy as np
+
+        mask = a.notna() & b.notna()
+        out = np.full(len(a), np.nan, dtype=np.float64)
+        if mask.any():
+            out[np.flatnonzero(mask.to_numpy())] = jaro_winkler_batch(
+                a[mask].tolist(), b[mask].tolist()
+            )
+        return pd.Series(out, dtype="float64").where(mask)
 
     return F.pandas_udf(_score, "double")
 

@@ -93,9 +93,19 @@ def _hot(df: DataFrame, key: str) -> DataFrame:
     source keeps the heavy explode/aggregate work on one partition. The
     repartition uses an explicit partition count, which AQE will not coalesce
     away, so shingle/signature computation parallelizes even on small inputs.
+
+    The persist is EAGER (count() forces the cache before any consumer
+    plan runs): a lazy persist feeding both sides of a self-join lets the
+    concurrently scheduled branches race to populate the cache and, under
+    an unlucky scheduling order, recompute the upstream subtree per branch
+    — the round-4 driver bench showed exactly that signature (a 13×
+    blow-up on graph_modularity that never reproduced locally). The extra
+    job costs ~0.3 s; the downside it insures against is unbounded.
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, key).persist()
+    staged = df.repartition(sc.defaultParallelism, key).persist()
+    staged.count()
+    return staged
 
 
 def _hot_shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -106,12 +116,15 @@ def _hot_shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     expression runs inside the scan stage — a single-split parquet file
     computes every array on one core. Repartitioning the raw rows first
     moves the substring+xxhash work past the exchange, so it parallelizes
-    regardless of the source's split count. Persisted because every caller
-    feeds it to at least two plan branches (signatures + exact verify).
+    regardless of the source's split count. Persisted EAGERLY (see ``_hot``)
+    because every caller feeds it to at least two plan branches
+    (signatures + exact verify) that may be scheduled concurrently.
     """
     sc = df.sparkSession.sparkContext
     raw = df.select(id_col, text_col).repartition(sc.defaultParallelism, id_col)
-    return with_shingles(raw, text_col, n).select(id_col, "_shingles").persist()
+    staged = with_shingles(raw, text_col, n).select(id_col, "_shingles").persist()
+    staged.count()
+    return staged
 
 
 def _verify_jaccard(

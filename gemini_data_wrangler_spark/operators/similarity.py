@@ -326,9 +326,24 @@ def kmeans_lloyd(
         dims = assigned.select(
             "cell_id", F.posexplode("_v").alias("_pos", "_val")
         )
+        # Order-independent exact means: sum in DECIMAL(38,12) (decimal
+        # addition is associative — any partial-merge order yields the
+        # bit-identical sum, unlike double avg(), whose ~1-ulp drift can
+        # cascade through later assignment rounds into a different
+        # n_members). The DuckDB oracle CTE (`queries_ext3._kmeans_cte`)
+        # computes the identical decimal-sum/count mean.
         means = (
             dims.groupBy("cell_id", "_pos")
-            .agg(F.avg("_val").alias("_m"), F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.sum(F.col("_val").cast("decimal(38,12)")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                "cell_id",
+                "_pos",
+                (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
+                "_n",
+            )
         )
         centroids = (
             means.groupBy("cell_id")

@@ -521,7 +521,13 @@ def _kmeans_cte(k: int = 8, iters: int = 3, stride: int = 50, dim: int = 64) -> 
   ) WHERE rn = 1
 ), c{j} AS MATERIALIZED (
   SELECT cell_id, list(m ORDER BY pos) AS c, max(n) AS n_members FROM (
-    SELECT cell_id, pos, avg(val) AS m, count(*) AS n FROM (
+    -- order-independent exact mean: decimal sum / count (mirrors the
+    -- Spark loop in operators/similarity.py::kmeans_lloyd — avg() over
+    -- doubles drifts ~1 ulp with thread/merge order and can cascade
+    -- through later assignment rounds)
+    SELECT cell_id, pos,
+           CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m,
+           count(*) AS n FROM (
       SELECT cell_id, unnest(v) AS val, unnest(range(1, {dim} + 1)) AS pos
       FROM a{j}
     ) GROUP BY cell_id, pos
