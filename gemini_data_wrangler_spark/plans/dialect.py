@@ -1586,18 +1586,49 @@ def _quantile_disc_expr(x: str, q: str) -> str:
     )
 
 
+_TRAILING_OVER_RE = re.compile(r"\s*OVER\s*\(", re.IGNORECASE)
+
+
 def _rewrite_quantile_disc(masked: str) -> str:
     """``quantile_disc`` / its ``quantile`` alias → type-preserving rank
     arithmetic. The list-of-quantiles form unrolls to one expression per
     literal element (aggregates cannot live inside lambdas); a non-literal
-    quantile list keeps an explicit refusal. Memory note: like DuckDB's
-    own implementation this materializes each group's values; the
-    streaming-friendly path at scale is quantile_cont/percentile."""
-
-    def build(m, args):
+    quantile list keeps an explicit refusal. Two forms refuse explicitly
+    rather than emitting SQL that fails later with an opaque error:
+    the windowed ``quantile_disc(..) OVER (..)`` (the CASE translation is
+    not a window function) and the 1-arg median shorthand (this DuckDB
+    build itself refuses ``quantile(x)`` — write an explicit quantile).
+    Memory note: like DuckDB's own implementation this materializes each
+    group's values; the streaming-friendly path at scale is
+    quantile_cont/percentile."""
+    pos = 0
+    while True:
+        m = _QUANTILE_DISC_CALL_RE.search(masked, pos)
+        if not m:
+            return masked
+        open_idx = masked.index("(", m.end() - 1)
+        close = _find_matching(masked, open_idx, "(", ")")
+        if close < 0:
+            return masked
+        if _TRAILING_OVER_RE.match(masked, close + 1):
+            raise ValueError(
+                "quantile_disc/quantile OVER (...) window form is not "
+                "translatable (the rank-arithmetic rewrite is a grouped "
+                "aggregate, not a window function); use percentile_disc "
+                "(...) WITHIN GROUP (ORDER BY ..) OVER (..) or a grouped "
+                "subquery"
+            )
+        args = [a.strip() for a in _split_top_level(masked[open_idx + 1 : close])]
+        if len(args) == 1:
+            raise ValueError(
+                "quantile_disc/quantile with a single argument has no "
+                "translation (and DuckDB itself rejects it); pass the "
+                "quantile explicitly, e.g. quantile_disc(x, 0.5)"
+            )
         if len(args) != 2:
-            return None
-        x, q = args[0].strip(), args[1].strip()
+            pos = m.end()
+            continue
+        x, q = args[0], args[1]
         if q.startswith("["):
             inner = q[1:-1] if q.endswith("]") else None
             if inner is None:
@@ -1606,10 +1637,10 @@ def _rewrite_quantile_disc(masked: str) -> str:
                 )
             qs = [s.strip() for s in _split_top_level(inner)]
             exprs = ", ".join(_quantile_disc_expr(x, qq) for qq in qs)
-            return f"array({exprs})"
-        return _quantile_disc_expr(x, q)
-
-    return _rewrite_call(masked, _QUANTILE_DISC_CALL_RE, build)
+            repl = f"array({exprs})"
+        else:
+            repl = _quantile_disc_expr(x, q)
+        masked = masked[: m.start()] + repl + masked[close + 1 :]
 
 
 def _find_matching_back(sql: str, close_idx: int) -> int:
@@ -1641,6 +1672,8 @@ def _slice_operand_start(masked: str, open_idx: int) -> int:
             if o < 0:
                 return j + 1
             j = o - 1
+            if j >= 0 and masked[j] == "\x01":  # marked call: name\x01(...)
+                j -= 1
             while j >= 0 and (masked[j].isalnum() or masked[j] == "_"):
                 j -= 1
         elif masked[j] == "\x00":
@@ -1660,12 +1693,50 @@ def _slice_operand_start(masked: str, open_idx: int) -> int:
     return j + 1
 
 
+_SLICE_WRAP_PREFIX = "element_at\x01(transform\x01(array\x01("
+_SLICE_WRAP_FN_RE = re.compile(r",\s*_sl\d+\s*->\s*(substring|slice)\x01\(")
+
+
+def _slice_result_kind(op: str) -> str | None:
+    """Kind ('string'/'array') of an operand that is itself a slice
+    rewrite's bound-lambda output — chained slicing ``s[a:b][c:d]``
+    subscripts the generated ``element_at(transform(array(..)))``
+    wrapper, which ``_len_kind`` cannot classify. The dispatch function
+    of the OUTER lambda (found after the array(..) argument closes, so
+    nested rewrites inside the operand cannot be mistaken for it) names
+    the kind."""
+    op = op.strip()
+    while op.startswith("(") and _find_matching(op, 0, "(", ")") == len(op) - 1:
+        op = op[1:-1].strip()
+    if not op.startswith(_SLICE_WRAP_PREFIX):
+        return None
+    arr_open = len(_SLICE_WRAP_PREFIX) - 1
+    arr_close = _find_matching(op, arr_open, "(", ")")
+    if arr_close < 0:
+        return None
+    m = _SLICE_WRAP_FN_RE.match(op, arr_close + 1)
+    if not m:
+        return None
+    return "string" if m.group(1) == "substring" else "array"
+
+
 def _rewrite_slices(masked: str, column_kinds: dict[str, str] | None) -> str:
     """DuckDB ``expr[a:b]`` slicing (1-based, end-inclusive, negatives
     from the end, out-of-range clamped, empty bounds defaulting to the
     ends) → ``substring`` for strings / ``slice`` for arrays, dispatched
     on the operand's inferred kind (same inference as ``len()``).
-    Undecidable operands keep an explicit refusal."""
+    Undecidable operands keep an explicit refusal.
+
+    The operand is evaluated exactly ONCE: it is bound to a lambda
+    variable via ``element_at(transform(array(op), _sl -> ...), 1)``
+    rather than spliced into the bound arithmetic 4×. That keeps a
+    non-deterministic operand (random()/uuid()) coherent across the
+    start/length/body references, and stops the combinatorial SQL
+    blow-up where nested slices re-expanded each copy. Generated call
+    names carry the \\x01 marker so later pipeline passes (the
+    substring end-clamp rewrite in particular — the emitted bounds are
+    already Spark-clamped: start ≥ 1, length ≥ 0) leave them alone."""
+    uniq = 0
     while True:
         target = None
         for i, ch in enumerate(masked):
@@ -1699,11 +1770,13 @@ def _rewrite_slices(masked: str, column_kinds: dict[str, str] | None) -> str:
         a, b = body[:colon].strip(), body[colon + 1 :].strip()
         start_op = _slice_operand_start(masked, i)
         op = masked[start_op:i].strip()
-        kind = _len_kind(op, column_kinds)
+        kind = _slice_result_kind(op) or _len_kind(op, column_kinds)
+        var = f"_sl{uniq}"
+        uniq += 1
         if kind == "string":
-            fn, ln = "substring", f"length({op})"
+            fn, ln = "substring", f"length\x01({var})"
         elif kind == "array":
-            fn, ln = "slice", f"size({op})"
+            fn, ln = "slice", f"size\x01({var})"
         else:
             raise ValueError(
                 f"[i:j] slicing target {op!r} has an unresolvable type "
@@ -1711,9 +1784,13 @@ def _rewrite_slices(masked: str, column_kinds: dict[str, str] | None) -> str:
                 "explicitly"
             )
         ai = f"(CASE WHEN ({a}) < 0 THEN {ln} + ({a}) + 1 ELSE ({a}) END)" if a else "1"
-        start = f"greatest({ai}, 1)" if a else "1"
+        start = f"greatest\x01({ai}, 1)" if a else "1"
         bi = f"(CASE WHEN ({b}) < 0 THEN {ln} + ({b}) + 1 ELSE ({b}) END)" if b else ln
-        repl = f"{fn}({op}, {start}, greatest({bi} - {start} + 1, 0))"
+        repl = (
+            f"element_at\x01(transform\x01(array\x01({op}), "
+            f"{var} -> {fn}\x01({var}, {start}, "
+            f"greatest\x01({bi} - {start} + 1, 0))), 1)"
+        )
         masked = masked[:start_op] + repl + masked[close + 1 :]
 
 

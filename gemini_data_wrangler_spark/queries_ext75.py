@@ -223,11 +223,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # Top-K edge budget via orderBy+limit (TakeOrderedAndProject) — no
-    # pair-table-sized single-task window.
+    # pair-table-sized single-task window. Lazy checkpoint: the seed
+    # probe below is the action that materializes it, so the expensive
+    # co-order aggregation runs ONCE (previously the seed collect and
+    # bfs_hops' symmetrization each recomputed it).
     edges = (
         co.orderBy(F.col("c").desc(), F.col("sa").asc(), F.col("sb").asc())
         .limit(_BFS_TOPK)
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .localCheckpoint(eager=False)
     )
     seed = edges.agg(F.min("src")).collect()[0][0]
     return bfs_hops(edges, seed, max_iter=_BFS_MAX_HOPS)

@@ -37,6 +37,10 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _HITS_ITERS = 8
 _HITS_TOP = 10
+# Hub-state materialization cadence: every 2nd round halves the job count
+# (per-job scheduling floor dominates node-sized rounds on the bench
+# host); must divide _HITS_ITERS so the last round's hub is checkpointed.
+_HITS_CHECKPOINT_EVERY = 2
 
 
 def _hits_oracle() -> str:
@@ -95,7 +99,9 @@ def graph_hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration rounds: each half-step is one edge-keyed aggregate over
     RAW (unnormalized) sums — normalization commutes with the linear
     map, so a single end-of-loop L2 divide replaces the per-round
-    scalar passes — with the hub state localCheckpointed per round.
+    scalar passes — with the hub state localCheckpointed every second
+    round (single-consumer chain, so the cadence is purely a job-count
+    knob).
     Ranking uses ROUNDED scores (ties to the lowest id) so the output
     order is stable across engines despite last-ulp sum differences."""
     orders = _table(spark, sf_dir, "orders")
@@ -110,22 +116,24 @@ def graph_hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = edges.select("c").distinct().withColumn("h", F.lit(1.0)).localCheckpoint()
     # Normalization only scales the vector, so the loop carries RAW sums
     # (growth stays far below double overflow — see the oracle note) and
-    # a single L2 normalizer divides each side at the end: one
-    # materialization per round instead of two, no per-round scalar
-    # passes. The FINAL auth is materialized once after the loop — it
-    # feeds three consumers (its norm, the output projection, and the
-    # last hub round already inside the loop), and unmaterialized Spark
-    # branches would recompute the join+agg per reference.
+    # a single L2 normalizer divides each side at the end: no per-round
+    # scalar passes. Inside the loop hub and auth each feed exactly ONE
+    # consumer (the next half-step), so materializing every round buys no
+    # recompute safety — the hub state checkpoints every SECOND round
+    # (half the Spark jobs; the multi-tenant bench host charges a
+    # per-job scheduling floor that dominates these node-sized rounds).
+    # The FINAL auth feeds three consumers (its norm, the output
+    # projection, and the last hub half-step), so it checkpoints eagerly
+    # INSIDE the last round — unmaterialized Spark branches would
+    # recompute the join+agg chain per reference.
     auth = None
-    for _ in range(_HITS_ITERS):
+    for _it in range(_HITS_ITERS):
         auth = edges.join(hub, "c").groupBy("s").agg(F.sum("h").alias("a"))
-        hub = (
-            edges.join(auth, "s")
-            .groupBy("c")
-            .agg(F.sum("a").alias("h"))
-            .localCheckpoint()
-        )
-    auth = auth.localCheckpoint()
+        if _it == _HITS_ITERS - 1:
+            auth = auth.localCheckpoint()
+        hub = edges.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
+        if (_it + 1) % _HITS_CHECKPOINT_EVERY == 0:
+            hub = hub.localCheckpoint()
     anorm = auth.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("_z"))
     hnorm = hub.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("_z"))
     hub_top = hub.crossJoin(F.broadcast(hnorm)).select(

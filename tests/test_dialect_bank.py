@@ -1665,3 +1665,61 @@ def test_fuzz_quantile_disc_matches_duckdb(spark, duck, seed):
     out = duckdb_to_spark_sql(sql)
     diag = compare(spark.sql(out), duck, sql)
     assert diag["ok"], f"{sql}\n{diag}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_chained_slicing_matches_duckdb(spark, duck, seed):
+    """Chained [i:j][k:l] slicing (the second subscript's operand is the
+    FIRST rewrite's bound-lambda output, exercising the generated-wrapper
+    kind inference) — with and without extra parens — must match DuckDB."""
+    import random
+
+    rng = random.Random(5000 + seed)
+
+    def bound():
+        return "" if rng.random() < 0.2 else str(rng.randint(-6, 7))
+
+    s = "".join(rng.choice("abcdefgh") for _ in range(rng.randint(2, 9)))
+    xs = [rng.randint(0, 99) for _ in range(rng.randint(2, 6))]
+    cols = []
+    for i in range(3):
+        a, b, c, d = bound(), bound(), bound(), bound()
+        cols.append(f"'{s}'[{a}:{b}][{c}:{d}] AS ch{i}")
+    a, b, c, d = bound(), bound(), bound(), bound()
+    cols.append(f"('{s}'[{a}:{b}])[{c}:{d}] AS par0")
+    cols.append(
+        f"[{', '.join(map(str, xs))}][{bound()}:{bound()}]"
+        f"[{bound()}:{bound()}] AS lch0"
+    )
+    sql = "SELECT " + ", ".join(cols)
+    out = duckdb_to_spark_sql(sql)
+    diag = compare(spark.sql(out), duck, sql)
+    assert diag["ok"], f"{sql}\n{out}\n{diag}"
+
+
+def test_slice_operand_evaluated_once():
+    """The sliced operand is bound to a lambda variable, not spliced into
+    the bound arithmetic 4x — a non-deterministic operand (uuid()) must
+    appear exactly once in the translation, and nested slices must not
+    compound the SQL size."""
+    out = duckdb_to_spark_sql("SELECT (cast(uuid() AS varchar))[-8:-2] AS t")
+    assert out.count("uuid") == 1, out
+    # nested: each level adds linearly, not multiplicatively
+    flat = duckdb_to_spark_sql("SELECT ('abcdefgh')[2:6] AS t")
+    nested = duckdb_to_spark_sql("SELECT ('abcdefgh')[2:6][1:3][1:2] AS t")
+    assert len(nested) < 4 * len(flat), (len(flat), len(nested))
+
+
+def test_quantile_disc_window_and_one_arg_refusals():
+    """quantile_disc OVER (...) and the 1-arg median shorthand refuse with
+    actionable errors instead of emitting SQL that fails opaquely later
+    (the CASE translation is not a window function; this DuckDB build
+    itself rejects 1-arg quantile)."""
+    with pytest.raises(ValueError, match="OVER"):
+        duckdb_to_spark_sql(
+            "SELECT quantile_disc(x, 0.5) OVER (PARTITION BY g) FROM t"
+        )
+    with pytest.raises(ValueError, match="single argument"):
+        duckdb_to_spark_sql("SELECT quantile(x) FROM t")
+    with pytest.raises(ValueError, match="single argument"):
+        duckdb_to_spark_sql("SELECT quantile_disc(x) FROM t")
