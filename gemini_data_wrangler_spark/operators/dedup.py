@@ -496,26 +496,58 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash_bits(shingled: DataFrame, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc: per-shingle xxhash64, then per-bit ±1 vote.
+def simhash_bits(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc from an ENGINE-NEUTRAL bit source: per
+    distinct character n-gram, the md5 hex digest supplies the 64 bits
+    (bit j = (nibble at string position 1 + j//4) >> (j%4) & 1), then a
+    per-bit ±1 vote. md5 instead of xxhash64 because the DuckDB oracle
+    must replay the exact bit stream (xxhash64 exists only in Spark; the
+    repo's established cross-engine idiom is md5-nibble arithmetic —
+    see queries_ext16/ext70/ext90). With a shared bit source the whole
+    simhash gate becomes a corpus-INDEPENDENT contract: "hamming ≤ h AND
+    jaccard ≥ t" verifies at any scale factor, where the old exact-pair
+    oracle was falsified at sf0.1 by boundary pairs at hamming 8-9.
 
-    Implemented as 64 conditional-sum aggregates over the exploded shingle
-    hashes — one shuffle, all JVM-side.
+    Implemented as 64 conditional-sum aggregates over the exploded
+    shingle nibbles — one shuffle, all JVM-side.
 
     Output: <id_col>, _simhash (bigint with sign bits packed).
     """
-    ex = shingled.select(F.col(id_col), F.explode("_shingles").alias("_g")).select(
-        F.col(id_col), F.xxhash64("_g").alias("_h")
+    text = F.col(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+            lambda i: text.substr(i, F.lit(n)),
+        )
+    )
+    sc = df.sparkSession.sparkContext
+    # Spread the raw rows BEFORE the heavy md5+explode work (same reason
+    # as _hot_shingled: expressions run inside the scan stage otherwise,
+    # serializing on a single-split parquet source).
+    raw = df.select(id_col, text_col).repartition(sc.defaultParallelism, id_col)
+    ex = raw.select(F.col(id_col), F.explode(grams).alias("_g")).select(
+        F.col(id_col), F.md5(F.col("_g").cast("binary")).alias("_m")
+    )
+    nibs = ex.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring("_m", p + 1, 1), 16, 10).cast("int").alias(f"_n{p}")
+            for p in range(bits // 4)
+        ],
     )
     # ±1 votes algebraically: votes_j = 2·ones_j − n, so the sign test
     # votes_j > 0 is 2·ones_j > n. Summing the raw bit (shift+mask+add)
     # instead of a ±1 CASE keeps the per-row hot loop branch-free — 64
     # conditional selects per shingle removed, same sign bit out.
     ones = [
-        F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_o{j}")
+        F.sum(
+            F.shiftright(F.col(f"_n{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+        ).alias(f"_o{j}")
         for j in range(bits)
     ]
-    agg = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nsh"), *ones)
+    agg = nibs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nsh"), *ones)
     packed = None
     for j in range(bits):
         bit = (
@@ -541,10 +573,16 @@ def simhash_pairs(
     ``chunks`` 8-bit chunks (pigeonhole: guaranteed for hamming ≤ chunks-1),
     filtered to hamming ≤ max_hamming, then exact-jaccard verified.
 
+    With ``max_hamming ≤ chunks - 1`` (the default 7 ≤ 7) the pigeonhole
+    candidates are COMPLETE for the gate, so the output is the exactly
+    defined set {pairs: hamming(simhash) ≤ max_hamming AND jaccard ≥ t} —
+    no recall question at any corpus size, and
+    :func:`simhash_oracle_sql` replays it bit-for-bit in DuckDB.
+
     Output: doc_a, doc_b, jaccard.
     """
     shingled = _hot_shingled(df, id_col, text_col, n)
-    sims = simhash_bits(shingled, id_col)
+    sims = simhash_bits(df, id_col, text_col, n)
     width = 64 // chunks
     chunk_rows = sims.select(
         F.col(id_col),
@@ -574,6 +612,95 @@ def simhash_pairs(
         .distinct()
     )
     return _verify_jaccard(candidates, shingled, id_col, jaccard_threshold)
+
+
+def simhash_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_hamming: int = 7,
+    jaccard_threshold: float = 0.8,
+    chunks: int = 8,
+) -> str:
+    """DuckDB SQL replaying :func:`simhash_pairs` BIT-FOR-BIT: the same
+    md5-nibble bit source (bit j = nibble(1 + j//4) >> (j%4) & 1), the
+    same ±1 votes and sign rule (2·ones > n), the same 8-bit pigeonhole
+    chunks and hamming gate, the same exact-jaccard verification. The 64
+    vote sums / sign bits / chunk values unroll programmatically like the
+    unrolled-PageRank and unrolled-Lloyd oracles. Because the contract is
+    gate-defined (not "equals the exact pair set"), equality holds at ANY
+    corpus size — the old exact-pair oracle was corpus-dependent and
+    broke at sf0.1 on boundary pairs at hamming 8-9."""
+    width = 64 // chunks
+
+    def nib(p: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(m, {p}, 1)) - 1)"
+
+    ones = ",\n             ".join(
+        f"sum(({nib(1 + j // 4)} >> {j % 4}) & 1) AS o{j}" for j in range(64)
+    )
+    signs = ",\n             ".join(
+        f"CASE WHEN 2 * o{j} > nsh THEN 1 ELSE 0 END AS s{j}" for j in range(64)
+    )
+    cvals = ",\n             ".join(
+        "("
+        + " + ".join(f"s{c * width + i} * {1 << i}" for i in range(width))
+        + f") AS cv{c}"
+        for c in range(chunks)
+    )
+    lo = " + ".join(f"CAST(s{j} AS BIGINT) * {1 << j}" for j in range(32))
+    hi = " + ".join(f"CAST(s{j + 32} AS BIGINT) * {1 << j}" for j in range(32))
+    chunked = "\n      UNION ALL ".join(
+        f"SELECT doc, lo, hi, {c} AS ch, cv{c} AS cv FROM packed"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT {id_col} AS doc,
+             unnest(list_distinct([substr({text_col}, i, {n})
+                     for i in generate_series(1, greatest(length({text_col})-{n - 1}, 1))])) AS g
+      FROM {table}
+    ), nibsrc AS (
+      SELECT doc, md5(g) AS m FROM sh
+    ), votes AS (
+      SELECT doc, count(*) AS nsh,
+             {ones}
+      FROM nibsrc GROUP BY doc
+    ), signs AS (
+      SELECT doc,
+             {signs}
+      FROM votes
+    ), packed AS MATERIALIZED (
+      SELECT doc,
+             {cvals},
+             ({lo}) AS lo,
+             ({hi}) AS hi
+      FROM signs
+    ), chunked AS (
+      {chunked}
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM chunked a JOIN chunked b ON a.ch = b.ch AND a.cv = b.cv AND a.doc < b.doc
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {max_hamming}
+    ), part AS MATERIALIZED (
+      SELECT doc, g FROM sh
+      WHERE doc IN (SELECT doc_a FROM cand UNION ALL SELECT doc_b FROM cand)
+    ), sizes AS (
+      SELECT doc, count(*) AS nn FROM part GROUP BY doc
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ic
+      FROM cand c
+      JOIN part a ON a.doc = c.doc_a
+      JOIN part b ON b.doc = c.doc_b AND b.g = a.g
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, CAST(i.ic AS DOUBLE) / (sa.nn + sb.nn - i.ic) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.doc_a
+    JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE CAST(i.ic AS DOUBLE) / (sa.nn + sb.nn - i.ic) >= {jaccard_threshold}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -633,30 +760,32 @@ def connected_components(
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # Convergence probe: labels only ever decrease, so the (exact, decimal)
     # label sum strictly decreases until the fixpoint — one cheap aggregate
-    # per round instead of an anti-join.
+    # per round instead of an anti-join. The label state is marked with a
+    # LAZY localCheckpoint and this probe is the action that materializes
+    # it, so each round schedules ONE Spark job, not checkpoint + probe.
     def _label_sum(df: DataFrame):
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     prev_sum = _label_sum(labels)
     for _ in range(max_iter):
-        # TWO propagation hops per materialization: the checkpoint + probe
-        # (a Spark job each) cost more than a propagation join on the tiny
-        # dup graph, so batching hops halves the loop's fixed overhead.
-        # Convergence stays sound — the label sum is monotone under any
-        # number of hops, so sum-unchanged still means fixpoint.
+        # TWO propagation hops per materialization: a propagation join on
+        # the tiny dup graph costs less than a job's fixed overhead, so
+        # batching hops halves the loop's fixed cost. Convergence stays
+        # sound — the label sum is monotone under any number of hops, so
+        # sum-unchanged still means fixpoint.
         cur = labels
         for _hop in range(2):
             neighbor = edges.join(
                 cur.select(F.col("id").alias("v"), F.col("label").alias("_nl")), "v"
             ).select(F.col("u").alias("id"), F.col("_nl").alias("label"))
             cur = cur.union(neighbor).groupBy("id").agg(F.min("label").alias("label"))
-        new_labels = cur.localCheckpoint()
-        new_sum = _label_sum(new_labels)
+        new_labels = cur.localCheckpoint(eager=False)
+        new_sum = _label_sum(new_labels)  # materializes the lazy checkpoint
         labels = new_labels
         if new_sum == prev_sum:
             break
@@ -693,14 +822,16 @@ def connected_components_star(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Size per-round parallelism to the (usually tiny) dup graph, like
     # connected_components: full-width rounds pay fixed task overhead ×
-    # rounds × stages for near-empty partitions.
+    # rounds × stages for near-empty partitions. The count materializes
+    # the lazy checkpoint above; the repartitioned copy is materialized by
+    # the first fingerprint probe below.
     sc = e.sparkSession.sparkContext
     n_parts = max(1, min(sc.defaultParallelism, e.count() // 50_000 + 1))
-    e = e.repartition(n_parts, "u").localCheckpoint()
+    e = e.repartition(n_parts, "u").localCheckpoint(eager=False)
 
     def large_star(edges: DataFrame) -> DataFrame:
         both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -732,6 +863,10 @@ def connected_components_star(
             .distinct()
         )
 
+    # The edge state is marked with a LAZY localCheckpoint each round and
+    # the fingerprint probe is the action that materializes it — one Spark
+    # job per round instead of checkpoint + probe (same merge as
+    # connected_components' label-sum probe).
     def fingerprint(edges: DataFrame):
         return tuple(
             edges.agg(
@@ -742,8 +877,12 @@ def connected_components_star(
 
     prev = fingerprint(e)
     for _ in range(max_iter):
-        e = small_star(large_star(e)).repartition(n_parts, "u").localCheckpoint()
-        cur = fingerprint(e)
+        e = (
+            small_star(large_star(e))
+            .repartition(n_parts, "u")
+            .localCheckpoint(eager=False)
+        )
+        cur = fingerprint(e)  # materializes the lazy checkpoint
         if cur == prev:
             break
         prev = cur

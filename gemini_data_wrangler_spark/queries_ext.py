@@ -27,6 +27,7 @@ from gemini_data_wrangler_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_oracle_sql,
     ngram_jaccard_pairs,
+    simhash_oracle_sql,
     simhash_pairs,
 )
 from gemini_data_wrangler_spark.operators.multimodal import (
@@ -321,16 +322,29 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
 
 
-# MinHash-LSH and SimHash produce candidates that are then EXACT-verified,
-# so on corpora where recall holds (confirmed for the driver testdata in
-# tests/test_dedup.py) their output equals the exact pair set → same oracle.
+# MinHash-LSH produces candidates that are then EXACT-verified, so on
+# corpora where band-collision recall holds (16 bands × r=4 → ≈0.9998 at
+# j=0.8; confirmed for the driver testdata at sf0.01 AND sf0.1 —
+# COVERAGE.md) its output equals the exact pair set → same oracle.
 @register("dedup_minhash_lsh", _NGRAM_ORACLE)
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
 
 
-@register("dedup_simhash", _NGRAM_ORACLE)
+# SimHash's oracle replays the GATE itself (md5-nibble bit source → ±1
+# votes → pigeonhole chunks → hamming ≤ 7 → exact-jaccard verify), not the
+# exact pair set: with max_hamming ≤ chunks-1 the candidates are complete,
+# so "hamming ≤ 7 AND jaccard ≥ 0.8" is exactly defined and parity is
+# corpus-INDEPENDENT. (The old exact-pair oracle was falsified at sf0.1 by
+# 4 boundary pairs at hamming 8-9 — simhash at this operating point is a
+# near-identical dedup, not a j≥0.8 recall guarantee.)
+@register(
+    "dedup_simhash",
+    simhash_oracle_sql(
+        "documents", "doc_id", "text", n=5, max_hamming=7, jaccard_threshold=0.8
+    ),
+)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", n=5, jaccard_threshold=0.8)

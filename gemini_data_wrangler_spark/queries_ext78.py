@@ -119,6 +119,11 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seed", F.col("seed").alias("node"), F.lit(0).alias("hops")
     ).localCheckpoint()
     frontier = visited
+    # One Spark job per hop: the frontier's lazy localCheckpoint is
+    # materialized by the emptiness probe's count, and visited stays a
+    # lazy union of already-checkpointed frontiers (no recompute is
+    # possible through materialized blocks) — same shape as
+    # operators/graphs.py::bfs_hops.
     for h in range(1, _CLO_MAX_HOPS + 1):
         nxt = (
             sym.join(
@@ -128,11 +133,11 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
             .withColumn("hops", F.lit(h))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:  # materializes the lazy checkpoint
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt)
         frontier = nxt
     sym.unpersist()
     return (
