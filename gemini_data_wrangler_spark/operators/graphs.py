@@ -375,15 +375,17 @@ def bfs_hops(
     (distributed BFS / the unit-weight case of SSSP). Each round joins the
     current FRONTIER (just-discovered nodes, not the whole visited set)
     against the symmetrized edge list and anti-joins away already-visited
-    nodes. ONE Spark job per round: the new frontier is marked with a
-    lazy localCheckpoint and the emptiness probe's count() materializes
-    it; the visited set stays a LAZY union of the already-checkpointed
-    frontiers (no recompute is possible through a union of materialized
-    blocks, so checkpointing the union each round — a full O(V) copy and
-    an extra job — buys nothing). Rounds = eccentricity of the seed,
-    per-round cost ∝ frontier-adjacent edges. This is the Pregel-style
-    BFS every bulk-synchronous graph engine runs; at cluster scale swap
-    localCheckpoint for reliable checkpoint (RUNBOOK.md).
+    nodes. The new frontier is marked with a lazy localCheckpoint and the
+    emptiness probe's count() is the action that materializes it (merges
+    two jobs into one); the visited set IS checkpointed each round — an
+    A/B at sf0.1 showed that replacing it with a lazy union of the
+    already-checkpointed frontiers LOSES ~20-40% despite saving the job:
+    every later round re-plans and re-reads the growing union subtree,
+    which costs more than the one O(V) compaction job. Rounds =
+    eccentricity of the seed, per-round cost ∝ frontier-adjacent edges.
+    This is the Pregel-style BFS every bulk-synchronous graph engine
+    runs; at cluster scale swap localCheckpoint for reliable checkpoint
+    (RUNBOOK.md).
 
     Output: node, hops (seed included at 0; unreachable nodes absent).
     """
@@ -415,7 +417,7 @@ def bfs_hops(
         )
         if nxt.count() == 0:  # materializes the lazy checkpoint
             break
-        visited = visited.unionAll(nxt)
+        visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
     sym.unpersist()
     return visited

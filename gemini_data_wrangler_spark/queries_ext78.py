@@ -119,10 +119,11 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seed", F.col("seed").alias("node"), F.lit(0).alias("hops")
     ).localCheckpoint()
     frontier = visited
-    # One Spark job per hop: the frontier's lazy localCheckpoint is
-    # materialized by the emptiness probe's count, and visited stays a
-    # lazy union of already-checkpointed frontiers (no recompute is
-    # possible through materialized blocks) — same shape as
+    # The frontier's lazy localCheckpoint is materialized by the
+    # emptiness probe's count (one job, not two); visited is checkpointed
+    # per round — a lazy union of checkpointed frontiers A/B-tested
+    # SLOWER (re-planning the growing union subtree each round costs more
+    # than the compaction job) — same shape as
     # operators/graphs.py::bfs_hops.
     for h in range(1, _CLO_MAX_HOPS + 1):
         nxt = (
@@ -137,7 +138,7 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.count() == 0:  # materializes the lazy checkpoint
             break
-        visited = visited.unionAll(nxt)
+        visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
     sym.unpersist()
     return (
