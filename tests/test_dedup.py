@@ -180,3 +180,94 @@ def test_star_contraction_long_chain_bounded_rounds(spark):
         for r in connected_components_star(chain, max_iter=12).collect()
     }
     assert got == {(i, 0) for i in range(401)}
+
+
+def test_simhash_bits_match_pure_python_md5_definition(spark):
+    """Pin the engine-neutral bit definition: bit j of a shingle's
+    contribution = (md5 hex nibble at string position 1 + j//4) >> (j%4)
+    & 1, ±1-voted per doc with ties to 0. Recomputed here in pure Python
+    (hashlib) — a drift in the Spark conv/substring/shift pipeline or in
+    the utf-8 encoding of non-ASCII shingles is a bit-exact failure."""
+    import hashlib
+
+    from gemini_data_wrangler_spark.operators.dedup import simhash_bits
+
+    texts = [
+        (1, "hello world of simhash"),
+        (2, "héllo wörld — naïve café"),  # multi-byte utf-8
+        (3, "aaaaa"),  # single shingle
+        (4, "ab"),  # shorter than n: one truncated shingle
+    ]
+    n = 5
+
+    def py_simhash(text: str) -> int:
+        grams = []
+        for i in range(max(len(text) - n + 1, 1)):
+            g = text[i : i + n]
+            if g not in grams:
+                grams.append(g)
+        votes = [0] * 64
+        for g in grams:
+            m = hashlib.md5(g.encode("utf-8")).hexdigest()
+            for j in range(64):
+                nib = int(m[j // 4], 16)
+                votes[j] += (nib >> (j % 4)) & 1
+        out = 0
+        for j in range(64):
+            if 2 * votes[j] > len(grams):
+                out |= 1 << j
+        return out
+
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["_simhash"] & ((1 << 64) - 1)
+        for r in simhash_bits(df, "doc_id", "text", n=n).collect()
+    }
+    for doc_id, text in texts:
+        assert got[doc_id] == py_simhash(text), (doc_id, text)
+
+
+def test_simhash_oracle_parity_random_corpora(spark):
+    """Property-style parity: simhash_pairs must equal simhash_oracle_sql
+    on randomized synthetic corpora (planted near-dups + unicode noise) —
+    the fixed testdata corpus alone can't exercise every chunk/hamming
+    boundary."""
+    import random
+
+    import duckdb
+
+    from gemini_data_wrangler_spark.operators.dedup import (
+        simhash_oracle_sql,
+        simhash_pairs,
+    )
+    from gemini_data_wrangler_spark.parity import compare
+
+    rng = random.Random(5005)
+    words = ["alpha", "béta", "gamma", "δelta", "epsilon", "zeta", "ηta"]
+    for trial in range(3):
+        rows = []
+        doc_id = 0
+        for base in range(8):
+            text = " ".join(rng.choice(words) for _ in range(rng.randint(6, 30)))
+            rows.append((doc_id, text))
+            doc_id += 1
+            # planted near-dup: mutate a few characters
+            if rng.random() < 0.7:
+                chars = list(text)
+                for _ in range(rng.randint(0, 4)):
+                    chars[rng.randrange(len(chars))] = rng.choice("xyz ")
+                rows.append((doc_id, "".join(chars)))
+                doc_id += 1
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        con = duckdb.connect()
+        con.register("documents_arrow", df.toPandas())
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_arrow")
+        diag = compare(
+            simhash_pairs(df, "doc_id", "text", n=5, jaccard_threshold=0.5),
+            con,
+            simhash_oracle_sql(
+                "documents", "doc_id", "text", n=5, jaccard_threshold=0.5
+            ),
+        )
+        assert diag["ok"], (trial, diag)
+        con.close()
