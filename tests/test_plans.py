@@ -323,3 +323,23 @@ def test_rrf_both_branches_broadcast_queries(spark):
     assert plan.count("BroadcastExchange") >= 2 or (
         "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
     )
+
+
+def test_simhash_bits_stays_jvm_side(spark):
+    """The md5-nibble SimHash bit source must compile to built-in
+    expressions (md5/conv/substring/shift) — no Python UDF anywhere in
+    the plan (the engine-neutral hash switch must not cost the
+    whole-stage-codegen path) — and the 64 bit votes must partial-
+    aggregate before the exchange (one HashAggregate pair, map-side
+    combine), not shuffle the exploded shingle stream."""
+    from gemini_data_wrangler_spark.operators.dedup import simhash_bits
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    docs = load_sf_tables(spark, SF_ORACLE)["documents"]
+    df = simhash_bits(docs, "doc_id", "text", n=5)
+    plan = _plan(df)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # partial aggregation: both the partial and final HashAggregate
+    # appear (map-side combine of the 64 sums before the exchange)
+    assert plan.count("HashAggregate") >= 2
