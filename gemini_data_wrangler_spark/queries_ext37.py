@@ -96,11 +96,15 @@ def sketch_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # Repartition the raw participant rows BEFORE the shingle+126-min
+    # fold (same reason as dedup._hot_shingled): the semi-join inherits
+    # the single-split parquet layout, and without the spread the whole
+    # ~150M-op fold runs on ONE core (measured 4.2 s -> sub-second).
     sigs = minhash_signatures(
         with_shingles(
-            docs.join(participants, "doc_id", "left_semi").select(
-                "doc_id", "text"
-            ),
+            docs.join(participants, "doc_id", "left_semi")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"),
             "text",
             5,
         ).select("doc_id", "_shingles"),

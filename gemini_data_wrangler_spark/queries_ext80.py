@@ -395,7 +395,11 @@ def sketch_bbit_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = (1 << _BBIT_B) - 1
     sigs = minhash_signatures(
         with_shingles(
-            docs.join(participants, "doc_id", "left_semi").select("doc_id", "text"),
+            # spread before the heavy fold — the semi-join inherits the
+            # single-split parquet layout (see queries_ext37)
+            docs.join(participants, "doc_id", "left_semi")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"),
             "text",
             5,
         ).select("doc_id", "_shingles"),
