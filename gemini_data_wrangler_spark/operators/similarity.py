@@ -613,13 +613,19 @@ def knn_directed(
                 "dst": np.concatenate([dst, dst2]),
             }
         )
-        return out[out["src"] != out["dst"]]
+        # Dedup INSIDE the tile: a (src, dst) pair lives in exactly one
+        # tile (the pair's block coordinates are a function of the two
+        # ids), so duplicates can only arise within this frame — from the
+        # row-side and column-side top-m both keeping the same edge. The
+        # pandas dedup here replaces a whole Spark `distinct()` exchange
+        # round (one fewer shuffle + AQE stage per kNN call).
+        out = out[out["src"] != out["dst"]]
+        return out.drop_duplicates(ignore_index=True)
 
     cand = (
         left.groupBy("_bi", "_bj")
         .cogroup(right.groupBy("_bi", "_bj"))
         .applyInPandas(tile, schema="src bigint, dst bigint")
-        .distinct()
     )
     vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
     scored = (

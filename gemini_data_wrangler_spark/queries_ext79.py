@@ -52,6 +52,11 @@ _GANN_HOPS = 4
 _GANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
+# Above this many queries, the per-hop loop state (queries × beam rows)
+# stops being driver-sized and the beam loop stays fully distributed.
+_GANN_DRIVER_MAX_QUERIES = 4096
+
+
 def graph_ann_beam_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -59,6 +64,7 @@ def graph_ann_beam_topk(
     degree: int = _GANN_DEGREE,
     beam: int = _GANN_BEAM,
     hops: int = _GANN_HOPS,
+    mode: str = "auto",
 ) -> DataFrame:
     """Approximate top-k by best-first beam search over the directed kNN
     graph — the navigable-small-world search primitive (NSW / HNSW layer
@@ -71,6 +77,22 @@ def graph_ann_beam_topk(
     frontier. After `hops` rounds the answer is the top-k of everything
     ever scored. Deterministic: ties break on (sim desc, vec_id asc) and
     the graph itself is the exact kNN graph.
+
+    ``mode`` routes the LOOP-STATE bookkeeping (never the math):
+
+    * ``"driver"`` — the visited/frontier sets (≤ queries × beam × hops
+      rows, a few KB for a handful of probe queries) live on the driver;
+      each hop is ONE Spark action that joins the literal frontier
+      against the distributed edge table and collects the JVM-rounded
+      scores back. Every similarity is still computed (and rounded) by
+      the same JVM expression as the distributed path, so results are
+      bit-identical — only the anti-join/beam-cut set logic moves to
+      Python, on already-rounded values. This cuts the ~50 scheduled
+      jobs of the checkpoint-per-hop loop to one per hop.
+    * ``"distributed"`` — the original DataFrame loop; the shape to use
+      when searching for a large query batch (millions of queries keep
+      the frontier itself big data).
+    * ``"auto"`` — driver path iff queries ≤ 4096 rows.
 
     Output: query_id, vec_id, sim (round 6), rank (1..k).
     """
@@ -87,6 +109,13 @@ def graph_ann_beam_topk(
     # Fixed entry point: one scalar (same class of collect as the CC
     # convergence probe — a single aggregate, not data on the driver).
     entry = embeddings.agg(F.min("vec_id")).collect()[0][0]
+
+    if mode == "auto":
+        mode = "driver" if queries.count() <= _GANN_DRIVER_MAX_QUERIES else "distributed"
+    if mode == "driver":
+        return _beam_driver_state(
+            embeddings.sparkSession, graph, q, vecs, entry, queries, k, beam, hops
+        )
 
     # Every loop-state frame (frontier / fresh / scored) is bounded by
     # queries × beam × degree — a few hundred rows at ANY corpus scale, so
@@ -139,6 +168,98 @@ def graph_ann_beam_topk(
         .withColumn("rank", F.row_number().over(by_sim))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("node").alias("vec_id"), "sim", "rank")
+    )
+
+
+def _beam_driver_state(
+    spark: SparkSession,
+    graph: DataFrame,
+    q,
+    vecs: DataFrame,
+    entry: int,
+    queries: DataFrame,
+    k: int,
+    beam: int,
+    hops: int,
+) -> DataFrame:
+    """Driver-state half of :func:`graph_ann_beam_topk`: the per-hop
+    frontier/visited sets are Python dicts (bounded by queries × beam ×
+    hops — loop STATE, not data), and each hop is a single Spark action:
+
+        literal frontier → edge join (distributed graph) → anti-join the
+        literal visited set → score vs the broadcast queries → collect.
+
+    All similarity values are produced by the identical JVM expression +
+    ``round(..., 6)`` as the distributed loop; the driver only compares
+    already-rounded doubles with the same (sim DESC, node ASC) order, so
+    the search path and output are bit-identical."""
+    from gemini_data_wrangler_spark.functions.vectors import cosine_similarity
+
+    def score_rows(nodes_df: DataFrame) -> list:
+        return (
+            vecs.join(F.broadcast(nodes_df), "node")
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                "node",
+                F.round(cosine_similarity(F.col("_qv"), F.col("_nv")), 6).alias("sim"),
+            )
+            .collect()
+        )
+
+    entry_nodes = queries.select("query_id").withColumn(
+        "node", F.lit(entry).cast("bigint")
+    )
+    visited: dict[int, dict[int, float]] = {}
+    for r in score_rows(entry_nodes):
+        visited.setdefault(r["query_id"], {})[r["node"]] = r["sim"]
+    frontier = [(qid, n) for qid, seen in visited.items() for n in seen]
+
+    pair_schema = "query_id bigint, node bigint"
+
+    def literal_pairs(rows: list) -> DataFrame:
+        # One slice: these are KB-sized loop-state literals — the default
+        # defaultParallelism slicing would schedule 32 near-empty tasks
+        # per hop just to materialize them.
+        return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), pair_schema)
+
+    for _ in range(hops):
+        if not frontier:
+            break
+        fr = literal_pairs(frontier)
+        vis = literal_pairs(
+            [(qid, n) for qid, seen in visited.items() for n in seen]
+        )
+        fresh = (
+            graph.join(F.broadcast(fr), graph["_src"] == fr["node"])
+            .select("query_id", F.col("_dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(vis), ["query_id", "node"], "left_anti")
+        )
+        scored = score_rows(fresh)
+        by_query: dict[int, list] = {}
+        for r in scored:
+            visited.setdefault(r["query_id"], {})[r["node"]] = r["sim"]
+            by_query.setdefault(r["query_id"], []).append((r["sim"], r["node"]))
+        frontier = [
+            (qid, n)
+            for qid, cands in by_query.items()
+            for _, n in sorted(cands, key=lambda sn: (-sn[0], sn[1]))[:beam]
+        ]
+
+    out = [
+        (qid, n, s, rank)
+        for qid, seen in visited.items()
+        for rank, (s, n) in enumerate(
+            sorted(
+                ((s, n) for n, s in seen.items() if n != qid),
+                key=lambda sn: (-sn[0], sn[1]),
+            )[:k],
+            start=1,
+        )
+    ]
+    return spark.createDataFrame(
+        out, "query_id bigint, vec_id bigint, sim double, rank int"
     )
 
 

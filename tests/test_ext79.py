@@ -33,6 +33,27 @@ def test_graph_ann_recall_floor(spark):
         assert all(r["vec_id"] != qid for r in rs), qid
 
 
+def test_graph_ann_driver_and_distributed_modes_identical(spark):
+    """The driver-state beam loop (bounded frontier/visited sets on the
+    driver, one Spark action per hop) must reproduce the distributed
+    DataFrame loop row for row — every similarity is computed by the same
+    JVM expression in both modes, and the set logic compares only the
+    already-rounded values."""
+    from gemini_data_wrangler_spark.operators.similarity import queries_from_ids
+    from gemini_data_wrangler_spark.queries_ext79 import (
+        _GANN_QUERY_IDS,
+        graph_ann_beam_topk,
+    )
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    emb = load_sf_tables(spark, SF_ORACLE)["embeddings"]
+    q = queries_from_ids(emb, _GANN_QUERY_IDS)
+    drv = sorted(map(tuple, graph_ann_beam_topk(emb, q, mode="driver").collect()))
+    dist = sorted(map(tuple, graph_ann_beam_topk(emb, q, mode="distributed").collect()))
+    assert drv == dist
+    assert drv
+
+
 def test_jl_projection_distortion_bounded(spark):
     """Rademacher JL projection 64->16: norm ratios concentrate around 1
     (E[ratio^2] = 1); every ratio finite and positive, mean ratio within
