@@ -106,13 +106,15 @@ def main() -> None:
     reg["flagship_segment_sales"][0](spark, sf_dir).count()
 
     # The host VM shows multi-second CPU-steal bursts (identical queries
-    # measured 6 s and 25 s back-to-back on an idle guest): one-shot
-    # timings are noise for anything non-trivial. Since round 4 EVERY
-    # query runs twice and reports the MIN — one uniform policy so
-    # headline and full-suite numbers are like-for-like (round 3 ran
-    # min-of-2 only for headline + slow queries, biasing the headline
-    # low relative to the tail); the policy is recorded in the artifact.
-    TIMING_POLICY = "min_of_2_all_queries"
+    # measured 6 s and 25 s back-to-back on an idle guest, and 20 s vs
+    # 6 s five minutes apart in round 5): one-shot timings are noise for
+    # anything non-trivial. Since round 4 EVERY query runs twice and
+    # reports the MIN — one uniform policy so headline and full-suite
+    # numbers are like-for-like. Round 5 adds an instability retry: when
+    # the two runs of a non-trivial query disagree by >2x, the burst
+    # likely spanned both, so up to two extra runs are taken (still
+    # reporting the min). The policy is recorded in the artifact.
+    TIMING_POLICY = "min_of_2_plus_instability_retries"
 
     def _run_once(builder) -> float:
         t0 = time.perf_counter()
@@ -126,8 +128,19 @@ def main() -> None:
     for name in names:
         builder, _ = reg[name]
         try:
-            t = min(_run_once(builder), _run_once(builder))
-            timings[name] = round(t, 3)
+            runs = [_run_once(builder), _run_once(builder)]
+            # Instability retry: a steal burst that spans both runs leaves
+            # min(2 runs) inflated — detectable as a >2x spread between
+            # the runs, or as an absolute tail outlier (no query in the
+            # registry legitimately needs >8 s at sf0.1; a burst hitting
+            # both runs equally shows no spread at all). Two more attempts
+            # bound the added wall time to the genuinely noisy queries.
+            for _ in range(2):
+                unstable = max(runs) > 2 * min(runs) and min(runs) > 1.0
+                if not (unstable or min(runs) > 8.0):
+                    break
+                runs.append(_run_once(builder))
+            timings[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 — one bad query must not
             # abort the whole bench run (the driver parses the final JSON).
             errors[name] = repr(exc)[:200]
