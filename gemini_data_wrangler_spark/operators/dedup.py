@@ -706,11 +706,76 @@ def simhash_oracle_sql(
 # ---------------------------------------------------------------------------
 # Connected-components clustering (pairs → canonical cluster ids)
 # ---------------------------------------------------------------------------
+# Auto-routing bound for the driver-side union-find fast path (same
+# pattern as similarity.TILED_MAX_ROWS): a near-dup GRAPH is usually a
+# tiny fraction of the corpus (pairs above a 0.8 similarity gate are
+# rare), so after the distributed pair kernel has done the big-data work
+# the component computation is often a sub-million-edge problem — where
+# driver union-find costs one collect instead of rounds × join jobs.
+# Above the bound the distributed loops below take over (a trillion-token
+# corpus can still produce billions of pairs).
+DRIVER_CC_MAX_EDGES = 500_000
+
+
+def _cc_driver_route(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_edges: int = DRIVER_CC_MAX_EDGES,
+    include_self_only: bool = True,
+) -> DataFrame | None:
+    """Bounded driver-side connected components: collect at most
+    ``max_edges + 1`` edges — if the limit truncated, return ``None`` and
+    let the caller run the distributed loop; otherwise the collected rows
+    ARE the whole edge set, and union-find (roots always re-pointed at the
+    smaller id, so the final root is the component minimum — the same
+    label the distributed variants converge to) finishes in one pass.
+    Integer-exact, so the output is identical to the distributed loops on
+    any input. ``include_self_only`` mirrors the variants' self-edge
+    semantics: min-label propagation emits a vertex that only appears in
+    self-edges (True), star contraction drops it (False).
+    Output: doc_id, cluster_id, typed like the input ids."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = pairs.select(src, dst).limit(max_edges + 1).collect()
+    if len(rows) > max_edges:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members: set = set()
+    for a, b in rows:
+        if a == b and not include_self_only:
+            continue
+        members.add(a)
+        members.add(b)
+    out = [(x, find(x)) for x in sorted(members)]
+    id_type = pairs.schema[src].dataType
+    schema = StructType(
+        [StructField("doc_id", id_type), StructField("cluster_id", id_type)]
+    )
+    spark = pairs.sparkSession
+    return spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    route: str = "auto",
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components and assign each member
     the component's minimum doc id as ``cluster_id`` — the canonicalization
@@ -728,8 +793,18 @@ def connected_components(
     that algorithm without the degree-rebalancing step, which tiny dup
     clusters don't need).
 
+    ``route="auto"`` first tries the bounded driver-side union-find
+    (:func:`_cc_driver_route`, ≤ ``DRIVER_CC_MAX_EDGES`` edges — the
+    common case after a high-threshold pair gate), falling back to the
+    distributed loop when the edge set is big data. ``"distributed"``
+    forces the loop (tests pin route equivalence).
+
     Output: doc_id, cluster_id.
     """
+    if route == "auto":
+        fast = _cc_driver_route(pairs, src, dst)
+        if fast is not None:
+            return fast
     # Emit both orientations with one explode instead of union(e, e-swapped):
     # a union would reference the upstream pair-producing plan twice, and
     # Spark executes self-referencing branches independently — for a
@@ -799,6 +874,7 @@ def connected_components_star(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 30,
+    route: str = "auto",
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star edge
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -816,8 +892,15 @@ def connected_components_star(
     aggregate per round.
 
     Output: doc_id, cluster_id (component minimum), same contract as
-    :func:`connected_components`.
+    :func:`connected_components` — including the ``route="auto"``
+    driver-side union-find fast path below ``DRIVER_CC_MAX_EDGES`` edges
+    (star contraction's O(log² n) round advantage only matters once the
+    edge set is big data anyway).
     """
+    if route == "auto":
+        fast = _cc_driver_route(pairs, src, dst, include_self_only=False)
+        if fast is not None:
+            return fast
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))

@@ -381,7 +381,14 @@ def _tiled_candidates(
     the standard blocked all-pairs shape (each side is replicated
     ~n_blocks/2 times through the shuffle; tiles are independent tasks).
     Diagonal tiles dedup by id<id inside the tile; off-diagonal tiles hold
-    each unordered pair exactly once and emit it as (min, max)."""
+    each unordered pair exactly once and emit it as (min, max).
+
+    CONSUMER CONTRACT (Spark 4.1): every action over this frame must
+    consume BOTH output columns. A projection/aggregate that needs only a
+    subset (``.select("doc_a")``, a bare ``.count()``) makes the optimizer
+    prune the cogroup's INPUT columns down to the grouping keys, and the
+    tile UDF crashes with ``KeyError: '_id'``. All current consumers join
+    on both ids; keep it that way (or materialize first)."""
     import numpy as np
     import pandas as pd
 
@@ -562,6 +569,11 @@ def knn_directed(
     window decides — numpy never determines the answer, so parity with a
     sequential-fold oracle is exact. No full-table broadcast, no driver
     materialization; each task touches one tile.
+
+    The candidate frame has the same Spark 4.1 consumer contract as
+    ``_tiled_candidates``: actions must consume both ``src`` and ``dst``
+    (the internal re-score join does), or column pruning reaches into the
+    cogroup inputs and the tile UDF crashes.
 
     Output: query_id, vec_id, sim (round 6), rank (1..k).
     """

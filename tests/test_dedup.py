@@ -167,6 +167,43 @@ def test_star_contraction_matches_propagation(spark):
     assert star == prop
 
 
+def test_cc_driver_route_matches_distributed(spark):
+    """The auto-routed driver-side union-find must reproduce BOTH
+    distributed loops exactly — including the self-edge semantics they
+    disagree on (min-label emits a self-only vertex, star drops it) —
+    and must decline (return the distributed result) past the edge bound."""
+    from gemini_data_wrangler_spark.operators.dedup import (
+        _cc_driver_route,
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (6, 7), (100, 5), (100, 50), (3, 1), (77, 77)],
+        "doc_a int, doc_b int",
+    )
+    auto_prop = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    dist_prop = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, route="distributed").collect()
+    }
+    assert auto_prop == dist_prop
+    assert (77, 77) in auto_prop  # min-label keeps self-only vertices
+
+    auto_star = {
+        (r.doc_id, r.cluster_id) for r in connected_components_star(pairs).collect()
+    }
+    dist_star = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(pairs, route="distributed").collect()
+    }
+    assert auto_star == dist_star
+    assert (77, 77) not in auto_star  # star contraction drops them
+
+    # Past the bound the probe must decline so the distributed loop runs.
+    assert _cc_driver_route(pairs, "doc_a", "doc_b", max_edges=3) is None
+
+
 def test_star_contraction_long_chain_bounded_rounds(spark):
     """Adversarial diameter: a 400-vertex chain needs ~400 propagation hops
     but must collapse within O(log^2 n) star rounds — 12 is generous."""
