@@ -38,6 +38,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    # Forced scale-path routes (round-5 verdict ask #6): auto-routing
+    # always picks the driver-state path at test scale, so these keep the
+    # distributed CC loop and the distributed beam search — the 100 TB
+    # code paths — under a recorded per-round number.
+    "dedup_clusters_cc_distributed",
+    "similarity_graph_ann_topk_distributed",
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
@@ -83,6 +89,20 @@ HEADLINE = [
 ]
 
 
+def _env_fingerprint(spark) -> dict:
+    """Version provenance for the artifact (kept tiny: the driver's stdout
+    tail is bounded)."""
+    import duckdb
+    import numpy
+
+    return {
+        "spark": spark.version,
+        "duckdb": duckdb.__version__,
+        "numpy": numpy.__version__,
+        "python": ".".join(map(str, sys.version_info[:3])),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -123,6 +143,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Absolute tail-outlier cutoff for the instability retry, scaled to
+    # the scale factor (round-5 ADVICE: a flat 8 s is an sf0.1 constant —
+    # at sf1 a legitimately slower query would always burn 4 runs without
+    # converging). 80 s/sf ≈ 8 s at the default sf0.1.
+    slow_cutoff = 80.0 * sf if sf else 8.0
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -137,7 +163,7 @@ def main() -> None:
             # bound the added wall time to the genuinely noisy queries.
             for _ in range(2):
                 unstable = max(runs) > 2 * min(runs) and min(runs) > 1.0
-                if not (unstable or min(runs) > 8.0):
+                if not (unstable or min(runs) > slow_cutoff):
                     break
                 runs.append(_run_once(builder))
             timings[name] = round(min(runs), 3)
@@ -168,6 +194,10 @@ def main() -> None:
         "full_total": full_total,
         "n_queries": len(timings),
         "timing_policy": TIMING_POLICY,
+        # Environment fingerprint: rounds 4 and 5 each burned a cycle on
+        # "mismatch/outlier only in the driver env" — one line of
+        # provenance localizes an engine-version divergence immediately.
+        "env": _env_fingerprint(spark),
     }
     if errors:
         # Keep the printed line bounded: error names only, capped at 5 —

@@ -84,30 +84,6 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 5) -> DataFrame:
     return df.withColumn("_shingles", char_shingle_hashes(F.col(text_col), n))
 
 
-def _hot(df: DataFrame, key: str) -> DataFrame:
-    """Stage a frame that feeds BOTH sides of a self-join (and often a later
-    verify join): spread it across the cluster and persist it.
-
-    Without this, Spark recomputes the whole upstream subtree once per join
-    branch (self-joins don't share plan fragments), and a single-file parquet
-    source keeps the heavy explode/aggregate work on one partition. The
-    repartition uses an explicit partition count, which AQE will not coalesce
-    away, so shingle/signature computation parallelizes even on small inputs.
-
-    The persist is EAGER (count() forces the cache before any consumer
-    plan runs): a lazy persist feeding both sides of a self-join lets the
-    concurrently scheduled branches race to populate the cache and, under
-    an unlucky scheduling order, recompute the upstream subtree per branch
-    — the round-4 driver bench showed exactly that signature (a 13×
-    blow-up on graph_modularity that never reproduced locally). The extra
-    job costs ~0.3 s; the downside it insures against is unbounded.
-    """
-    sc = df.sparkSession.sparkContext
-    staged = df.repartition(sc.defaultParallelism, key).persist()
-    staged.count()
-    return staged
-
-
 def _hot_shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Shingle a corpus with the heavy per-row hashing AFTER a round-robin
     spread of the raw (id, text) rows.
@@ -116,9 +92,20 @@ def _hot_shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     expression runs inside the scan stage — a single-split parquet file
     computes every array on one core. Repartitioning the raw rows first
     moves the substring+xxhash work past the exchange, so it parallelizes
-    regardless of the source's split count. Persisted EAGERLY (see ``_hot``)
-    because every caller feeds it to at least two plan branches
-    (signatures + exact verify) that may be scheduled concurrently.
+    regardless of the source's split count.
+
+    Persisted EAGERLY (count() forces the cache before any consumer plan
+    runs) because every caller feeds it to at least two plan branches
+    (signatures/votes + exact verify) that may be scheduled concurrently: a
+    lazy persist lets the branches race to populate the cache and, under
+    an unlucky scheduling order, recompute the upstream subtree per branch
+    — the round-4 driver bench showed exactly that signature (a 13×
+    blow-up on graph_modularity that never reproduced locally). The extra
+    job costs ~0.3 s; the downside it insures against is unbounded. Each
+    dedup kernel stages exactly ONE eager frame like this per heavy
+    upstream (round 5 staged three per kernel — the redundant
+    repartition+persist+count jobs cost graph_adamic_adar ~1.8× and were
+    trimmed in round 6).
     """
     sc = df.sparkSession.sparkContext
     raw = df.select(id_col, text_col).repartition(sc.defaultParallelism, id_col)
@@ -283,7 +270,7 @@ def ngram_jaccard_pairs(
     # below the exploded (doc, shingle) stream; when it fits the broadcast
     # budget, broadcasting it (a) turns the rank join map-side, so the 10M+
     # exploded rows never shuffle on the shingle key, and (b) preserves the
-    # doc-keyed partitioning from `_hot` through explode+join, so the
+    # doc-keyed partitioning from `_hot_shingled` through explode+join, so the
     # rank window needs NO exchange either — two full-stream shuffles
     # removed. AQE would make this call itself but cannot re-plan inside a
     # cached subtree, so the engine measures: freq is persisted, counted
@@ -304,12 +291,18 @@ def ngram_jaccard_pairs(
     sizes = shingled.select(F.col(id_col), F.size("_shingles").alias("_n"))
     # prefix length = |A| - ceil(t*|A|) + 1; keep each token's rank for the
     # positional filter below.
-    prefix = _hot(
+    # Persist the prefix tokens in place (eager — both self-join branches
+    # and the pair-stats agg consume them): the window above already costs
+    # an id-keyed exchange, and the a⋈b join below re-shuffles by _g
+    # anyway, so _hot's extra repartition-by-id was a third full-stream
+    # exchange that bought nothing.
+    prefix = (
         ranked.join(sizes, id_col)
         .filter(F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
-        .select(F.col(id_col), F.col("_g"), F.col("_rk"), F.col("_n")),
-        id_col,
+        .select(F.col(id_col), F.col("_g"), F.col("_rk"), F.col("_n"))
+        .persist()
     )
+    prefix.count()
     a = prefix.select(
         F.col(id_col).alias("doc_a"), F.col("_g"), F.col("_rk").alias("_rka"), F.col("_n").alias("_na")
     )
@@ -388,6 +381,28 @@ def ngram_jaccard_oracle_sql(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+# Per-shingle re-hash into the universal-hash domain: computed ONCE per row
+# under its own column name (`_hs`) — CollapseProject keeps non-cheap
+# multi-referenced aliases in their own projection, so the num_perm folds
+# below each read the same materialized array.
+_HS_EXPR = f"transform(_shingles, g -> pmod(xxhash64(g), {_P}))"
+
+
+def _minhash_sig_arr(num_perm: int) -> Column:
+    """The num_perm-wide MinHash signature as a Column over ``_hs``: each
+    element folds the hashed shingles to the minimum of one affine
+    permutation — zero shuffle, embarrassingly parallel."""
+    return F.array(
+        *[
+            F.expr(
+                f"aggregate(_hs, CAST({_P} AS BIGINT),"
+                f" (m, h) -> least(m, pmod({a} * h + {b}, {_P})))"
+            )
+            for a, b in _perm_params(num_perm)
+        ]
+    )
+
+
 def minhash_signatures(
     shingled: DataFrame,
     id_col: str,
@@ -405,18 +420,9 @@ def minhash_signatures(
     an empty shingle set get no row (mirrors the explode semantics).
     """
     hashed = shingled.filter(F.size("_shingles") > 0).withColumn(
-        "_hs", F.expr(f"transform(_shingles, g -> pmod(xxhash64(g), {_P}))")
+        "_hs", F.expr(_HS_EXPR)
     )
-    sig = F.array(
-        *[
-            F.expr(
-                f"aggregate(_hs, CAST({_P} AS BIGINT),"
-                f" (m, h) -> least(m, pmod({a} * h + {b}, {_P})))"
-            )
-            for a, b in _perm_params(num_perm)
-        ]
-    )
-    return hashed.select(F.col(id_col), sig.alias("_sig"))
+    return hashed.select(F.col(id_col), _minhash_sig_arr(num_perm).alias("_sig"))
 
 
 def minhash_lsh_pairs(
@@ -441,8 +447,30 @@ def minhash_lsh_pairs(
     whenever LSH recall holds (verified against the exact oracle in tests).
     """
     rows = num_perm // bands
-    shingled = _hot_shingled(df, id_col, text_col, n)
-    sig = _hot(minhash_signatures(shingled, id_col, num_perm), id_col)
+    # ONE eager staging job for the whole per-doc compute: repartition the
+    # raw rows (so shingling parallelizes past a single-split source, see
+    # _hot_shingled), then shingles AND signatures land in the same cached
+    # frame. Round 5 staged shingles, signatures and band rows as three
+    # separate repartition+persist+count jobs; the two extra jobs and two
+    # extra exchanges put graph_adamic_adar at ~1.8× its round-4 time while
+    # buying no additional race insurance — every fan-out consumer below
+    # (band explode a/b, screen a/b, exact verify) reads THIS one
+    # eagerly-materialized cache, never recomputes the fold.
+    sc = df.sparkSession.sparkContext
+    raw = df.select(id_col, text_col).repartition(sc.defaultParallelism, id_col)
+    hashed = with_shingles(raw, text_col, n).withColumn("_hs", F.expr(_HS_EXPR))
+    sig_arr = _minhash_sig_arr(num_perm)
+    staged = hashed.select(
+        F.col(id_col),
+        F.col("_shingles"),
+        # Empty shingle sets get NO signature (mirrors minhash_signatures'
+        # filter): an all-seed signature would band every empty doc into
+        # the same buckets — a quadratic candidate blowup at scale.
+        F.when(F.size("_shingles") > 0, sig_arr).alias("_sig"),
+    ).persist()
+    staged.count()
+    shingled = staged.select(id_col, "_shingles")
+    sig = staged.filter(F.col("_sig").isNotNull()).select(id_col, "_sig")
     # band hash = xxhash64 over the band's slice of the signature
     band_rows = sig.select(
         F.col(id_col),
@@ -460,7 +488,12 @@ def minhash_lsh_pairs(
             )
         ).alias("_b"),
     ).select(F.col(id_col), F.col("_b.band"), F.col("_b.bhash"))
-    band_rows = _hot(band_rows, id_col)
+    # No staging for band_rows: deriving them is one row-local explode +
+    # xxhash over the CACHED signatures (both self-join branches replay
+    # cache blocks, never the signature fold), and the band self-join
+    # re-shuffles by (band, bhash) regardless of input partitioning — the
+    # old _hot here was a third repartition+persist+count job that bought
+    # nothing.
     a = band_rows.select(F.col(id_col).alias("doc_a"), "band", "bhash")
     b = band_rows.select(F.col(id_col).alias("doc_b"), "band", "bhash")
     candidates = (
@@ -582,7 +615,15 @@ def simhash_pairs(
     Output: doc_a, doc_b, jaccard.
     """
     shingled = _hot_shingled(df, id_col, text_col, n)
-    sims = simhash_bits(df, id_col, text_col, n)
+    # Persist the per-doc simhash frame itself (the expensive part: the
+    # 64-vote aggregation over exploded md5 nibbles) and derive the chunk
+    # rows LAZILY: the chunk explode is row-local over this cache and the
+    # pigeonhole self-join re-shuffles by (chunk, cval) regardless, so the
+    # old `_hot(chunk_rows)` was an extra repartition+persist+count job on
+    # an 8×-bigger frame (same trim as minhash_lsh_pairs' band rows —
+    # round-5 ADVICE/verdict #4).
+    sims = simhash_bits(df, id_col, text_col, n).persist()
+    sims.count()
     width = 64 // chunks
     chunk_rows = sims.select(
         F.col(id_col),
@@ -601,7 +642,6 @@ def simhash_pairs(
             )
         ).alias("_c"),
     ).select(F.col(id_col), F.col("_simhash"), F.col("_c.chunk"), F.col("_c.cval"))
-    chunk_rows = _hot(chunk_rows, id_col)
     a = chunk_rows.select(F.col(id_col).alias("doc_a"), F.col("_simhash").alias("_ha"), "chunk", "cval")
     b = chunk_rows.select(F.col(id_col).alias("doc_b"), F.col("_simhash").alias("_hb"), "chunk", "cval")
     candidates = (
@@ -717,6 +757,17 @@ def simhash_oracle_sql(
 DRIVER_CC_MAX_EDGES = 500_000
 
 
+def _validate_cc_route(route: str) -> None:
+    """Reject unknown route strings up front: a typo like ``"driverr"``
+    must raise, not silently force the distributed loop (matches the
+    existing validation pattern in ``cosine_pair_candidates``)."""
+    if route not in ("auto", "distributed"):
+        raise ValueError(
+            f"connected components: unknown route {route!r} "
+            "(expected 'auto' or 'distributed')"
+        )
+
+
 def _cc_driver_route(
     pairs: DataFrame,
     src: str,
@@ -776,6 +827,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     route: str = "auto",
+    max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components and assign each member
     the component's minimum doc id as ``cluster_id`` — the canonicalization
@@ -797,13 +849,25 @@ def connected_components(
     (:func:`_cc_driver_route`, ≤ ``DRIVER_CC_MAX_EDGES`` edges — the
     common case after a high-threshold pair gate), falling back to the
     distributed loop when the edge set is big data. ``"distributed"``
-    forces the loop (tests pin route equivalence).
+    forces the loop (tests pin route equivalence). Any other value
+    raises (a typo must not silently pick a path).
 
     Output: doc_id, cluster_id.
     """
+    _validate_cc_route(route)
+    unpersist_pairs = False
     if route == "auto":
-        fast = _cc_driver_route(pairs, src, dst)
+        # Persist BEFORE the probe: limit().collect() cannot short-circuit
+        # a shuffle-heavy pair-producing upstream, so without the cache a
+        # >max_edges graph would pay for the upstream twice (once for the
+        # truncated probe, once for the distributed loop). Partitions the
+        # probe computed stay cached for the fallback; the cache is
+        # released as soon as the loop's own edge state is materialized.
+        pairs = pairs.persist()
+        unpersist_pairs = True
+        fast = _cc_driver_route(pairs, src, dst, max_edges=max_edges)
         if fast is not None:
+            pairs.unpersist()
             return fast
     # Emit both orientations with one explode instead of union(e, e-swapped):
     # a union would reference the upstream pair-producing plan twice, and
@@ -821,13 +885,17 @@ def connected_components(
         .select("_e.u", "_e.v")
         .distinct()
     )
-    edges = edges.persist()
+    edges_cached = edges = edges.persist()
     # Size the loop's parallelism to the edge count (one upfront job): dup
     # graphs are usually a tiny fraction of the corpus, and running each
     # propagation round at full cluster width pays fixed per-task overhead
     # × iterations for near-empty partitions. ~50k edges per partition keeps
     # a round sub-second at any width; capped at defaultParallelism.
     n_edges = edges.count()
+    if unpersist_pairs:
+        # The persisted `edges` now hold everything the loop needs; the
+        # probe-time cache of the raw pair stream can go.
+        pairs.unpersist()
     sc = edges.sparkSession.sparkContext
     n = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
     edges = edges.repartition(n, "v")
@@ -865,7 +933,10 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    edges.unpersist()
+    # Unpersist the frame that was actually cached (the pre-repartition
+    # one — `edges` was rebound by the repartition, so unpersisting it
+    # here would be a no-op and leak the cache).
+    edges_cached.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -875,6 +946,7 @@ def connected_components_star(
     dst: str = "doc_b",
     max_iter: int = 30,
     route: str = "auto",
+    max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star edge
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -897,9 +969,17 @@ def connected_components_star(
     (star contraction's O(log² n) round advantage only matters once the
     edge set is big data anyway).
     """
+    _validate_cc_route(route)
+    unpersist_pairs = False
     if route == "auto":
-        fast = _cc_driver_route(pairs, src, dst, include_self_only=False)
+        # Same probe insurance as connected_components: materialize the
+        # pair stream before the limit-probe so a >max_edges graph doesn't
+        # run the expensive pair-producing upstream twice.
+        pairs = pairs.persist()
+        unpersist_pairs = True
+        fast = _cc_driver_route(pairs, src, dst, max_edges=max_edges, include_self_only=False)
         if fast is not None:
+            pairs.unpersist()
             return fast
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -914,6 +994,10 @@ def connected_components_star(
     # the first fingerprint probe below.
     sc = e.sparkSession.sparkContext
     n_parts = max(1, min(sc.defaultParallelism, e.count() // 50_000 + 1))
+    if unpersist_pairs:
+        # The checkpointed edge state is materialized by the count above;
+        # the probe-time cache of the raw pair stream can go.
+        pairs.unpersist()
     e = e.repartition(n_parts, "u").localCheckpoint(eager=False)
 
     def large_star(edges: DataFrame) -> DataFrame:

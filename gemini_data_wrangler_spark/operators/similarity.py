@@ -265,6 +265,7 @@ def kmeans_lloyd(
     k: int = 10,
     max_iter: int = 5,
     init_stride: int = 50,
+    return_stats: bool = False,
 ) -> DataFrame:
     """Lloyd's algorithm as pure DataFrame ops — the training step a real
     IVF index needs (``ivf_topk``'s deterministic stride centroids are the
@@ -279,6 +280,19 @@ def kmeans_lloyd(
 
     Output: cell_id, centroid (array<double>), n_members — the centroid
     table ``ivf_topk`` probes.
+
+    With ``return_stats=True`` the return value is instead the FINAL
+    iteration's exact per-(cell_id, pos) statistics: ``(cell_id, pos,
+    sum_q9 DECIMAL(38,0), n_members)`` where ``sum_q9 =
+    Σ floor(val·1e9)``. The quantization uses only IEEE-exact operations
+    (one double multiply + floor — no decimal cast, no round), and integer
+    sums are associative, so the value is bit-identical in any
+    partial-merge order AND on any engine/library version. This is the
+    engine-neutral compare surface `embedding_kmeans` publishes: a rounded
+    double mean is not (round(DOUBLE, 6) semantics differ across DuckDB
+    versions — round-5 red row), and even CAST(double AS DECIMAL(38,12))
+    is not (its 12th-digit rounding was measured to differ between Spark
+    and DuckDB on this corpus).
     """
     vecs = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -299,7 +313,8 @@ def kmeans_lloyd(
         )
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    means = None
+    for _it in range(max_iter):
         # Assignment = broadcast crossJoin (k cosines per vector, all
         # whole-stage-codegen — a row-local HOF argmax was A/B-tested and
         # LOST ~1.5×: nested higher-order functions evaluate interpreted)
@@ -332,19 +347,34 @@ def kmeans_lloyd(
         # cascade through later assignment rounds into a different
         # n_members). The DuckDB oracle CTE (`queries_ext3._kmeans_cte`)
         # computes the identical decimal-sum/count mean.
-        means = (
-            dims.groupBy("cell_id", "_pos")
-            .agg(
-                F.sum(F.col("_val").cast("decimal(38,12)")).alias("_s"),
-                F.count(F.lit(1)).alias("_n"),
+        aggs = [
+            F.sum(F.col("_val").cast("decimal(38,12)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        ]
+        cols = [
+            F.col("cell_id"),
+            F.col("_pos"),
+            (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
+            F.col("_n"),
+        ]
+        if return_stats:
+            # Engine-neutral compare surface: quantize each element with
+            # floor(val * 1e9) — an IEEE double multiply + floor is
+            # bit-exact on every engine (unlike the double→decimal(38,12)
+            # cast above, whose 12th-digit rounding was measured to differ
+            # between Spark and DuckDB) — then sum exactly in
+            # DECIMAL(38,0). Skipped entirely for plain centroid training
+            # (ivf_topk et al.).
+            aggs.append(
+                F.sum(F.floor(F.col("_val") * 1e9).cast("decimal(38,0)")).alias("_q")
             )
-            .select(
-                "cell_id",
-                "_pos",
-                (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
-                "_n",
-            )
-        )
+            cols.append(F.col("_q"))
+        means = dims.groupBy("cell_id", "_pos").agg(*aggs).select(*cols)
+        if return_stats and _it == max_iter - 1:
+            # The stats frame is about to be returned alongside the
+            # centroid build — checkpoint once so the final assignment
+            # pass isn't recomputed when the caller's action runs.
+            means = means.localCheckpoint()
         centroids = (
             means.groupBy("cell_id")
             .agg(
@@ -355,6 +385,13 @@ def kmeans_lloyd(
                 F.first("_n").alias("n_members"),
             )
             .localCheckpoint()
+        )
+    if return_stats:
+        return means.select(
+            "cell_id",
+            F.col("_pos").alias("pos"),
+            F.col("_q").alias("sum_q9"),
+            F.col("_n").alias("n_members"),
         )
     return centroids.select("cell_id", F.col("_c").alias("centroid"), "n_members")
 

@@ -154,9 +154,20 @@ def run_parity(spark, sf_dir: str, only: list[str] | None = None) -> dict:
         results[name] = rec
     con.close()
 
+    import duckdb
+    import numpy
+
     oracle_rows = [r for r in results.values() if r["err"] != "no_oracle"]
     summary = {
         "sf_dir": sf_dir,
+        # Engine provenance: a hash mismatch that reproduces in one
+        # environment only (rounds 4-5: embedding_kmeans) is localized by
+        # comparing these versions across artifacts.
+        "env": {
+            "spark": spark.version,
+            "duckdb": duckdb.__version__,
+            "numpy": numpy.__version__,
+        },
         "total_queries": len(results),
         "oracle_backed": len(oracle_rows),
         "rows_only": len(results) - len(oracle_rows),

@@ -156,8 +156,9 @@ def kmeans_state_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd-iteration invariants hash-gated: every vector is assigned to
     exactly one cell (membership counts sum to the corpus), the cell count
     stays within k, and every centroid keeps the embedding dimensionality.
-    (The centroid VALUES stay rows-only in `embedding_kmeans` — float
-    iteration output; these invariants are what merging must preserve.)"""
+    (`embedding_kmeans` value-checks the final assignment's exact
+    fixed-point sums; these structural invariants are what merging must
+    preserve.)"""
     from gemini_data_wrangler_spark.operators.similarity import kmeans_lloyd
 
     emb = _table(spark, sf_dir, "embeddings")

@@ -267,6 +267,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_cc_distributed",
+    connected_components_oracle_sql(
+        ngram_jaccard_oracle_sql("documents", "doc_id", "text", n=5, threshold=0.8)
+    ),
+)
+def dedup_clusters_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` with the CC route FORCED to the distributed
+    min-label loop. At test scale ``route="auto"`` always picks the
+    driver union-find (the pair graph is tiny), so without this row the
+    100 TB code path — the one a billion-edge dup graph actually runs —
+    would have no recorded perf number or driver-checked oracle row.
+    Equivalence between the routes is additionally pinned in
+    tests/test_dedup.py::test_cc_driver_route_matches_distributed."""
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    return connected_components(pairs, route="distributed")
+
+
+@register(
     "dedup_clusters_star",
     connected_components_oracle_sql(
         ngram_jaccard_oracle_sql("documents", "doc_id", "text", n=5, threshold=0.8)
@@ -542,17 +561,29 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, stride: int = 50, dim: int = 64) 
     (k smallest ids ≡ vec_id % stride = 0, dense 0..k-1 cell ids), per
     iteration assign-by-max-cosine (tie → lower cell_id, same formula as
     `functions/vectors.py::cosine_similarity`: double-cast elements,
-    sequential accumulation) then element-wise means. Centroids compare
-    as DECIMAL(18,6) so sub-ulp summation-order noise cannot flip the
-    hash."""
+    sequential accumulation) then element-wise means. The COMPARED
+    surface is the final assignment's exact per-(cell_id, pos)
+    fixed-point element sum ``Σ floor(val·1e9)`` (DECIMAL(38,0)) +
+    integer member count — no division, no round, and no double→decimal
+    cast anywhere in the compared values. floor(double · 1e9) is a pure
+    IEEE-exact derivation (correctly-rounded multiply, exact floor), so
+    it is bit-identical on every engine/version, and the integer sum is
+    associative; by contrast round(mean, 6) stayed red in the driver
+    environment through round 5, and CAST(val AS DECIMAL(38,12)) was
+    measured to round its 12th digit differently between Spark and
+    DuckDB on this corpus. The double means stay internal to the
+    iteration CTEs, exactly as they stay internal to the Spark loop."""
     return (
         _kmeans_cte(k, iters, stride, dim)
         + f"""
-SELECT cell_id,
-       unnest(range(0, {dim})) AS pos,
-       unnest(list_transform(c, x -> CAST(round(x, 6) AS DECIMAL(18,6)))) AS val,
-       n_members
-FROM c{iters}"""
+SELECT cell_id, pos,
+       sum(CAST(floor(val * 1e9) AS DECIMAL(38,0))) AS sum_q9,
+       count(*) AS n_members
+FROM (
+  SELECT cell_id, unnest(v) AS val, unnest(range(0, {dim})) AS pos
+  FROM a{iters}
+)
+GROUP BY cell_id, pos"""
     )
 
 
@@ -561,23 +592,22 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-native Lloyd k-means (k=8, 3 iterations, stride init).
     The oracle is a fully unrolled Lloyd CTE in DuckDB — two independent
     implementations of the same deterministic algorithm must converge to
-    the identical centroid table (compared at DECIMAL(18,6) to absorb
-    summation-order noise in the means).  Output is exploded to one
-    ``(cell_id, pos, val)`` row per centroid dimension — all-scalar
-    columns so any pandas-style canonicalizer can sort/hash it."""
+    the identical FINAL-assignment statistics. The compared surface is
+    the exact per-(cell_id, pos) fixed-point element sum Σ floor(val·1e9)
+    (DECIMAL(38,0)) plus the integer member count: floor(double·1e9) is
+    IEEE-exact (no decimal cast, no round anywhere in the compared
+    values) and integer sums are order-independent — bit-identical on
+    any engine version in any execution order, unlike the round(mean, 6)
+    double surface rounds 4–5 compared (which stayed red in the driver
+    environment despite margin measurements proving the algorithm itself
+    could not flip). The double means remain internal to the Lloyd
+    iterations on both engines."""
     from gemini_data_wrangler_spark.operators.similarity import kmeans_lloyd
 
     emb = _table(spark, sf_dir, "embeddings")
-    cents = kmeans_lloyd(emb, k=8, max_iter=3)
-    return cents.select(
-        "cell_id",
-        "n_members",
-        F.posexplode(
-            F.transform(
-                "centroid", lambda x: F.round(x, 6).cast("decimal(18,6)")
-            )
-        ).alias("pos", "val"),
-    ).select("cell_id", "pos", "val", "n_members")
+    return kmeans_lloyd(emb, k=8, max_iter=3, return_stats=True).select(
+        "cell_id", "pos", "sum_q9", "n_members"
+    )
 
 
 # ---------------------------------------------------------------------------

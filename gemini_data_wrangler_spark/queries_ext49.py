@@ -242,11 +242,17 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=5, threshold=0.8
     ).localCheckpoint()
+    # deg fans out into the du- and dv-join branches below, which AQE
+    # schedules concurrently — materialize it eagerly too (round-5 driver
+    # artifact read 12.3 s vs ~2 s builder-side; same insurance that cured
+    # graph_modularity in round 4). It is one row per distinct doc id, so
+    # the checkpoint is ~free.
     deg = (
         pairs.select(F.col("doc_a").alias("vec_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("vec_id")))
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))

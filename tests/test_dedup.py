@@ -308,3 +308,52 @@ def test_simhash_oracle_parity_random_corpora(spark):
         )
         assert diag["ok"], (trial, diag)
         con.close()
+
+
+def test_cc_unknown_route_raises(spark):
+    """A typo'd route must raise instead of silently forcing a path
+    (round-5 ADVICE: cosine_pair_candidates validates, CC did not)."""
+    import pytest
+
+    from gemini_data_wrangler_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a int, doc_b int")
+    with pytest.raises(ValueError, match="route"):
+        connected_components(pairs, route="driverr")
+    with pytest.raises(ValueError, match="route"):
+        connected_components_star(pairs, route="drv")
+
+
+def test_cc_auto_fallback_scans_pairs_once(spark):
+    """route="auto" past the edge bound: the limit-probe executes the
+    pair-producing upstream, and without the pre-probe persist the
+    distributed loop would execute it AGAIN from scratch (round-5 ADVICE,
+    medium). Instrument the upstream with an accumulator-counting UDF:
+    every source row must be computed exactly once — probe partitions
+    land in the cache, the fallback replays them.
+    """
+    from pyspark.sql.types import IntegerType
+
+    from gemini_data_wrangler_spark.operators.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = F.udf(bump, IntegerType())
+    base = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(200)], "doc_a int, doc_b int"
+    ).repartition(4)
+    pairs = base.select(bump_udf("doc_a").alias("doc_a"), "doc_b")
+    out = connected_components(pairs, route="auto", max_edges=10)
+    rows = {(r.doc_id, r.cluster_id) for r in out.collect()}
+    assert rows == {(2 * i + o, 2 * i) for i in range(200) for o in (0, 1)}
+    assert acc.value == 200, (
+        f"pair pipeline computed {acc.value} rows for a 200-row source — "
+        "the auto-route fallback re-executed the upstream"
+    )
