@@ -371,10 +371,12 @@ def kmeans_lloyd(
             cols.append(F.col("_q"))
         means = dims.groupBy("cell_id", "_pos").agg(*aggs).select(*cols)
         if return_stats and _it == max_iter - 1:
-            # The stats frame is about to be returned alongside the
-            # centroid build — checkpoint once so the final assignment
-            # pass isn't recomputed when the caller's action runs.
+            # The stats caller consumes the FINAL assignment's means only —
+            # checkpoint them once (so the caller's action doesn't replay
+            # the assignment pass) and skip the final centroid rebuild,
+            # which nothing would ever read.
             means = means.localCheckpoint()
+            break
         centroids = (
             means.groupBy("cell_id")
             .agg(
