@@ -46,6 +46,33 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SEM_THRESHOLD = 0.45
 _SEM_K = 8
 
+# Session-scoped memo for the SemDeDup pair frame (k-means training +
+# multi-assign + within-cell verify — the expensive index build):
+# `dedup_semantic` publishes the pairs and `dedup_semantic_check` gates
+# precision/recall over the SAME pair set, so rebuilding the pipeline in
+# the gate doubled its cost (same amortization the round-6 kNN-graph memo
+# applies to the graph-ANN family). The PUBLISHER always builds fresh and
+# refreshes the memo — its bench timing stays an honest measurement of the
+# pipeline — while the gate reuses the latest build. Keyed by Spark
+# application id; stale apps pruned on insert; the checkpointed frame is
+# ~|near-dup pairs| rows.
+_SEM_PAIRS_CACHE: dict = {}
+
+
+def _sem_pairs(spark: SparkSession, sf_dir: str, reuse: bool) -> DataFrame:
+    from gemini_data_wrangler_spark.operators.similarity import semantic_dedup_pairs
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, _SEM_THRESHOLD, _SEM_K)
+    if not reuse or key not in _SEM_PAIRS_CACHE:
+        for stale in [k for k in _SEM_PAIRS_CACHE if k[0] != app]:
+            del _SEM_PAIRS_CACHE[stale]
+        emb = _table(spark, sf_dir, "embeddings")
+        _SEM_PAIRS_CACHE[key] = semantic_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=_SEM_THRESHOLD, k=_SEM_K
+        ).localCheckpoint()
+    return _SEM_PAIRS_CACHE[key]
+
 
 def _semantic_oracle(k: int = _SEM_K, iters: int = 3, n_assign: int = 2) -> str:
     """Full SemDeDup re-derivation in DuckDB: the unrolled Lloyd CTE from
@@ -91,12 +118,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent implementations of the full pipeline must emit the
     identical (doc_a, doc_b, sim) set. `dedup_semantic_check` stays as
     the precision/recall gate against the exact all-pairs set."""
-    from gemini_data_wrangler_spark.operators.similarity import semantic_dedup_pairs
-
-    emb = _table(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(
-        emb, "vec_id", "embedding", threshold=_SEM_THRESHOLD, k=_SEM_K
-    )
+    return _sem_pairs(spark, sf_dir, reuse=False)
 
 
 @register(
@@ -113,14 +135,11 @@ def dedup_semantic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     or recall regression becomes a driver hash MISMATCH."""
     from gemini_data_wrangler_spark.operators.similarity import (
         cosine_pair_candidates,
-        semantic_dedup_pairs,
     )
     from gemini_data_wrangler_spark.functions.vectors import cosine_similarity
 
     emb = _table(spark, sf_dir, "embeddings")
-    sem = semantic_dedup_pairs(
-        emb, "vec_id", "embedding", threshold=_SEM_THRESHOLD, k=_SEM_K
-    ).select("doc_a", "doc_b")
+    sem = _sem_pairs(spark, sf_dir, reuse=True).select("doc_a", "doc_b")
 
     cand = cosine_pair_candidates(
         emb, "vec_id", "embedding", threshold=_SEM_THRESHOLD, block_rows=500
