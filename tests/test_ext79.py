@@ -96,3 +96,30 @@ def test_stupid_backoff_logprobs_negative_and_scored(spark):
     got = {r["doc_id"]: r["n_scored"] for r in rows}
     for e in expect:
         assert got.get(e["doc_id"]) == e["want"], e
+
+
+def test_gann_graph_memo_and_mode_validation(spark):
+    """The kNN-graph memo must hand back the SAME checkpointed frame for a
+    repeated (app, corpus, degree) key — one index build per session, the
+    amortization ann_topk/ann_recall rely on — while cache_key=None always
+    builds fresh; unknown modes raise instead of silently routing."""
+    import pytest
+
+    from gemini_data_wrangler_spark.operators.similarity import queries_from_ids
+    from gemini_data_wrangler_spark.queries_ext79 import (
+        _GANN_QUERY_IDS,
+        _gann_graph,
+        graph_ann_beam_topk,
+    )
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    emb = load_sf_tables(spark, SF_ORACLE)["embeddings"]
+    g1 = _gann_graph(emb, 8, "memo-test")
+    g2 = _gann_graph(emb, 8, "memo-test")
+    assert g1 is g2, "same key must reuse the checkpointed graph"
+    assert _gann_graph(emb, 8, None) is not g1, "cache_key=None builds fresh"
+    assert _gann_graph(emb, 4, "memo-test") is not g1, "degree is part of the key"
+
+    q = queries_from_ids(emb, _GANN_QUERY_IDS)
+    with pytest.raises(ValueError, match="mode"):
+        graph_ann_beam_topk(emb, q, mode="driverr")
