@@ -219,20 +219,28 @@ def ivf_topk(
     n_cells: int = 10,
     nprobe: int = 3,
     centroid_stride: int = 50,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via inverted-file partitioning.
 
-    Centroids are deterministic: every ``centroid_stride``-th vector by id
-    (a real system would train k-means; the IVF plumbing — assignment,
-    probing, rerank — is identical). Every vector is assigned to its nearest
-    centroid cell (broadcast centroid list); a query probes its ``nprobe``
-    nearest cells and reranks exactly within them.
+    Default centroids are deterministic: every ``centroid_stride``-th
+    vector by id (the untrained starting point; the full-replay oracle of
+    `similarity_ivf_topk` re-derives exactly this). Pass ``centroids``
+    (a (cell_id, centroid) frame, e.g. from :func:`kmeans_lloyd`) for a
+    TRAINED quantizer — the configuration a production index runs, and
+    what the corpus-adaptive recall gate measures since round 7. Every
+    vector is assigned to its nearest centroid cell (broadcast centroid
+    list); a query probes its ``nprobe`` nearest cells and reranks
+    exactly within them.
     """
-    centroids = (
-        embeddings.filter((F.col(id_col) % centroid_stride) == 0)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_c"))
-    )
+    if centroids is not None:
+        centroids = centroids.select("cell_id", F.col("centroid").alias("_c"))
+    else:
+        centroids = (
+            embeddings.filter((F.col(id_col) % centroid_stride) == 0)
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_c"))
+        )
 
     def assign(df: DataFrame, vc: str, n_best: int, out: str) -> DataFrame:
         scored = df.crossJoin(F.broadcast(centroids)).withColumn(
@@ -283,17 +291,32 @@ def kmeans_lloyd(
 
     With ``return_stats=True`` the return value is instead the FINAL
     iteration's exact per-(cell_id, pos) statistics: ``(cell_id, pos,
-    sum_q9 DECIMAL(38,0), n_members)`` where ``sum_q9 =
-    Σ floor(val·1e9)``. The quantization uses only IEEE-exact operations
-    (one double multiply + floor — no decimal cast, no round), and integer
-    sums are associative, so the value is bit-identical in any
-    partial-merge order AND on any engine/library version. This is the
-    engine-neutral compare surface `embedding_kmeans` publishes: a rounded
-    double mean is not (round(DOUBLE, 6) semantics differ across DuckDB
-    versions — round-5 red row), and even CAST(double AS DECIMAL(38,12))
-    is not (its 12th-digit rounding was measured to differ between Spark
-    and DuckDB on this corpus).
+    sum_q9 BIGINT, n_members)`` where ``sum_q9 = Σ floor(val·1e9)``. The
+    quantization uses only IEEE-exact operations (one double multiply +
+    floor — no decimal cast, no round), and integer sums are associative,
+    so the value is bit-identical in any partial-merge order AND on any
+    engine/library version. This is the engine-neutral compare surface
+    `embedding_kmeans` publishes: a rounded double mean is not
+    (round(DOUBLE, 6) semantics differ across DuckDB versions — round-5
+    red row), and even CAST(double AS DECIMAL(38,12)) is not (its
+    12th-digit rounding was measured to differ between Spark and DuckDB
+    on this corpus). Published as BIGINT, not DECIMAL(38,0), so no
+    decimal canonicalization (Decimal exponent forms vs int rendering)
+    can enter a downstream comparison either (round-7 driver experiment).
+
+    Round 7 moves the same fixed-point discipline INTO the iteration
+    state: each round's centroid element is ``Σ floor(val·1e9) /
+    (n·1e9)`` — exact integer sum (associative), one exact BIGINT→DOUBLE
+    conversion, one correctly-rounded IEEE division — so the entire loop
+    state is bit-identical on any engine/version, and no double→decimal
+    cast survives anywhere. The ~1e-9 per-element quantization is far
+    below any semantic effect on clustering quality. Scale bound: the
+    integer sums stay exact while max|val|·1e9·n_cell < 2^63 (n_cell ≈
+    9·10⁹ at |val|≤1); past that, lower the quantization scale — the
+    contract only needs both engines to use the same one.
     """
+    if max_iter < 1:
+        raise ValueError(f"kmeans_lloyd requires max_iter >= 1, got {max_iter}")
     vecs = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -341,35 +364,37 @@ def kmeans_lloyd(
         dims = assigned.select(
             "cell_id", F.posexplode("_v").alias("_pos", "_val")
         )
-        # Order-independent exact means: sum in DECIMAL(38,12) (decimal
-        # addition is associative — any partial-merge order yields the
-        # bit-identical sum, unlike double avg(), whose ~1-ulp drift can
-        # cascade through later assignment rounds into a different
-        # n_members). The DuckDB oracle CTE (`queries_ext3._kmeans_cte`)
-        # computes the identical decimal-sum/count mean.
-        aggs = [
-            F.sum(F.col("_val").cast("decimal(38,12)")).alias("_s"),
-            F.count(F.lit(1)).alias("_n"),
-        ]
-        cols = [
-            F.col("cell_id"),
-            F.col("_pos"),
-            (F.col("_s").cast("double") / F.col("_n")).alias("_m"),
-            F.col("_n"),
-        ]
-        if return_stats:
-            # Engine-neutral compare surface: quantize each element with
-            # floor(val * 1e9) — an IEEE double multiply + floor is
-            # bit-exact on every engine (unlike the double→decimal(38,12)
-            # cast above, whose 12th-digit rounding was measured to differ
-            # between Spark and DuckDB) — then sum exactly in
-            # DECIMAL(38,0). Skipped entirely for plain centroid training
-            # (ivf_topk et al.).
-            aggs.append(
-                F.sum(F.floor(F.col("_val") * 1e9).cast("decimal(38,0)")).alias("_q")
+        # Engine-neutral fixed-point iteration state (round 7): quantize
+        # each element ONCE with floor(val·1e9) — an IEEE double multiply
+        # + exact floor, bit-identical on every engine — and sum exactly
+        # in DECIMAL(38,0) (integer addition is associative: any
+        # partial-merge order yields the identical sum, unlike double
+        # avg(), whose ~1-ulp drift can cascade through later assignment
+        # rounds into a different n_members). The next round's centroid
+        # element is sum_q9/(n·1e9): one exact BIGINT→DOUBLE conversion
+        # plus one correctly-rounded IEEE division, so the WHOLE loop
+        # state is engine/version-neutral — no double→decimal(38,12)
+        # cast (measured to round its 12th digit differently between
+        # Spark and DuckDB) survives anywhere in the loop. The DuckDB
+        # oracle CTE (`queries_ext3._kmeans_cte`) computes the identical
+        # fixed-point mean.
+        means = (
+            dims.groupBy("cell_id", "_pos")
+            .agg(
+                F.sum(F.floor(F.col("_val") * 1e9).cast("decimal(38,0)")).alias("_q"),
+                F.count(F.lit(1)).alias("_n"),
             )
-            cols.append(F.col("_q"))
-        means = dims.groupBy("cell_id", "_pos").agg(*aggs).select(*cols)
+            .select(
+                F.col("cell_id"),
+                F.col("_pos"),
+                (
+                    F.col("_q").cast("long").cast("double")
+                    / (F.col("_n") * F.lit(1e9))
+                ).alias("_m"),
+                F.col("_n"),
+                F.col("_q"),
+            )
+        )
         if return_stats and _it == max_iter - 1:
             # The stats caller consumes the FINAL assignment's means only —
             # checkpoint them once (so the caller's action doesn't replay
@@ -389,10 +414,15 @@ def kmeans_lloyd(
             .localCheckpoint()
         )
     if return_stats:
+        # BIGINT publish (round-7 driver experiment): the DECIMAL(38,0)
+        # sum is exact, but Decimal-typed values can canonicalize
+        # differently between fetch paths (Decimal('42') vs 42); the
+        # cast to long removes that surface entirely. Exactness bound is
+        # asserted in tests (|sum_q9| ≪ 2^63 at every tested sf).
         return means.select(
             "cell_id",
             F.col("_pos").alias("pos"),
-            F.col("_q").alias("sum_q9"),
+            F.col("_q").cast("long").alias("sum_q9"),
             F.col("_n").alias("n_members"),
         )
     return centroids.select("cell_id", F.col("_c").alias("centroid"), "n_members")

@@ -62,7 +62,16 @@ def _rows_multiset(columns: list[str], rows: list[tuple]) -> Counter:
     return Counter(tuple(_norm_value(row[i]) for i in order) for row in rows)
 
 
-def compare(spark_df, duck_con, oracle_sql: str) -> dict:
+# Queries that have EVER read red in a driver CORRECTNESS round (VERDICT
+# r6 ask #4): their parity records additionally carry the first few
+# canonical-form rows from BOTH engines, so when an external environment
+# next disagrees the diff is over actual values, not a boolean. The
+# members sibling is included as the discriminating half of the r7
+# kmeans experiment.
+EVER_RED = frozenset({"embedding_kmeans", "embedding_kmeans_members"})
+
+
+def compare(spark_df, duck_con, oracle_sql: str, sample: bool = False) -> dict:
     """Return a diagnostics dict; ``ok`` True when everything matches."""
     spark_cols = [c.lower() for c in spark_df.columns]
     spark_rows = [tuple(r) for r in spark_df.collect()]
@@ -89,6 +98,12 @@ def compare(spark_df, duck_con, oracle_sql: str) -> dict:
             only_spark = list((ms_spark - ms_duck).items())[:3]
             only_duck = list((ms_duck - ms_spark).items())[:3]
             out["sample_diff"] = {"only_spark": only_spark, "only_duck": only_duck}
+        if sample:
+            # First 3 rows in sorted canonical order — EXACTLY the hashed
+            # representation, so two artifacts from different environments
+            # diff value-by-value.
+            out["spark_sample"] = sorted(ms_spark.elements())[:3]
+            out["duck_sample"] = sorted(ms_duck.elements())[:3]
     out["ok"] = out["rowcount_ok"] and out["schema_ok"] and out["values_ok"]
     return out
 
@@ -139,7 +154,7 @@ def run_parity(spark, sf_dir: str, only: list[str] | None = None) -> dict:
                 rec["spark_rows"] = df.count()
                 rec["err"] = "no_oracle"
             else:
-                diag = compare(df, con, oracle)
+                diag = compare(df, con, oracle, sample=name in EVER_RED)
                 rec.update(
                     rows_match=diag["rowcount_ok"],
                     schema_match=diag["schema_ok"],
@@ -147,6 +162,9 @@ def run_parity(spark, sf_dir: str, only: list[str] | None = None) -> dict:
                     spark_rows=diag["spark_rows"],
                     oracle_rows=diag["duck_rows"],
                 )
+                if "spark_sample" in diag:
+                    rec["spark_sample"] = diag["spark_sample"]
+                    rec["oracle_sample"] = diag["duck_sample"]
                 if not diag["ok"]:
                     rec["err"] = json.dumps(diag["sample_diff"], default=str)[:500] or "mismatch"
         except Exception as exc:  # noqa: BLE001 — artifact records the failure

@@ -204,6 +204,52 @@ def test_kmeans_deterministic_and_improves(spark):
     assert len(a) == 8
 
 
+def test_kmeans_stats_contract_and_guards(spark):
+    """Round-7 compare-surface contract: sum_q9 publishes as BIGINT (no
+    Decimal anywhere in the fetched values — the driver-experiment cast),
+    the integer sums sit far below the 2^63 exactness bound the docstring
+    promises, the members sibling reuses the publisher's memoized frame,
+    and max_iter < 1 fails loudly instead of dereferencing None (ADVICE
+    r6)."""
+    import pytest
+
+    from gemini_data_wrangler_spark.operators.similarity import kmeans_lloyd
+    from gemini_data_wrangler_spark.queries_ext3 import (
+        _KMEANS_STATS_CACHE,
+        embedding_kmeans,
+        embedding_kmeans_members,
+    )
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+    from tests.conftest import SF_ORACLE
+
+    emb = load_sf_tables(spark, SF_ORACLE)["embeddings"]
+    stats = kmeans_lloyd(emb, k=8, max_iter=2, return_stats=True)
+    assert dict(stats.dtypes)["sum_q9"] == "bigint"
+    assert dict(stats.dtypes)["n_members"] == "bigint"
+    bound = stats.agg(F.max(F.abs("sum_q9"))).collect()[0][0]
+    # Exactness headroom: BIGINT→DOUBLE in the iteration mean and the
+    # published sum both stay exact while |sum_q9| < 2^53.
+    assert bound < 2**50
+
+    with pytest.raises(ValueError, match="max_iter"):
+        kmeans_lloyd(emb, k=8, max_iter=0, return_stats=True)
+    with pytest.raises(ValueError, match="max_iter"):
+        kmeans_lloyd(emb, k=8, max_iter=0)
+
+    # Publisher refreshes the memo; the members sibling reuses the SAME
+    # frame object (no second Lloyd build).
+    _KMEANS_STATS_CACHE.clear()
+    full = embedding_kmeans(spark, SF_ORACLE)
+    assert len(_KMEANS_STATS_CACHE) == 1
+    cached = next(iter(_KMEANS_STATS_CACHE.values()))
+    members = embedding_kmeans_members(spark, SF_ORACLE)
+    assert next(iter(_KMEANS_STATS_CACHE.values())) is cached
+    mem_rows = {(r.cell_id, r.n_members) for r in members.collect()}
+    full_rows = {(r.cell_id, r.n_members) for r in full.collect()}
+    assert mem_rows == full_rows
+    assert emb.count() == sum(n for _, n in mem_rows)
+
+
 def test_lsh_topk_multiprobe_recall(spark):
     from gemini_data_wrangler_spark import queries_ext
     from gemini_data_wrangler_spark.operators.similarity import (
