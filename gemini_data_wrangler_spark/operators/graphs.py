@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 # Materialization cadence for the iterative rank/label state. 1 = every
 # round — the measured optimum on local[32] at sf0.1: batching 3 rounds
@@ -364,12 +365,63 @@ def k_core(
     )
 
 
+# Same bound (and same rationale) as dedup.DRIVER_CC_MAX_EDGES: ≤500k
+# symmetrized (u, v) pairs is tens of MB of loop state on the driver —
+# trivially held — while every graph past it stays on the distributed loop.
+DRIVER_BFS_MAX_EDGES = 500_000
+
+
+def _bfs_driver_route(sym: DataFrame, seed, max_iter: int, max_edges: int):
+    """Bounded driver-side BFS — the `dedup._cc_driver_route` pattern
+    applied to hop distances (round-6 verdict ask #2): when the
+    symmetrized edge list fits the bound, collect it ONCE and run the
+    whole frontier expansion as an in-memory adjacency walk — zero Spark
+    jobs per round, versus 2 jobs + a localCheckpoint write per round in
+    the distributed loop (whose floor is rounds × scheduler overhead:
+    BFS eccentricity ≈ 15-25 rounds at sf0.1 made it the most expensive
+    bench query). Like the CC union-find route this moves only bounded
+    LOOP STATE (the edge pairs / hop map) to the driver; there is no
+    per-element value math to keep JVM-side in unweighted BFS — the
+    "math" IS the set bookkeeping. Returns None when the graph exceeds
+    ``max_edges`` (caller falls back to the distributed loop, which is
+    the only 100 TB shape).
+    """
+    from collections import deque
+
+    rows = sym.limit(max_edges + 1).collect()
+    if len(rows) > max_edges:
+        return None
+    adj: dict = {}
+    for u, v in rows:
+        adj.setdefault(u, []).append(v)
+    hops = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        x = dq.popleft()
+        h = hops[x]
+        if h >= max_iter:
+            continue
+        for y in adj.get(x, ()):
+            if y not in hops:
+                hops[y] = h + 1
+                dq.append(y)
+    spark = sym.sparkSession
+    id_type = sym.schema["u"].dataType
+    schema = StructType(
+        [StructField("node", id_type), StructField("hops", LongType())]
+    )
+    out = sorted(hops.items())
+    return spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+
+
 def bfs_hops(
     edges: DataFrame,
     seed,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    route: str = "auto",
+    max_edges: int = DRIVER_BFS_MAX_EDGES,
 ) -> DataFrame:
     """Unweighted single-source shortest hop counts by frontier expansion
     (distributed BFS / the unit-weight case of SSSP). Each round joins the
@@ -387,8 +439,19 @@ def bfs_hops(
     runs; at cluster scale swap localCheckpoint for reliable checkpoint
     (RUNBOOK.md).
 
+    ``route="auto"`` first tries the bounded driver-side walk
+    (:func:`_bfs_driver_route`, ≤ ``max_edges`` symmetrized edges — the
+    common case for the fixed-budget co-order graph), falling back to
+    the distributed loop when the edge set is big data. ``"distributed"``
+    forces the loop (tests pin route equivalence + bench records it as a
+    scale_path row). Any other value raises.
+
     Output: node, hops (seed included at 0; unreachable nodes absent).
     """
+    if route not in ("auto", "distributed"):
+        raise ValueError(
+            f"bfs_hops: unknown route {route!r} (expected 'auto' or 'distributed')"
+        )
     sym = (
         edges.select(
             F.explode(
@@ -402,22 +465,132 @@ def bfs_hops(
         .distinct()
         .persist()
     )
-    sym.count()
-    spark = edges.sparkSession
-    visited = spark.createDataFrame([(seed, 0)], ["node", "hops"]).localCheckpoint()
-    frontier = visited
-    for h in range(1, max_iter + 1):
-        nxt = (
-            sym.join(frontier.select(F.col("node").alias("u")), "u")
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=False)
+    try:
+        if route == "auto":
+            # The limit-probe collect runs against the persisted sym, so a
+            # >max_edges graph pays the symmetrization once, not twice.
+            fast = _bfs_driver_route(sym, seed, max_iter, max_edges)
+            if fast is not None:
+                return fast
+        sym.count()
+        spark = edges.sparkSession
+        visited = spark.createDataFrame([(seed, 0)], ["node", "hops"]).localCheckpoint()
+        frontier = visited
+        for h in range(1, max_iter + 1):
+            nxt = (
+                sym.join(frontier.select(F.col("node").alias("u")), "u")
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(h))
+                .localCheckpoint(eager=False)
+            )
+            if nxt.count() == 0:  # materializes the lazy checkpoint
+                break
+            visited = visited.unionAll(nxt).localCheckpoint()
+            frontier = nxt
+        return visited
+    finally:
+        # Released on every exit — driver-route return, converged loop, or
+        # an exception mid-round (same contract as connected_components).
+        sym.unpersist()
+
+
+def multi_bfs_hops(
+    edges: DataFrame,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    route: str = "auto",
+    max_edges: int = DRIVER_BFS_MAX_EDGES,
+) -> DataFrame:
+    """Multi-source BFS: hop distance from EVERY seed in ``seeds`` (a
+    bounded Python sequence of node ids) to every node it reaches — one
+    loop whose frontier carries (seed, node) pairs, so k seeds cost one
+    traversal of rounds = max seed eccentricity, not k sequential runs.
+    Same route contract as :func:`bfs_hops`: ``"auto"`` collects the
+    symmetrized edge list when it fits ``max_edges`` and runs the whole
+    walk driver-side (zero jobs per round — the round-6 verdict's cure
+    for per-round scheduler overhead), falling back to the distributed
+    (seed, node)-keyed loop; ``"distributed"`` forces the loop. Driver
+    state is bounded by max_edges pairs + |seeds|·|nodes| hop entries.
+
+    Output: seed, node, hops (each seed at 0 to itself; unreachable
+    (seed, node) combinations absent).
+    """
+    if route not in ("auto", "distributed"):
+        raise ValueError(
+            f"multi_bfs_hops: unknown route {route!r} "
+            "(expected 'auto' or 'distributed')"
         )
-        if nxt.count() == 0:  # materializes the lazy checkpoint
-            break
-        visited = visited.unionAll(nxt).localCheckpoint()
-        frontier = nxt
-    sym.unpersist()
-    return visited
+    seeds = list(seeds)
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .distinct()
+        .persist()
+    )
+    spark = edges.sparkSession
+    try:
+        if route == "auto":
+            from collections import deque
+
+            rows = sym.limit(max_edges + 1).collect()
+            if len(rows) <= max_edges:
+                adj: dict = {}
+                for u, v in rows:
+                    adj.setdefault(u, []).append(v)
+                out = []
+                for s in seeds:
+                    hops = {s: 0}
+                    dq = deque([s])
+                    while dq:
+                        x = dq.popleft()
+                        h = hops[x]
+                        if h >= max_iter:
+                            continue
+                        for y in adj.get(x, ()):
+                            if y not in hops:
+                                hops[y] = h + 1
+                                dq.append(y)
+                    out.extend((s, n, h) for n, h in sorted(hops.items()))
+                id_type = sym.schema["u"].dataType
+                schema = StructType(
+                    [
+                        StructField("seed", id_type),
+                        StructField("node", id_type),
+                        StructField("hops", LongType()),
+                    ]
+                )
+                return spark.createDataFrame(
+                    spark.sparkContext.parallelize(out, 1), schema
+                )
+        sym.count()
+        visited = spark.createDataFrame(
+            [(s, s, 0) for s in seeds], ["seed", "node", "hops"]
+        ).localCheckpoint()
+        frontier = visited
+        for h in range(1, max_iter + 1):
+            nxt = (
+                sym.join(frontier.select("seed", F.col("node").alias("u")), "u")
+                .select("seed", F.col("v").alias("node"))
+                .distinct()
+                .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+                .withColumn("hops", F.lit(h))
+                .localCheckpoint(eager=False)
+            )
+            if nxt.count() == 0:  # materializes the lazy checkpoint
+                break
+            visited = visited.unionAll(nxt).localCheckpoint()
+            frontier = nxt
+        return visited
+    finally:
+        sym.unpersist()

@@ -203,35 +203,81 @@ def _bfs_oracle() -> str:
     """
 
 
+# Session-scoped memo for the checkpointed top-K co-order edge list: the
+# expensive part of every supplier-graph query is the lineitem self-join +
+# co-order aggregation UPSTREAM of the (tiny) edge budget, and
+# `graph_bfs_hops`, `graph_bfs_hops_distributed`, and
+# `graph_closeness_seeds` (queries_ext78) all traverse the IDENTICAL
+# 2000-edge graph (round-6 verdict ask #3 — the kNN-graph-memo pattern).
+# The `graph_bfs_hops` publisher always builds fresh (its bench timing
+# stays an honest price of the full pipeline); siblings reuse the latest
+# build. Keyed by Spark application id + sf_dir; stale apps pruned on
+# insert; the checkpointed frame is _BFS_TOPK rows.
+_CO_ORDER_CACHE: dict = {}
+
+
+def _co_order_edges(spark: SparkSession, sf_dir: str, reuse: bool) -> DataFrame:
+    # Memo-key invariant (round-6 ADVICE on _gann_graph): no caller
+    # supplies a frame — lineitem is loaded INSIDE from sf_dir, which is
+    # part of the key, so the cached edges always describe the keyed data.
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, _BFS_TOPK)
+    if not reuse or key not in _CO_ORDER_CACHE:
+        for stale in [k for k in _CO_ORDER_CACHE if k[0] != app]:
+            del _CO_ORDER_CACHE[stale]
+        li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+        co = (
+            a.join(b, "ok")
+            .filter(F.col("sa") < F.col("sb"))
+            .groupBy("sa", "sb")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # Top-K edge budget via orderBy+limit (TakeOrderedAndProject) — no
+        # pair-table-sized single-task window. Lazy checkpoint: the first
+        # consumer action materializes it, after which every reuse (and
+        # every re-reference within one query) reads the checkpoint blocks
+        # instead of recomputing the co-order aggregation.
+        _CO_ORDER_CACHE[key] = (
+            co.orderBy(F.col("c").desc(), F.col("sa").asc(), F.col("sb").asc())
+            .limit(_BFS_TOPK)
+            .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+            .localCheckpoint(eager=False)
+        )
+    return _CO_ORDER_CACHE[key]
+
+
+def _bfs_query(spark: SparkSession, sf_dir: str, route: str, reuse: bool) -> DataFrame:
+    from gemini_data_wrangler_spark.operators.graphs import bfs_hops
+
+    edges = _co_order_edges(spark, sf_dir, reuse=reuse)
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    return bfs_hops(edges, seed, max_iter=_BFS_MAX_HOPS, route=route)
+
+
 @register("graph_bfs_hops", _bfs_oracle())
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distance from the smallest supplier in the fixed-budget
-    co-order graph to every reachable supplier — distributed BFS by
-    frontier expansion (`operators/graphs.py::bfs_hops`). The oracle is
+    co-order graph to every reachable supplier — BFS by frontier
+    expansion (`operators/graphs.py::bfs_hops`). Auto-routed (round-6
+    verdict ask #2): a graph under the 500k-edge bound runs the whole
+    walk driver-side in one collect (zero jobs per round — this was the
+    most expensive bench query at 15-25 distributed rounds × scheduler
+    overhead), while bigger graphs take the distributed Pregel loop
+    (recorded separately by `graph_bfs_hops_distributed`). The oracle is
     a DuckDB RECURSIVE CTE (level-deduped, min-hops rollup): two
     independent formulations of unweighted SSSP must produce identical
     distance tables."""
-    from gemini_data_wrangler_spark.operators.graphs import bfs_hops
+    return _bfs_query(spark, sf_dir, route="auto", reuse=False)
 
-    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
-    co = (
-        a.join(b, "ok")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # Top-K edge budget via orderBy+limit (TakeOrderedAndProject) — no
-    # pair-table-sized single-task window. Lazy checkpoint: the seed
-    # probe below is the action that materializes it, so the expensive
-    # co-order aggregation runs ONCE (previously the seed collect and
-    # bfs_hops' symmetrization each recomputed it).
-    edges = (
-        co.orderBy(F.col("c").desc(), F.col("sa").asc(), F.col("sb").asc())
-        .limit(_BFS_TOPK)
-        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-        .localCheckpoint(eager=False)
-    )
-    seed = edges.agg(F.min("src")).collect()[0][0]
-    return bfs_hops(edges, seed, max_iter=_BFS_MAX_HOPS)
+
+@register("graph_bfs_hops_distributed", _bfs_oracle())
+def graph_bfs_hops_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forced-distributed BFS — the 100 TB code path (frontier-expansion
+    Pregel loop) under its own recorded bench row (`scale_path`), with
+    the same oracle as the auto-routed query so route equivalence is
+    driver-checked every round, not just test-pinned. Reuses the
+    memoized edge build: the row prices the LOOP, which is what the
+    route changes."""
+    return _bfs_query(spark, sf_dir, route="distributed", reuse=True)

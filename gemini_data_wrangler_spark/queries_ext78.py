@@ -77,70 +77,32 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closeness centrality (n_reachable−1)/Σ hops for the 5 smallest
     suppliers in the co-order graph, via ONE multi-source BFS whose
     frontier carries (seed, node) pairs — 5 traversals for the price of
-    one loop. Oracle: recursive CTE with the seed threaded through the
-    recursion + min-hops rollup."""
-    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
-    co = (
-        a.join(b, "ok")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # Top-K edge budget via orderBy+limit (TakeOrderedAndProject) — no
-    # pair-table-sized single-task window.
-    e0 = (
-        co.orderBy(F.col("c").desc(), F.col("sa").asc(), F.col("sb").asc())
-        .limit(_CLO_TOPK)
-        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-    )
-    sym = (
-        e0.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
-                    F.struct(F.col("dst").alias("u"), F.col("src").alias("v")),
-                )
-            ).alias("_e")
-        )
-        .select("_e.u", "_e.v")
+    one loop (`operators/graphs.py::multi_bfs_hops`, auto-routed: under
+    the 500k-edge bound the whole walk runs driver-side in one collect,
+    past it the distributed (seed, node)-keyed Pregel loop — round-6
+    verdict asks #2/#3). The edge build is the SAME memoized top-2000
+    co-order list `graph_bfs_hops` publishes (queries_ext75), so the
+    lineitem self-join is priced once per session, not once per graph
+    query. The closing division/round stays JVM-side on exact integer
+    (count, hop-sum) inputs, so the compared doubles are reproducible.
+    Oracle: recursive CTE with the seed threaded through the recursion +
+    min-hops rollup."""
+    from gemini_data_wrangler_spark.operators.graphs import multi_bfs_hops
+    from gemini_data_wrangler_spark.queries_ext75 import _BFS_TOPK, _co_order_edges
+
+    # The shared memo is only valid while both queries budget the same
+    # top-K edge set (the oracles hard-code it independently).
+    assert _BFS_TOPK == _CLO_TOPK, "co-order edge budgets diverged"
+    edges = _co_order_edges(spark, sf_dir, reuse=True)
+    seeds = [
+        r[0]
+        for r in edges.select(F.explode(F.array("src", "dst")).alias("n"))
         .distinct()
-        .persist()
-    )
-    sym.count()
-    seeds = (
-        sym.select(F.col("u").alias("seed"))
-        .distinct()
-        .orderBy("seed")
+        .orderBy("n")
         .limit(_CLO_SEEDS)
-    )
-    visited = seeds.select(
-        "seed", F.col("seed").alias("node"), F.lit(0).alias("hops")
-    ).localCheckpoint()
-    frontier = visited
-    # The frontier's lazy localCheckpoint is materialized by the
-    # emptiness probe's count (one job, not two); visited is checkpointed
-    # per round — a lazy union of checkpointed frontiers A/B-tested
-    # SLOWER (re-planning the growing union subtree each round costs more
-    # than the compaction job) — same shape as
-    # operators/graphs.py::bfs_hops.
-    for h in range(1, _CLO_MAX_HOPS + 1):
-        nxt = (
-            sym.join(
-                frontier.select("seed", F.col("node").alias("u")), "u"
-            )
-            .select("seed", F.col("v").alias("node"))
-            .distinct()
-            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
-            .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=False)
-        )
-        if nxt.count() == 0:  # materializes the lazy checkpoint
-            break
-        visited = visited.unionAll(nxt).localCheckpoint()
-        frontier = nxt
-    sym.unpersist()
+        .collect()
+    ]
+    visited = multi_bfs_hops(edges, seeds, max_iter=_CLO_MAX_HOPS)
     return (
         visited.groupBy("seed")
         .agg(

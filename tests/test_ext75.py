@@ -82,3 +82,78 @@ def test_bfs_hops_vs_python(spark):
     rows = _q("graph_bfs_hops")(spark, SF_ORACLE).collect()
     hops = {r["node"]: r["hops"] for r in rows}
     assert min(hops.values()) == 0 and max(hops.values()) <= 20
+
+
+def test_bfs_route_equivalence_and_validation(spark):
+    """Round-7: the bounded driver walk and the distributed Pregel loop
+    must emit the identical distance table (same contract as the CC route
+    pins), the auto route must fall back below a tiny forced bound, and a
+    route typo must raise."""
+    import pytest
+
+    from gemini_data_wrangler_spark.operators.graphs import bfs_hops, multi_bfs_hops
+
+    chain = [(i, i + 1) for i in range(12)] + [(3, 7), (20, 21)]
+    edges = spark.createDataFrame(chain, ["src", "dst"])
+
+    drv = {(r["node"], r["hops"]) for r in bfs_hops(edges, 0, route="auto").collect()}
+    dist = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(edges, 0, route="distributed").collect()
+    }
+    assert drv == dist
+    # Auto with an over-tight bound must take the distributed loop and
+    # still agree.
+    fallback = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(edges, 0, route="auto", max_edges=3).collect()
+    }
+    assert fallback == dist
+
+    seeds = [0, 20]
+    mdrv = {
+        (r["seed"], r["node"], r["hops"])
+        for r in multi_bfs_hops(edges, seeds, route="auto").collect()
+    }
+    mdist = {
+        (r["seed"], r["node"], r["hops"])
+        for r in multi_bfs_hops(edges, seeds, route="distributed").collect()
+    }
+    assert mdrv == mdist
+    # Disconnected seed 20 reaches only its own 2-node component.
+    assert {(n, h) for s, n, h in mdrv if s == 20} == {(20, 0), (21, 1)}
+
+    with pytest.raises(ValueError, match="route"):
+        bfs_hops(edges, 0, route="driverr")
+    with pytest.raises(ValueError, match="route"):
+        multi_bfs_hops(edges, seeds, route="driverr")
+
+
+def test_bfs_corpus_route_equivalence(spark):
+    """The registered distributed sibling and the auto-routed query agree
+    on the full corpus graph (the same equivalence the shared oracle
+    enforces in the driver, pinned locally too)."""
+    auto = {
+        (r["node"], r["hops"]) for r in _q("graph_bfs_hops")(spark, SF_ORACLE).collect()
+    }
+    forced = {
+        (r["node"], r["hops"])
+        for r in _q("graph_bfs_hops_distributed")(spark, SF_ORACLE).collect()
+    }
+    assert auto == forced
+
+
+def test_closeness_matches_bfs_memo(spark):
+    """graph_closeness_seeds reuses the co-order memo graph_bfs_hops
+    publishes; its per-seed rollup must agree with independent single-seed
+    BFS runs over the same published edges."""
+    from gemini_data_wrangler_spark.operators.graphs import bfs_hops
+    from gemini_data_wrangler_spark.queries_ext75 import _co_order_edges
+
+    rows = _q("graph_closeness_seeds")(spark, SF_ORACLE).collect()
+    edges = _co_order_edges(spark, SF_ORACLE, reuse=True)
+    for r in sorted(rows, key=lambda x: x["seed"])[:2]:
+        single = bfs_hops(edges, r["seed"]).collect()
+        n_reach = len(single) - 1
+        total = sum(x["hops"] for x in single)
+        assert (r["n_reachable"], r["total_hops"]) == (n_reach, total)
