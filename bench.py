@@ -91,6 +91,7 @@ HEADLINE = [
 SCALE_PATH = [
     "dedup_clusters_cc_distributed",
     "similarity_graph_ann_topk_distributed",
+    "graph_bfs_hops_distributed",
 ]
 
 
@@ -106,6 +107,43 @@ def _env_fingerprint(spark) -> dict:
         "numpy": numpy.__version__,
         "python": ".".join(map(str, sys.version_info[:3])),
     }
+
+
+def _merge_best(timings: dict, sf) -> tuple[dict, str]:
+    """Rolling per-query MIN across every bench run at the same
+    (sf, git HEAD) — the noise-free floor the round-6 verdict asked for
+    (ask #7): the committed artifact is one host window, but the best
+    observed timing across ALL validation runs of the same code is what
+    separates a real regression from a steal burst. Keyed by HEAD so a
+    code change resets the floor (a stale min from faster old code must
+    not mask a legitimate slowdown); state lives in BENCH_BEST.json
+    (gitignored scratch)."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "-C", REPO_DIR, "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        head = "unknown"
+    path = os.path.join(REPO_DIR, "BENCH_BEST.json")
+    best: dict[str, float] = {}
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf and prev.get("head") == head:
+            best = prev.get("best", {})
+    except Exception:
+        pass
+    for n, t in timings.items():
+        b = best.get(n)
+        best[n] = round(t if b is None else min(t, b), 3)
+    with open(path, "w") as fh:
+        json.dump({"sf": sf, "head": head, "best": best}, fh, indent=1, sort_keys=True)
+    return best, head
 
 
 def main() -> None:
@@ -151,8 +189,11 @@ def main() -> None:
     # Absolute tail-outlier cutoff for the instability retry, scaled to
     # the scale factor (round-5 ADVICE: a flat 8 s is an sf0.1 constant —
     # at sf1 a legitimately slower query would always burn 4 runs without
-    # converging). 80 s/sf ≈ 8 s at the default sf0.1.
-    slow_cutoff = 80.0 * sf if sf else 8.0
+    # converging). 80 s/sf ≈ 8 s at the default sf0.1, FLOORED at 8 s
+    # (round-6 ADVICE: linear scaling DOWN made the cutoff 0.8 s at
+    # sf0.01, so every moderately heavy query there burned the 2 extra
+    # retries and small-sf iteration loops ran ~2x slower than needed).
+    slow_cutoff = max(8.0, 80.0 * sf) if sf else 8.0
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -190,6 +231,17 @@ def main() -> None:
 
     full_total = round(sum(timings.values()), 2)
     headline = {n: round(t, 2) for n, t in timings.items() if n in report}
+    best, best_head = _merge_best(timings, sf)
+    # Self-diagnosing noise markers for the driver artifact: the headline
+    # total at the session's best-observed floor, plus the queries whose
+    # committed timing sits >1.3x above their own floor (host-window
+    # spikes read directly off the artifact instead of being re-derived
+    # from a separate builder run each round).
+    best_observed = round(sum(best[n] for n in headline if n in best), 2)
+    noise_suspects = sorted(
+        n for n, t in headline.items()
+        if n in best and t > 1.3 * best[n] + 0.2
+    )
     payload = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(headline.values()), 2),
@@ -202,6 +254,9 @@ def main() -> None:
         "scale_path": {
             n: round(timings[n], 2) for n in SCALE_PATH if n in timings
         },
+        "best_observed": best_observed,
+        "best_head": best_head,
+        "noise_suspects": noise_suspects[:8],
         # Environment fingerprint: rounds 4 and 5 each burned a cycle on
         # "mismatch/outlier only in the driver env" — one line of
         # provenance localizes an engine-version divergence immediately.
@@ -213,7 +268,17 @@ def main() -> None:
         payload["n_errors"] = len(errors)
         payload["errors"] = sorted(errors)[:5]
     with open(os.path.join(REPO_DIR, "BENCH_LOCAL.json"), "w") as fh:
-        json.dump({"timings": timings, "error_detail": errors, **payload}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {
+                "timings": timings,
+                "error_detail": errors,
+                "best_observed_per_query": best,
+                **payload,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     # The driver parses the stdout tail (2000 bytes observed in round 1);
     # if the line ever outgrows it, shed headline entries largest-name-first
     # until it fits — totals always survive.

@@ -856,46 +856,51 @@ def connected_components(
     """
     _validate_cc_route(route)
     unpersist_pairs = False
-    if route == "auto":
-        # Persist BEFORE the probe: limit().collect() cannot short-circuit
-        # a shuffle-heavy pair-producing upstream, so without the cache a
-        # >max_edges graph would pay for the upstream twice (once for the
-        # truncated probe, once for the distributed loop). Partitions the
-        # probe computed stay cached for the fallback; the cache is
-        # released as soon as the loop's own edge state is materialized.
-        pairs = pairs.persist()
-        unpersist_pairs = True
-        fast = _cc_driver_route(pairs, src, dst, max_edges=max_edges)
-        if fast is not None:
-            pairs.unpersist()
-            return fast
-    # Emit both orientations with one explode instead of union(e, e-swapped):
-    # a union would reference the upstream pair-producing plan twice, and
-    # Spark executes self-referencing branches independently — for a
-    # MinHash/verify upstream that doubles the expensive part of the query.
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
-                )
-            ).alias("_e")
+    try:
+        if route == "auto":
+            # Persist BEFORE the probe: limit().collect() cannot short-circuit
+            # a shuffle-heavy pair-producing upstream, so without the cache a
+            # >max_edges graph would pay for the upstream twice (once for the
+            # truncated probe, once for the distributed loop). Partitions the
+            # probe computed stay cached for the fallback; the cache is
+            # released in the finally below.
+            pairs = pairs.persist()
+            unpersist_pairs = True
+            fast = _cc_driver_route(pairs, src, dst, max_edges=max_edges)
+            if fast is not None:
+                return fast
+        # Emit both orientations with one explode instead of union(e, e-swapped):
+        # a union would reference the upstream pair-producing plan twice, and
+        # Spark executes self-referencing branches independently — for a
+        # MinHash/verify upstream that doubles the expensive part of the query.
+        edges = (
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                        F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.u", "_e.v")
+            .distinct()
         )
-        .select("_e.u", "_e.v")
-        .distinct()
-    )
-    edges_cached = edges = edges.persist()
-    # Size the loop's parallelism to the edge count (one upfront job): dup
-    # graphs are usually a tiny fraction of the corpus, and running each
-    # propagation round at full cluster width pays fixed per-task overhead
-    # × iterations for near-empty partitions. ~50k edges per partition keeps
-    # a round sub-second at any width; capped at defaultParallelism.
-    n_edges = edges.count()
-    if unpersist_pairs:
-        # The persisted `edges` now hold everything the loop needs; the
-        # probe-time cache of the raw pair stream can go.
-        pairs.unpersist()
+        edges_cached = edges = edges.persist()
+        # Size the loop's parallelism to the edge count (one upfront job): dup
+        # graphs are usually a tiny fraction of the corpus, and running each
+        # propagation round at full cluster width pays fixed per-task overhead
+        # × iterations for near-empty partitions. ~50k edges per partition keeps
+        # a round sub-second at any width; capped at defaultParallelism.
+        n_edges = edges.count()
+    finally:
+        # Release the probe cache on EVERY exit: fast-path return (the
+        # union-find result is already on the driver), the distributed
+        # path (the persisted `edges` hold everything the loop needs once
+        # the count materializes them), and any exception from the probe
+        # or the count (ADVICE r6: a raise must not leak executor memory
+        # for the session).
+        if unpersist_pairs:
+            pairs.unpersist()
     sc = edges.sparkSession.sparkContext
     n = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
     edges = edges.repartition(n, "v")
@@ -971,33 +976,35 @@ def connected_components_star(
     """
     _validate_cc_route(route)
     unpersist_pairs = False
-    if route == "auto":
-        # Same probe insurance as connected_components: materialize the
-        # pair stream before the limit-probe so a >max_edges graph doesn't
-        # run the expensive pair-producing upstream twice.
-        pairs = pairs.persist()
-        unpersist_pairs = True
-        fast = _cc_driver_route(pairs, src, dst, max_edges=max_edges, include_self_only=False)
-        if fast is not None:
+    try:
+        if route == "auto":
+            # Same probe insurance as connected_components: materialize the
+            # pair stream before the limit-probe so a >max_edges graph doesn't
+            # run the expensive pair-producing upstream twice.
+            pairs = pairs.persist()
+            unpersist_pairs = True
+            fast = _cc_driver_route(pairs, src, dst, max_edges=max_edges, include_self_only=False)
+            if fast is not None:
+                return fast
+        e = (
+            pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # Size per-round parallelism to the (usually tiny) dup graph, like
+        # connected_components: full-width rounds pay fixed task overhead ×
+        # rounds × stages for near-empty partitions. The count materializes
+        # the lazy checkpoint above; the repartitioned copy is materialized by
+        # the first fingerprint probe below.
+        sc = e.sparkSession.sparkContext
+        n_parts = max(1, min(sc.defaultParallelism, e.count() // 50_000 + 1))
+    finally:
+        # Probe cache released on every exit — fast return, distributed
+        # path (the checkpointed edge state is materialized by the count
+        # above), or an exception from probe/count (ADVICE r6).
+        if unpersist_pairs:
             pairs.unpersist()
-            return fast
-    e = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    # Size per-round parallelism to the (usually tiny) dup graph, like
-    # connected_components: full-width rounds pay fixed task overhead ×
-    # rounds × stages for near-empty partitions. The count materializes
-    # the lazy checkpoint above; the repartitioned copy is materialized by
-    # the first fingerprint probe below.
-    sc = e.sparkSession.sparkContext
-    n_parts = max(1, min(sc.defaultParallelism, e.count() // 50_000 + 1))
-    if unpersist_pairs:
-        # The checkpointed edge state is materialized by the count above;
-        # the probe-time cache of the raw pair stream can go.
-        pairs.unpersist()
     e = e.repartition(n_parts, "u").localCheckpoint(eager=False)
 
     def large_star(edges: DataFrame) -> DataFrame:
