@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 # Materialization cadence for the iterative rank/label state. 1 = every
 # round — the measured optimum on local[32] at sf0.1: batching 3 rounds
@@ -28,12 +28,49 @@ _CHECKPOINT_EVERY = 1
 
 
 
+def _edge_arrays(e: DataFrame, max_edges: int):
+    """Bounded Arrow collect of a 2-column edge frame for the driver
+    routes: returns ``(src_idx, dst_idx, nodes)`` numpy arrays (ids
+    compressed to 0..n-1 against the sorted ``nodes`` vocabulary) or
+    ``None`` when the frame exceeds ``max_edges`` rows. Like
+    `_bfs_driver_route` this moves only bounded LOOP STATE — the edge
+    pairs — to the driver; callers keep a distributed fallback for the
+    100 TB shape."""
+    import numpy as np
+
+    pdf = e.limit(max_edges + 1).toPandas()
+    if len(pdf) > max_edges:
+        return None
+    src = pdf.iloc[:, 0].to_numpy()
+    dst = pdf.iloc[:, 1].to_numpy()
+    nodes = np.unique(np.concatenate([src, dst])) if len(pdf) else np.array([], dtype="int64")
+    return np.searchsorted(nodes, src), np.searchsorted(nodes, dst), nodes
+
+
+def _rank_frame(spark, e: DataFrame, nodes, ranks) -> DataFrame:
+    """(node, rank) DataFrame from driver arrays, typed like the edge ids."""
+    id_type = e.schema[0].dataType
+    schema = StructType(
+        [StructField("node", id_type), StructField("rank", DoubleType())]
+    )
+    rows = list(zip([n.item() for n in nodes], [float(r) for r in ranks]))
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
+# Same bound (and same rationale) as DRIVER_BFS_MAX_EDGES below: ≤500k
+# (u, v) pairs is tens of MB of loop state on the driver; bigger graphs
+# stay on the distributed loops.
+DRIVER_GRAPH_MAX_EDGES = 500_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    route: str = "auto",
+    max_edges: int = DRIVER_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -52,13 +89,74 @@ def pagerank(
     at all (detected once upfront), so symmetric graphs pay nothing and an
     iteration is pure plan with no mid-round driver sync.
 
+    ``route="auto"`` first tries the bounded driver-side power iteration
+    (:func:`_pagerank_driver_route`, ≤ ``max_edges`` distinct edges): the
+    whole fixed-iteration recurrence runs as numpy vector ops over the
+    collected edge arrays — zero Spark jobs per round, versus 2 joins +
+    an aggregation + a localCheckpoint write per round in the distributed
+    loop, whose floor is iterations × scheduler overhead. Consumers
+    compare ROUNDED ranks (9 decimals ≫ the ~1e-12 relative spread that
+    summation order contributes), the same tolerance that already makes
+    the Spark loop, the unrolled DuckDB CTE oracle, and the numpy
+    reference in tests agree. ``"distributed"`` forces the loop — the
+    only 100 TB shape; any other value raises.
+
     Output: ``node`` (bigint), ``rank`` (double), summing to ~1.
     """
+    if route not in ("auto", "distributed"):
+        raise ValueError(
+            f"pagerank: unknown route {route!r} (expected 'auto' or 'distributed')"
+        )
     sc = edges.sparkSession.sparkContext
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
-    n_edges = e.count()
+    e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct().persist()
+    try:
+        if route == "auto":
+            fast = _pagerank_driver_route(e0, iterations, damping, max_edges)
+            if fast is not None:
+                return fast
+        return _pagerank_distributed(sc, e0, iterations, damping)
+    finally:
+        # Released on every exit — driver-route return, finished loop, or
+        # an exception mid-round (same contract as bfs_hops). The loop's
+        # final state is an eager localCheckpoint, so nothing downstream
+        # still needs these blocks.
+        e0.unpersist()
+
+
+def _pagerank_driver_route(
+    e0: DataFrame, iterations: int, damping: float, max_edges: int
+) -> DataFrame | None:
+    """Bounded driver-side PageRank (see :func:`pagerank`): collect the
+    ≤``max_edges`` edge list once, run the identical recurrence
+    ``r' = (1-d)/N + d·(Σ_in r/outdeg + dangling/N)`` as numpy vector
+    ops. Returns None past the bound (caller falls back)."""
+    import numpy as np
+
+    got = _edge_arrays(e0, max_edges)
+    if got is None:
+        return None
+    si, di, nodes = got
+    n = len(nodes)
+    if n == 0:
+        return None  # degenerate empty graph: keep the loop's behavior
+    outdeg = np.bincount(si, minlength=n)
+    dangling = outdeg == 0
+    has_dangling = bool(dangling.any())
+    safe_deg = np.where(dangling, 1, outdeg)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = r / safe_deg
+        inr = np.bincount(di, weights=contrib[si], minlength=n)
+        dm = float(r[dangling].sum()) if has_dangling else 0.0
+        r = base + damping * (inr + dm / n)
+    return _rank_frame(e0.sparkSession, e0, nodes, r)
+
+
+def _pagerank_distributed(sc, e0: DataFrame, iterations: int, damping: float) -> DataFrame:
+    n_edges = e0.count()
     par = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
-    e = e.repartition(par, "_s").persist()
+    e = e0.repartition(par, "_s").persist()
 
     nodes = (
         e.select(F.col("_s").alias("node"))
@@ -123,6 +221,8 @@ def personalized_pagerank(
     dst: str = "dst",
     iterations: int = 10,
     damping: float = 0.85,
+    route: str = "auto",
+    max_edges: int = DRIVER_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """Fixed-iteration PERSONALIZED PageRank: the restart mass lands on a
     seed set instead of uniformly, so ranks measure proximity TO THE
@@ -138,12 +238,82 @@ def personalized_pagerank(
     hash-partitioned once, per round one co-partitioned join + one
     map-side-combined aggregation, rank state one row per node,
     `localCheckpoint` truncates the iterative lineage.
+
+    ``route``/``max_edges``: same bounded driver-side auto route as
+    :func:`pagerank` (the restart vector and the seed count come from the
+    collected seed list intersected with the node set, mirroring the
+    distributed seed-flag join); ``"distributed"`` forces the loop.
     """
+    if route not in ("auto", "distributed"):
+        raise ValueError(
+            "personalized_pagerank: unknown route "
+            f"{route!r} (expected 'auto' or 'distributed')"
+        )
     sc = edges.sparkSession.sparkContext
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
-    n_edges = e.count()
+    e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct().persist()
+    try:
+        if route == "auto":
+            fast = _ppr_driver_route(e0, seeds, iterations, damping, max_edges)
+            if fast is not None:
+                return fast
+        return _ppr_distributed(sc, e0, seeds, iterations, damping)
+    finally:
+        e0.unpersist()
+
+
+def _ppr_driver_route(
+    e0: DataFrame,
+    seeds: DataFrame,
+    iterations: int,
+    damping: float,
+    max_edges: int,
+) -> DataFrame | None:
+    """Bounded driver-side personalized PageRank (see
+    :func:`personalized_pagerank`): identical recurrence
+    ``r' = (1-d)·1[node∈S]/|S| + d·Σ_in r/outdeg`` as numpy vector ops
+    over the collected edge arrays. Returns None past the bound."""
+    import numpy as np
+
+    got = _edge_arrays(e0, max_edges)
+    if got is None:
+        return None
+    si, di, nodes = got
+    n = len(nodes)
+    if n == 0:
+        return None
+    seed_rows = seeds.select("node").limit(max_edges + 1).collect()
+    if len(seed_rows) > max_edges:
+        return None
+    # Restart vector: seeds ∩ nodes, exactly the distributed left-join
+    # seed-flag semantics (a seed absent from the graph contributes no
+    # restart mass and no output row).
+    seed_idx = np.searchsorted(nodes, [r[0] for r in seed_rows])
+    in_graph = [
+        i
+        for i, r in zip(seed_idx, seed_rows)
+        if i < n and nodes[i] == r[0]
+    ]
+    n_seeds = float(len(in_graph))
+    if not n_seeds:
+        raise ValueError("personalized_pagerank: empty seed set")
+    seed_vec = np.zeros(n)
+    seed_vec[np.array(in_graph, dtype="int64")] = 1.0
+    outdeg = np.bincount(si, minlength=n)
+    safe_deg = np.where(outdeg == 0, 1, outdeg)
+    r = seed_vec / n_seeds
+    for _ in range(iterations):
+        contrib = r / safe_deg
+        inr = np.bincount(di, weights=contrib[si], minlength=n)
+        r = (1.0 - damping) * seed_vec / n_seeds + damping * inr
+    return _rank_frame(e0.sparkSession, e0, nodes, r)
+
+
+def _ppr_distributed(
+    sc, e0: DataFrame, seeds: DataFrame, iterations: int, damping: float
+) -> DataFrame:
+    n_edges = e0.count()
     par = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
-    e = e.repartition(par, "_s").persist()
+    e = e0.repartition(par, "_s").persist()
 
     nodes = (
         e.select(F.col("_s").alias("node"))
@@ -267,6 +437,8 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 8,
+    route: str = "auto",
+    max_edges: int = DRIVER_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et al.
     2007) with deterministic tie-breaking: each round every node adopts
@@ -287,30 +459,78 @@ def label_propagation(
     Output: ``node``, ``label`` (community id = smallest node id that won
     locally). Not a fixed-point guarantee — fixed iteration count, the
     streaming-friendly variant.
+
+    ``route="auto"`` first tries the bounded driver-side walk (collect
+    the ≤``max_edges`` symmetrized edge list once, run the synchronous
+    integer argmax rounds in memory — exact, no float anywhere, zero
+    Spark jobs per round); ``"distributed"`` forces the loop, the 100 TB
+    shape. Any other value raises.
     """
+    if route not in ("auto", "distributed"):
+        raise ValueError(
+            "label_propagation: unknown route "
+            f"{route!r} (expected 'auto' or 'distributed')"
+        )
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     und = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))).filter(
         F.col("_s") != F.col("_d")
     ).distinct().persist()
-    labels = (
-        und.select(F.col("_s").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
-    for _it in range(iterations):
-        neigh = (
-            und.join(labels.withColumnRenamed("node", "_d"), "_d")
-            .groupBy(F.col("_s").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("_c"))
-        )
-        # argmax by (count desc, label asc): max over the lexicographic
-        # struct (_c, -label) — partial-aggregable, unlike a row_number
-        # window, which re-shuffles and sorts every (node, label) row.
-        best = neigh.groupBy("node").agg(
-            F.max_by("label", F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))).alias(
-                "label"
+    try:
+        if route == "auto":
+            fast = _lp_driver_route(und, iterations, max_edges)
+            if fast is not None:
+                return fast
+        labels = (
+            und.select(F.col("_s").alias("node")).distinct().withColumn("label", F.col("node"))
+        ).localCheckpoint()
+        for _it in range(iterations):
+            neigh = (
+                und.join(labels.withColumnRenamed("node", "_d"), "_d")
+                .groupBy(F.col("_s").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("_c"))
             )
-        )
-        labels = best.localCheckpoint() if (_it + 1) % _CHECKPOINT_EVERY == 0 else best
-    return labels
+            # argmax by (count desc, label asc): max over the lexicographic
+            # struct (_c, -label) — partial-aggregable, unlike a row_number
+            # window, which re-shuffles and sorts every (node, label) row.
+            best = neigh.groupBy("node").agg(
+                F.max_by("label", F.struct(F.col("_c"), (-F.col("label")).alias("_nl"))).alias(
+                    "label"
+                )
+            )
+            labels = best.localCheckpoint() if (_it + 1) % _CHECKPOINT_EVERY == 0 else best
+        return labels
+    finally:
+        und.unpersist()
+
+
+def _lp_driver_route(und: DataFrame, iterations: int, max_edges: int) -> DataFrame | None:
+    """Bounded driver-side label propagation (see :func:`label_propagation`):
+    the synchronous rounds are pure integer bookkeeping (neighbor-label
+    counts, argmax with ties to the smallest label), so the in-memory walk
+    is exactly the distributed semantics. Returns None past the bound."""
+    rows = und.limit(max_edges + 1).collect()
+    if len(rows) > max_edges:
+        return None
+    adj: dict = {}
+    for u, v in rows:
+        adj.setdefault(u, []).append(v)
+    labels = {u: u for u in adj}
+    for _ in range(iterations):
+        new = {}
+        for u, nbrs in adj.items():
+            cnt: dict = {}
+            for v in nbrs:
+                lv = labels[v]
+                cnt[lv] = cnt.get(lv, 0) + 1
+            new[u] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    spark = und.sparkSession
+    id_type = und.schema["_s"].dataType
+    schema = StructType(
+        [StructField("node", id_type), StructField("label", id_type)]
+    )
+    out = sorted(labels.items())
+    return spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
 
 
 def k_core(
@@ -319,6 +539,8 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    route: str = "auto",
+    max_edges: int = DRIVER_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """Maximal k-core: iteratively peel nodes of degree < k until the
     remaining (undirected) subgraph is stable — the standard community
@@ -333,36 +555,93 @@ def k_core(
 
     Output: node, core_degree (degree WITHIN the k-core; ≥ k for every
     surviving node — the defining invariant).
+
+    ``route="auto"`` first tries the bounded driver-side peel (collect
+    the ≤``max_edges`` canonical edge list once, run the synchronous
+    integer degree-peeling rounds in memory — exact, zero Spark jobs per
+    round); ``"distributed"`` forces the loop, the 100 TB shape. Any
+    other value raises.
     """
-    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).filter(
+    if route not in ("auto", "distributed"):
+        raise ValueError(
+            f"k_core: unknown route {route!r} (expected 'auto' or 'distributed')"
+        )
+    e0 = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).filter(
         F.col("_a") != F.col("_b")
-    ).distinct().localCheckpoint()
-    n_e = e.count()
+    ).distinct().persist()
+    try:
+        if route == "auto":
+            # The limit-probe collect runs against the persisted e0, so a
+            # >max_edges graph pays the canonicalization once, not twice.
+            fast = _kcore_driver_route(e0, k, max_iter, max_edges)
+            if fast is not None:
+                return fast
+        e = e0.localCheckpoint()
+        n_e = e.count()
+        for _ in range(max_iter):
+            if n_e == 0:
+                break
+            deg = (
+                e.select(F.col("_a").alias("n"))
+                .unionAll(e.select(F.col("_b").alias("n")))
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("n")
+            pruned = (
+                e.join(keep.withColumnRenamed("n", "_a"), "_a", "left_semi")
+                .join(keep.withColumnRenamed("n", "_b"), "_b", "left_semi")
+                .localCheckpoint(eager=False)
+            )
+            n_pruned = pruned.count()  # materializes the lazy checkpoint
+            if n_pruned == n_e:
+                break
+            e, n_e = pruned, n_pruned
+        return (
+            e.select(F.col("_a").alias("node"))
+            .unionAll(e.select(F.col("_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+    finally:
+        e0.unpersist()
+
+
+def _kcore_driver_route(
+    e0: DataFrame, k: int, max_iter: int, max_edges: int
+) -> DataFrame | None:
+    """Bounded driver-side k-core peel (see :func:`k_core`): synchronous
+    integer degree-peeling rounds over the collected canonical edge list —
+    identical fixpoint to the distributed loop (the maximal k-core is
+    unique and the round semantics match exactly). Returns None past the
+    bound."""
+    rows = e0.limit(max_edges + 1).collect()
+    if len(rows) > max_edges:
+        return None
+    cur = [(a, b) for a, b in rows]
     for _ in range(max_iter):
-        if n_e == 0:
+        if not cur:
             break
-        deg = (
-            e.select(F.col("_a").alias("n"))
-            .unionAll(e.select(F.col("_b").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= k).select("n")
-        pruned = (
-            e.join(keep.withColumnRenamed("n", "_a"), "_a", "left_semi")
-            .join(keep.withColumnRenamed("n", "_b"), "_b", "left_semi")
-            .localCheckpoint(eager=False)
-        )
-        n_pruned = pruned.count()  # materializes the lazy checkpoint
-        if n_pruned == n_e:
+        deg: dict = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        pruned = [(a, b) for a, b in cur if a in keep and b in keep]
+        if len(pruned) == len(cur):
             break
-        e, n_e = pruned, n_pruned
-    return (
-        e.select(F.col("_a").alias("node"))
-        .unionAll(e.select(F.col("_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
+        cur = pruned
+    core_deg: dict = {}
+    for a, b in cur:
+        core_deg[a] = core_deg.get(a, 0) + 1
+        core_deg[b] = core_deg.get(b, 0) + 1
+    spark = e0.sparkSession
+    id_type = e0.schema["_a"].dataType
+    schema = StructType(
+        [StructField("node", id_type), StructField("core_degree", LongType())]
     )
+    out = sorted(core_deg.items())
+    return spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
 
 
 # Same bound (and same rationale) as dedup.DRIVER_CC_MAX_EDGES: ≤500k

@@ -727,20 +727,26 @@ def mutual_knn_edges(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    knn: DataFrame | None = None,
 ) -> DataFrame:
     """Mutual-kNN edge list: (u, v) kept iff u is in v's top-k AND v is in
     u's top-k — the standard graph sparsification before density
     clustering (mutuality kills hub edges that pure kNN keeps). One
     self-join over the directed kNN table.
 
+    ``knn`` (optional) is an already-MATERIALIZED directed kNN table
+    (query_id, vec_id, sim, rank) to reuse — e.g. the session memo
+    `shared_builds.knn_table`; when omitted the table is built here.
+
     Output: vec_u < vec_v, sim, rank_uv, rank_vu.
     """
-    # Eagerly materialize the directed kNN table: the mutuality self-join
-    # consumes it on BOTH sides, and a lazy plan re-runs the whole tiled
-    # kernel + rescore once per side.
-    knn = knn_directed(
-        embeddings, k=k, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint()
+    if knn is None:
+        # Eagerly materialize the directed kNN table: the mutuality
+        # self-join consumes it on BOTH sides, and a lazy plan re-runs the
+        # whole tiled kernel + rescore once per side.
+        knn = knn_directed(
+            embeddings, k=k, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint()
     r1 = knn.select(
         F.col("query_id").alias("vec_u"),
         F.col("vec_id").alias("vec_v"),

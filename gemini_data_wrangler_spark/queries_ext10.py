@@ -358,13 +358,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → one broadcast-joined quality ranking window; the oracle
     recomputes the whole chain exactly (character-shingle jaccard ≥ 0.8 +
     recursive-CTE closure + the same argmax)."""
-    from gemini_data_wrangler_spark.operators.dedup import (
-        connected_components,
-        minhash_lsh_pairs,
-    )
+    from gemini_data_wrangler_spark.operators.dedup import connected_components
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     comp = connected_components(pairs)
     quality = docs.select(
         "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("quality")
@@ -821,13 +819,11 @@ def dedup_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling experiment in SCALE.md measured pair materialization as the
     dominant term); fused here the pipeline costs one materialization +
     seconds — the fan-out pattern large corpora must use."""
-    from gemini_data_wrangler_spark.operators.dedup import (
-        connected_components,
-        minhash_lsh_pairs,
-    )
+    from gemini_data_wrangler_spark.operators.dedup import connected_components
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8).localCheckpoint()
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     comp = connected_components(pairs)
     quality = docs.select(
         "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("quality")

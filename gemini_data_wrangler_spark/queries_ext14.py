@@ -294,11 +294,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket table: the nightly job shingles only the batch, probes
     the buckets, and verifies candidates — corpus cost is amortized, the
     join is band-equi, never batch×corpus."""
-    from gemini_data_wrangler_spark.operators.dedup import minhash_lsh_pairs
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
     docs = _table(spark, sf_dir, "documents")
     in_batch = lambda c: (F.col(c) % 7) == 0  # noqa: E731
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     # Single pass over the pair set: at most one side of a pair can be the
     # batch-vs-corpus orientation, so a when() chain replaces the former
     # two-filter union (which referenced — and recomputed — the whole LSH

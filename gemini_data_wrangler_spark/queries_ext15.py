@@ -172,10 +172,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     before connected components (a heavy-tailed distribution predicts
     giant components and motivates the large-star/small-star variant).
     Two groupBys over the linear pair set."""
-    from gemini_data_wrangler_spark.operators.dedup import minhash_lsh_pairs
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
-    docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     # Single explode instead of union(pairs.a, pairs.b): a union references
     # the LSH pipeline once per branch and Spark executes self-referencing
     # branches independently — the whole pair kernel would run twice.

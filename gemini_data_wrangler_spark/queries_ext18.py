@@ -205,13 +205,11 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, member count, and the UNION of sources (provenance kept for
     licensing/attribution). One groupBy over the component table joined
     to the docs; the step after `dedup_keep_best` chooses the winner."""
-    from gemini_data_wrangler_spark.operators.dedup import (
-        connected_components,
-        minhash_lsh_pairs,
-    )
+    from gemini_data_wrangler_spark.operators.dedup import connected_components
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     comp = connected_components(pairs)
     return (
         comp.join(docs, "doc_id")

@@ -143,6 +143,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # Eager checkpoint: each distributed_ntile references its input
+        # THREE ways (within-block window, per-block counts, the row-count
+        # aggregate), so three chained ntiles fan the unmaterialized fact
+        # aggregation out into up to 3^3 recomputed subtrees — measured
+        # 5.1 s (validated r6) for a |customers|-row frame. Staging the
+        # customer-level rollup (and each ntile's output, below) keeps
+        # every subtree a checkpoint-block replay: 4 extra node-sized jobs
+        # versus exponential plan re-derivation.
+        .localCheckpoint()
     )
     # Each quintile is the distributed two-level rank + closed-form ntile
     # (`distributed_ntile`) — no customer-population-sized single-task
@@ -154,13 +163,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = distributed_ntile(
         rfm, 5, F.col("recency_days"), [F.col("o_custkey")],
         F.col("recency_days"), "r_score",
-    )
+    ).localCheckpoint()
     out = distributed_ntile(
         out, 5, -F.col("frequency"), [F.col("o_custkey")],
         F.struct((-F.col("frequency")).alias("b0"),
                  F.shiftright("o_custkey", 10).alias("b1")),
         "f_score",
-    )
+    ).localCheckpoint()
     out = distributed_ntile(
         out, 5, -F.col("monetary"), [F.col("o_custkey")],
         F.floor(-F.col("monetary")).cast("long"), "m_score",

@@ -26,7 +26,6 @@ from gemini_data_wrangler_spark.functions.text import (
 from gemini_data_wrangler_spark.operators.dedup import (
     connected_components,
     connected_components_oracle_sql,
-    minhash_lsh_pairs,
     ngram_jaccard_oracle_sql,
 )
 from gemini_data_wrangler_spark.queries import register
@@ -261,8 +260,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative, drop the rest). LSH pair recall equals the exact pair
     set on this corpus (verified in tests), so the exact-jaccard transitive
     closure is a valid oracle."""
-    docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
+
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     return connected_components(pairs)
 
 
@@ -280,8 +280,9 @@ def dedup_clusters_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
     would have no recorded perf number or driver-checked oracle row.
     Equivalence between the routes is additionally pinned in
     tests/test_dedup.py::test_cc_driver_route_matches_distributed."""
-    docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
+
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     return connected_components(pairs, route="distributed")
 
 
@@ -298,9 +299,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     with adversarial chain-shaped dup clusters needs. Shares the exact
     transitive-closure oracle."""
     from gemini_data_wrangler_spark.operators.dedup import connected_components_star
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
-    docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     return connected_components_star(pairs)
 
 

@@ -163,28 +163,13 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint lands in round 1 at sf0.01, 6 rounds unrolled for margin);
     `tests/test_ext33.py` additionally asserts equality with an
     independent pure-Python peeling and the core-degree invariant."""
-    from pyspark.sql import Window
-
     from gemini_data_wrangler_spark.operators.graphs import k_core
+    from gemini_data_wrangler_spark.queries_ext75 import _BFS_TOPK, _co_order_edges
 
-    li = (
-        _table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
-    co = (
-        a.join(b, "ok")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # Top-K edge budget via orderBy+limit (TakeOrderedAndProject: each
-    # task keeps a local top-K) — no pair-table-sized single-task window.
-    edges = (
-        co.orderBy(F.col("c").desc(), F.col("sa").asc(), F.col("sb").asc())
-        .limit(_KCORE_TOPK)
-        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-    )
+    # Identical edge build (top-K co-order pairs, (c desc, sa, sb) ties) as
+    # the `graph_bfs_hops` publisher — reuse the session memo instead of
+    # re-paying the lineitem self-join. Valid only while the budgets agree
+    # (each oracle hard-codes its own build).
+    assert _BFS_TOPK == _KCORE_TOPK, "co-order edge budgets diverged"
+    edges = _co_order_edges(spark, sf_dir, reuse=True)
     return k_core(edges, _KCORE_K)

@@ -67,10 +67,10 @@ def sketch_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame
     breaks this row before it breaks recall. The oracle recomputes the
     exact pairs and pins ``bound_ok``."""
     from gemini_data_wrangler_spark.operators.dedup import (
-        minhash_lsh_pairs,
         minhash_signatures,
         with_shingles,
     )
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
     docs = _table(spark, sf_dir, "documents")
     # Pair set from the LSH+exact-verify path (pair-set exactness at the
@@ -82,11 +82,11 @@ def sketch_minhash_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame
     # Named `pairs`, not `exact`: exactness of this set is INHERITED from
     # the oracle-pinned recall guarantee of dedup_minhash_lsh at the 0.8
     # threshold (band-collision recall-dependent), not re-proven here.
-    # eager localCheckpoint: `participants` and the final pair join consume
-    # this concurrently — a lazy persist lets both recompute the LSH pass.
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=5, threshold=_MH_THRESHOLD
-    ).select("doc_a", "doc_b", "jaccard").localCheckpoint()
+    # Shared eager-checkpointed pair memo: `participants` and the final
+    # pair join consume this concurrently and both replay its blocks.
+    pairs = neardup_pairs(
+        spark, sf_dir, reuse=True, threshold=_MH_THRESHOLD
+    ).select("doc_a", "doc_b", "jaccard")
     # Signatures are only needed for pair PARTICIPANTS — a tiny fraction
     # of the corpus; the k min-aggregates run over that semi-joined
     # subset, not every document (3× the suite's next-heaviest query

@@ -233,15 +233,13 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins of the edge list against the degree table + one
     correlation aggregate over integer degrees — exact, linear in
     edges."""
-    from gemini_data_wrangler_spark.operators.dedup import minhash_lsh_pairs
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
-    docs = _table(spark, sf_dir, "documents")
-    # localCheckpoint (eager), NOT lazy persist: deg and e fan out into
-    # concurrently-scheduled stages, and an unmaterialized cache makes each
-    # branch recompute the whole LSH pipeline (28.9 s vs ~1 s, round 3).
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=5, threshold=0.8
-    ).localCheckpoint()
+    # Shared eager-checkpointed pair memo (same insurance as the former
+    # per-query localCheckpoint: deg and e fan out into concurrently-
+    # scheduled stages, and an unmaterialized cache made each branch
+    # recompute the whole LSH pipeline — 28.9 s vs ~1 s, round 3).
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     # deg fans out into the du- and dv-join branches below, which AQE
     # schedules concurrently — materialize it eagerly too (round-5 driver
     # artifact read 12.3 s vs ~2 s builder-side; same insurance that cured

@@ -72,15 +72,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph is one giant blob and the threshold needs raising). One
     label join over the shared pair kernel + two cluster-bounded
     aggregates."""
-    from gemini_data_wrangler_spark.operators.dedup import (
-        connected_components,
-        minhash_lsh_pairs,
-    )
+    from gemini_data_wrangler_spark.operators.dedup import connected_components
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
-    docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=5, threshold=0.8
-    ).localCheckpoint()  # eager: CC + internal + deg branches all scan it
+    # Shared eager-checkpointed pair memo: CC + internal + deg branches
+    # all replay its blocks.
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     comp = connected_components(pairs)
     ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("_ca"))
     cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("_cb"))

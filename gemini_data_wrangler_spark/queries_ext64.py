@@ -190,13 +190,12 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridges worth a second, more expensive look. Adjacency self-join on
     the wedge midpoint (Σ deg² work, LSH-bounded degrees), degree table
     broadcast back, anti-join strips existing edges."""
-    from gemini_data_wrangler_spark.operators.dedup import minhash_lsh_pairs
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
-    docs = _table(spark, sf_dir, "documents")
-    # localCheckpoint: the MinHash+verify pair pipeline is referenced five
-    # times below (both union branches, both wedge sides, the anti-join);
-    # without materialization Spark executes each branch independently.
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8).localCheckpoint()
+    # Shared eager-checkpointed pair memo: referenced five times below
+    # (both union branches, both wedge sides, the anti-join) — every
+    # branch replays checkpoint blocks instead of the LSH pipeline.
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     adj = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
     ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))

@@ -65,11 +65,15 @@ def similarity_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     kNN keeps). Exact everywhere: tiled numpy prunes the n² space to
     per-tile local top-k supersets, the JVM fold re-scores candidates,
     rounded ranking decides — so the brute-force SQL oracle matches
-    hash-for-hash."""
+    hash-for-hash. PUBLISHER of the shared directed-kNN memo
+    (shared_builds.knn_table): always rebuilds; kNN components and the
+    kNN-density outlier screen reuse the checkpointed table."""
     from gemini_data_wrangler_spark.operators.similarity import mutual_knn_edges
+    from gemini_data_wrangler_spark.shared_builds import knn_table
 
     emb = _table(spark, sf_dir, "embeddings")
-    return mutual_knn_edges(emb, k=_KNN_K)
+    knn = knn_table(spark, sf_dir, reuse=False, k=_KNN_K)
+    return mutual_knn_edges(emb, k=_KNN_K, knn=knn)
 
 
 # ---------------------------------------------------------------------------

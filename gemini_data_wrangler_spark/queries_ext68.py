@@ -73,10 +73,9 @@ def similarity_knn_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a centroid line). Tiled exact kNN kernel + two scalar aggregates;
     the flag compares a ROUNDED margin so the boolean cannot flip on
     engine float noise."""
-    from gemini_data_wrangler_spark.operators.similarity import knn_directed
+    from gemini_data_wrangler_spark.shared_builds import knn_table
 
-    emb = _table(spark, sf_dir, "embeddings")
-    knn = knn_directed(emb, k=_KD_K)
+    knn = knn_table(spark, sf_dir, reuse=True, k=_KD_K)
     dens = knn.groupBy(F.col("query_id").alias("vec_id")).agg(
         F.round(F.avg(1 - F.col("sim")), 6).alias("knn_dist")
     )

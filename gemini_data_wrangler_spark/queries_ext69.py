@@ -68,9 +68,11 @@ def similarity_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star,
     )
     from gemini_data_wrangler_spark.operators.similarity import mutual_knn_edges
+    from gemini_data_wrangler_spark.shared_builds import knn_table
 
     emb = _table(spark, sf_dir, "embeddings")
-    edges = mutual_knn_edges(emb, k=5).select(
+    knn = knn_table(spark, sf_dir, reuse=True, k=5)
+    edges = mutual_knn_edges(emb, k=5, knn=knn).select(
         F.col("vec_u").alias("doc_a"), F.col("vec_v").alias("doc_b")
     )
     cc = connected_components_star(edges)

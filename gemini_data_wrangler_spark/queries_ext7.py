@@ -82,24 +82,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence count with deterministic (count desc, a, b) ties, so the
     graph stays in a fixed budget at any SF)."""
     from gemini_data_wrangler_spark.operators.graphs import triangle_stats
+    from gemini_data_wrangler_spark.queries_ext75 import _BFS_TOPK, _co_order_edges
 
-    li = (
-        load_sf_tables(spark, sf_dir)["lineitem"]
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    pairs = (
-        li.select("l_orderkey", F.col("l_suppkey").alias("a"))
-        .join(li.select("l_orderkey", F.col("l_suppkey").alias("b")), "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    edges = (
-        pairs.orderBy(F.col("c").desc(), "a", "b")
-        .limit(_TRI_TOPK)
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
+    # Identical edge build (top-K co-order pairs, (c desc, a, b) ties) as
+    # the `graph_bfs_hops` publisher — reuse the session memo instead of
+    # re-paying the lineitem self-join. Valid only while the budgets agree
+    # (each oracle hard-codes its own build).
+    assert _BFS_TOPK == _TRI_TOPK, "co-order edge budgets diverged"
+    edges = _co_order_edges(spark, sf_dir, reuse=True)
     return triangle_stats(edges).select(
         "n_nodes",
         "n_edges",

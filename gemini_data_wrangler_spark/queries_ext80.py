@@ -376,17 +376,17 @@ def sketch_bbit_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     MISMATCH. Same one-shuffle signature build as the LSH path; the
     truncation is a row-local mask."""
     from gemini_data_wrangler_spark.operators.dedup import (
-        minhash_lsh_pairs,
         minhash_signatures,
         with_shingles,
     )
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    exact = (
-        minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=_BBIT_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint()  # eager: participants + the final pair join both scan
-    )
+    # Shared eager-checkpointed pair memo: participants + the final pair
+    # join both replay its blocks.
+    exact = neardup_pairs(
+        spark, sf_dir, reuse=True, threshold=_BBIT_THRESHOLD
+    ).select("doc_a", "doc_b", "jaccard")
     participants = (
         exact.select(F.col("doc_a").alias("doc_id"))
         .unionAll(exact.select(F.col("doc_b").alias("doc_id")))

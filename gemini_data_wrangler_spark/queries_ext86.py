@@ -235,10 +235,9 @@ def graph_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rectangle is counted once per diagonal pair. Rectangles are the
     "two documents share two near-dup contexts" template-farm signal
     that triangles miss. Integer arithmetic end to end."""
-    from gemini_data_wrangler_spark.operators.dedup import minhash_lsh_pairs
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
-    docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8).localCheckpoint()
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     adj = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("w")
     ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w")))

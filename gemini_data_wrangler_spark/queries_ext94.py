@@ -77,10 +77,10 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature). Degrees from one grouped count over the LSH-exact pair
     set; per-level edge counts by semi-filtering both endpoints against
     the bounded hub table. Integer-exact."""
-    from gemini_data_wrangler_spark.operators.dedup import minhash_lsh_pairs
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8).localCheckpoint()
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))

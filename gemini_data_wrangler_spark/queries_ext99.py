@@ -123,10 +123,10 @@ def corpus_neardup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join of the doc table against the bounded pair-participant set;
     ratios are integer-exact. The curation scoreboard that tells a
     pipeline WHICH feeds to clean first."""
-    from gemini_data_wrangler_spark.operators.dedup import minhash_lsh_pairs
+    from gemini_data_wrangler_spark.shared_builds import neardup_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.8).localCheckpoint()
+    pairs = neardup_pairs(spark, sf_dir, reuse=True)
     members = (
         pairs.select(F.col("doc_a").alias("doc"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc")))
