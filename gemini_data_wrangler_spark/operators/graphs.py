@@ -873,3 +873,112 @@ def multi_bfs_hops(
         return visited
     finally:
         sym.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg 1999): raw-sum hub/authority power iteration on a
+# bipartite edge list
+# ---------------------------------------------------------------------------
+# The co-order bipartite graph carries ~590k distinct (customer, supplier)
+# edges at sf0.1 — above DRIVER_GRAPH_MAX_EDGES, but (long, long) pairs at
+# 2M edges are still ~32 MB of bounded loop state, so HITS gets its own
+# bound. Past it the distributed loop is the only shape.
+DRIVER_HITS_MAX_EDGES = 2_000_000
+
+
+def hits_raw(
+    edges: DataFrame,
+    left: str = "c",
+    right: str = "s",
+    iterations: int = 8,
+    route: str = "auto",
+    max_edges: int = DRIVER_HITS_MAX_EDGES,
+    checkpoint_every: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """RAW (unnormalized) HITS sums over a DISTINCT bipartite edge list:
+    ``iterations`` alternating half-steps ``auth = Eᵀ·hub`` /
+    ``hub = E·auth`` starting from hub ≡ 1.0, with NO per-round scaling —
+    normalization commutes with the linear half-steps, so the caller
+    divides each side by its L2 norm once at the end (consumers compare
+    ROUNDED normalized scores, which absorbs summation-order ulps, the
+    same tolerance contract as :func:`pagerank`).
+
+    ``route="auto"`` first tries the bounded driver route: collect the
+    ≤``max_edges`` edge pairs once and run every half-step as a numpy
+    ``bincount`` over the index-compressed arrays — zero Spark jobs per
+    round, versus 2 join+aggregate shuffles per round (the distributed
+    loop's floor is 2·iterations × scheduler overhead, which dominated
+    the bench row). ``"distributed"`` forces the loop — the 100 TB shape:
+    per half-step one edge×node-table join with map-side partial sums,
+    state checkpointed every ``checkpoint_every`` rounds.
+
+    Returns ``(hub, auth)``: hub is (<left>, h double), auth is
+    (<right>, a double), one row per node with ≥1 edge on that side.
+    """
+    if route not in ("auto", "distributed"):
+        raise ValueError(
+            f"hits_raw: unknown route {route!r} (expected 'auto' or 'distributed')"
+        )
+    sc = edges.sparkSession.sparkContext
+    spark = edges.sparkSession
+    e0 = edges.select(F.col(left).alias("c"), F.col(right).alias("s")).persist()
+    try:
+        if route == "auto":
+            import numpy as np
+
+            pdf = e0.limit(max_edges + 1).toPandas()
+            if len(pdf) <= max_edges and len(pdf) > 0:
+                c = pdf.iloc[:, 0].to_numpy()
+                s = pdf.iloc[:, 1].to_numpy()
+                cn = np.unique(c)
+                sn = np.unique(s)
+                ci = np.searchsorted(cn, c)
+                si = np.searchsorted(sn, s)
+                h = np.ones(len(cn))
+                a = np.zeros(len(sn))
+                for _ in range(iterations):
+                    a = np.bincount(si, weights=h[ci], minlength=len(sn))
+                    h = np.bincount(ci, weights=a[si], minlength=len(cn))
+                c_type = e0.schema[0].dataType
+                s_type = e0.schema[1].dataType
+                hub = spark.createDataFrame(
+                    sc.parallelize(
+                        list(zip([x.item() for x in cn], [float(x) for x in h])), 1
+                    ),
+                    StructType(
+                        [StructField(left, c_type), StructField("h", DoubleType())]
+                    ),
+                )
+                auth = spark.createDataFrame(
+                    sc.parallelize(
+                        list(zip([x.item() for x in sn], [float(x) for x in a])), 1
+                    ),
+                    StructType(
+                        [StructField(right, s_type), StructField("a", DoubleType())]
+                    ),
+                )
+                return hub, auth
+        # Distributed loop: hub and auth each feed exactly ONE consumer
+        # (the next half-step), so materializing every round buys no
+        # recompute safety — checkpoint cadence is purely a job-count
+        # knob. The FINAL auth feeds multiple consumers (its norm and the
+        # output projection), so it checkpoints eagerly inside the last
+        # round.
+        e = e0.repartition(sc.defaultParallelism, "c").persist()
+        hub = e.select("c").distinct().withColumn("h", F.lit(1.0)).localCheckpoint()
+        auth = None
+        for _it in range(iterations):
+            auth = e.join(hub, "c").groupBy("s").agg(F.sum("h").alias("a"))
+            if _it == iterations - 1:
+                auth = auth.localCheckpoint()
+            hub = e.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
+            if (_it + 1) % checkpoint_every == 0 or _it == iterations - 1:
+                hub = hub.localCheckpoint()
+        e.unpersist()
+        return hub.select(F.col("c").alias(left), "h"), auth.select(
+            F.col("s").alias(right), "a"
+        )
+    finally:
+        # Released on every exit: the driver route returned local frames,
+        # and the distributed loop's final state is an eager checkpoint.
+        e0.unpersist()

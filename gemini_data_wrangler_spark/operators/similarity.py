@@ -922,6 +922,7 @@ def pq_topk(
     shortlist: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple | None = None,
 ) -> DataFrame:
     """Approximate top-k via PQ codes + asymmetric distance computation +
     exact rerank — the production serving shape: the query stays
@@ -941,8 +942,16 @@ def pq_topk(
     Output: query_id, vec_id, sim (exact cosine, rounded), rank.
     """
     sub = dim // m
-    codes, codebook = pq_encode(
-        embeddings, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes, dim=dim
+    # ``index`` lets callers inject a prebuilt (codes, codebook) pair —
+    # e.g. the session-shared `shared_builds.pq_index` — instead of
+    # re-encoding the corpus; the pair must come from `pq_encode` with
+    # the same (m, n_codes, dim) parameters.
+    codes, codebook = (
+        index
+        if index is not None
+        else pq_encode(
+            embeddings, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes, dim=dim
+        )
     )
     qunit = queries.select(
         "query_id",

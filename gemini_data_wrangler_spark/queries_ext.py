@@ -432,8 +432,16 @@ _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
     cosine_topk_oracle_sql("embeddings", _ANN_QUERY_IDS, k=10),
 )
 def similarity_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
+    """PUBLISHER of the shared exact ranked list (round 7): every ANN
+    recall/NDCG/MMR/RRF gate reuses the same brute-force ranking via
+    `shared_builds.ann_exact_topk` instead of re-scanning the corpus per
+    gate; this query always rebuilds it fresh (reuse=False), so its bench
+    row stays the honest price of the exact scan. The top-10 prefix of
+    the depth-30 cached list is identical to the direct k=10 result
+    (same total order: sim rounded to 6 desc, vec_id asc)."""
+    from gemini_data_wrangler_spark.shared_builds import ann_exact_topk
+
+    return ann_exact_topk(spark, sf_dir, reuse=False, k=10)
 
 
 def _lsh_topk_oracle(
@@ -515,9 +523,14 @@ def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH top-k, DIRECTLY oracle-backed since round 3 (was
     rows-only): the planes are deterministic sha256 constants, so DuckDB
     re-derives buckets, multi-probe, and the exact rerank from scratch.
-    The recall gate below still anchors it to the brute-force ranking."""
-    emb = _table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
+    The recall gate below still anchors it to the brute-force ranking.
+    PUBLISHER of the session-shared LSH ranked list (round 7): the recall
+    and NDCG gates reuse the identical list instead of re-running the
+    bucket+probe+rerank search; this query always rebuilds (reuse=False)
+    so its bench row stays the honest price of the full search."""
+    from gemini_data_wrangler_spark.shared_builds import approx_topk_list
+
+    return approx_topk_list(spark, sf_dir, "lsh", reuse=False)
 
 
 def _ivf_topk_oracle(
@@ -590,9 +603,13 @@ def _ann_recall_check(spark: SparkSession, sf_dir: str, approx_fn, floor: float)
     every query id. The oracle pins TRUE (it cannot reproduce the ANN
     candidates), so a recall regression below ``floor`` becomes a driver
     hash MISMATCH instead of a self-attested rows-only pass."""
+    from gemini_data_wrangler_spark.shared_builds import ann_exact_topk
+
     emb = _table(spark, sf_dir, "embeddings")
     q = queries_from_ids(emb, _ANN_QUERY_IDS)
-    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    exact = ann_exact_topk(spark, sf_dir, reuse=True, k=10).select(
+        "query_id", "vec_id"
+    )
     approx = approx_fn(emb, q, k=10).select("query_id", "vec_id")
     n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
     n_hit = (
@@ -616,7 +633,16 @@ _ANN_RECALL_ORACLE = (
 
 @register("similarity_lsh_recall", _ANN_RECALL_ORACLE)
 def similarity_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ann_recall_check(spark, sf_dir, lsh_topk, floor=0.8)
+    # Reuses the session-shared LSH ranked list (identical parameters to
+    # the `similarity_lsh_topk` publisher) instead of re-running the search.
+    from gemini_data_wrangler_spark.shared_builds import approx_topk_list
+
+    return _ann_recall_check(
+        spark,
+        sf_dir,
+        lambda emb, q, k: approx_topk_list(spark, sf_dir, "lsh", reuse=True),
+        floor=0.8,
+    )
 
 
 @register("similarity_ivf_recall", _ANN_RECALL_ORACLE)

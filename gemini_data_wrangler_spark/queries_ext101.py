@@ -107,13 +107,7 @@ def rec_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-deterministic. Queries are broadcast on both branches —
     candidate scans are shuffle-free passes; the fusion join sees only
     |queries| x 2k rows."""
-    from gemini_data_wrangler_spark.operators.similarity import (
-        cosine_topk,
-        queries_from_ids,
-    )
-
     docs = _table(spark, sf_dir, "documents")
-    emb = _table(spark, sf_dir, "embeddings")
 
     # Shingles hash to longs INSIDE the transform (the jaccard below only
     # needs set sizes, which xxhash64 preserves at ~1e-13 collision odds —
@@ -150,8 +144,14 @@ def rec_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lex_rank") <= _RRF_LIST_K)
         .select("query_id", "vec_id", "lex_rank")
     )
+    # _RRF_QUERY_IDS == queries_ext._ANN_QUERY_IDS ([0..4]), so the
+    # vector branch reads the session-shared exact ranked list
+    # (shared_builds.ann_exact_topk — identical by the top-k-prefix
+    # argument) instead of re-scanning the corpus.
+    from gemini_data_wrangler_spark.shared_builds import ann_exact_topk
+
     vec = (
-        cosine_topk(emb, queries_from_ids(emb, _RRF_QUERY_IDS), k=_RRF_LIST_K)
+        ann_exact_topk(spark, sf_dir, reuse=True, k=_RRF_LIST_K)
         .select("query_id", "vec_id", F.col("rank").alias("vec_rank"))
     )
     fused = (

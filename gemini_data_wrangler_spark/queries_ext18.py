@@ -244,20 +244,19 @@ def similarity_ndcg_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the right 10 in the wrong order scores < 1 here). Relevance of a
     candidate is (11 − exact_rank) for exact-top-10 members else 0; DCG
     discounts by log2(position+1); IDCG comes from the exact ranking
-    itself. Pinned-TRUE oracle like the recall gates."""
-    from gemini_data_wrangler_spark.operators.similarity import (
-        cosine_topk,
-        lsh_topk,
-        queries_from_ids,
-    )
-    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+    itself. Pinned-TRUE oracle like the recall gates.
+    Both rankings come from the session-shared lists (round 7): the
+    exact side from `ann_exact_topk`, the LSH side from the
+    `approx_topk_list` the `similarity_lsh_topk` publisher builds with
+    identical parameters — no re-scan, no re-search."""
+    from gemini_data_wrangler_spark.shared_builds import ann_exact_topk, approx_topk_list
 
-    emb = _table(spark, sf_dir, "embeddings")
-    q = queries_from_ids(emb, _ANN_QUERY_IDS)
-    exact = cosine_topk(emb, q, k=10).select(
+    exact = ann_exact_topk(spark, sf_dir, reuse=True, k=10).select(
         "query_id", "vec_id", (11 - F.col("rank")).cast("double").alias("rel")
     )
-    approx = lsh_topk(emb, q, k=10).select("query_id", "vec_id", "rank")
+    approx = approx_topk_list(spark, sf_dir, "lsh", reuse=True).select(
+        "query_id", "vec_id", "rank"
+    )
     disc = lambda r: F.log2(r.cast("double") + 1)  # noqa: E731
     dcg = (
         approx.join(exact, ["query_id", "vec_id"], "left")

@@ -82,10 +82,22 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index containment join on the (smaller) stage-2 corpus."""
     docs = _table(spark, sf_dir, "documents")
     n_raw = docs.count()
-    s1 = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # Stage survivors and the shingle set are each consumed by several
+    # downstream subtrees AND by their own funnel count action (round 7):
+    # unpersisted, s1/s2 re-ran per consumer and the shingle
+    # explode+distinct ran three times (sz + both sides of the
+    # containment self-join) — persist each once, release before return.
+    s1 = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .persist()
+    )
     d1 = docs.join(s1, "doc_id")
     norm = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
-    s2 = d1.groupBy(norm).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    s2 = (
+        d1.groupBy(norm).agg(F.min("doc_id").alias("doc_id")).select("doc_id").persist()
+    )
     d2 = docs.join(s2, "doc_id")
     toks = d2.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
@@ -99,7 +111,7 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ' ', element_at(t, i + 2)))"
             )
         ).alias("s"),
-    ).distinct()
+    ).distinct().persist()
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), "s")
@@ -121,6 +133,10 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, "normalized", s2.count()),
         (3, "containment", s3.count()),
     ]
+    # The funnel counts above are plain Python ints now — the staged
+    # frames are no longer needed by the returned literal frame.
+    for f in (s1, s2, sh):
+        f.unpersist()
     return spark_.createDataFrame(
         counts, "stage int, name string, docs_remaining long"
     )

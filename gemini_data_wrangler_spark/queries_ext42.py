@@ -406,12 +406,13 @@ def similarity_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieve-then-rerank top-k, DIRECTLY oracle-backed since round 3
     (was rows-only): both stages are deterministic, so DuckDB re-derives
     the truncated-dim coarse cut and the exact rerank from scratch. The
-    recall gate below still anchors it to the brute-force ranking."""
-    from gemini_data_wrangler_spark.operators.similarity import queries_from_ids
-    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+    recall gate below still anchors it to the brute-force ranking.
+    PUBLISHER of the session-shared rerank ranked list (round 7): the
+    recall gate reuses the identical list; this query always rebuilds
+    (reuse=False) so its bench row prices the full coarse+rerank."""
+    from gemini_data_wrangler_spark.shared_builds import approx_topk_list
 
-    emb = _table(spark, sf_dir, "embeddings")
-    return _rerank_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
+    return approx_topk_list(spark, sf_dir, "rerank", reuse=False)
 
 
 def _rerank_recall_oracle() -> str:
@@ -431,7 +432,15 @@ def similarity_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Matryoshka-trained, so truncation is a worst case — real MRL
     embeddings retrieve far better at the same dims). Pinned-TRUE oracle:
     a recall regression becomes a driver hash MISMATCH, same contract as
-    the LSH/IVF/PQ recall gates."""
+    the LSH/IVF/PQ recall gates.
+    Reuses the session-shared rerank ranked list (identical parameters
+    to the `similarity_rerank_topk` publisher)."""
     from gemini_data_wrangler_spark.queries_ext import _ann_recall_check
+    from gemini_data_wrangler_spark.shared_builds import approx_topk_list
 
-    return _ann_recall_check(spark, sf_dir, _rerank_topk, floor=0.6)
+    return _ann_recall_check(
+        spark,
+        sf_dir,
+        lambda emb, q, k: approx_topk_list(spark, sf_dir, "rerank", reuse=True),
+        floor=0.6,
+    )

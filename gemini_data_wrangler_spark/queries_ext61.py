@@ -39,7 +39,7 @@ _MMR_LAMBDA = 0.7
 
 def mmr_topk(
     emb: DataFrame, query_ids: list[int], k: int = _MMR_K, pool: int = _MMR_POOL,
-    lam: float = _MMR_LAMBDA,
+    lam: float = _MMR_LAMBDA, cand: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance top-k: over-fetch a relevance pool via
     exact cosine, then greedily pick items maximizing
@@ -62,8 +62,13 @@ def mmr_topk(
         queries_from_ids,
     )
 
-    q = queries_from_ids(emb, query_ids)
-    cand = cosine_topk(emb, q, k=pool).select("query_id", "vec_id", "sim")
+    # ``cand`` lets callers inject the session-shared exact ranked list
+    # (shared_builds.ann_exact_topk) instead of re-scanning the corpus;
+    # the frames are identical by the top-k-prefix argument there.
+    if cand is None:
+        q = queries_from_ids(emb, query_ids)
+        cand = cosine_topk(emb, q, k=pool)
+    cand = cand.select("query_id", "vec_id", "sim")
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_v")
     )
@@ -186,10 +191,9 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with rounded engine-identical pairwise sims, the greedy chain is
     reproducible, and DuckDB replays it step by step in a recursive CTE.
     The invariant gates below still pin diversity and relevance."""
-    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+    from gemini_data_wrangler_spark.shared_builds import mmr_list
 
-    emb = _table(spark, sf_dir, "embeddings")
-    return mmr_topk(emb, _ANN_QUERY_IDS)
+    return mmr_list(spark, sf_dir, reuse=False)
 
 
 def _mmr_check_oracle() -> str:
@@ -210,16 +214,15 @@ def similarity_mmr_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     first when nothing is selected yet). Pinned-TRUE oracle: a
     regression in either property becomes a driver hash MISMATCH."""
     from gemini_data_wrangler_spark.functions.vectors import cosine_similarity
-    from gemini_data_wrangler_spark.operators.similarity import (
-        cosine_topk,
-        queries_from_ids,
-    )
-    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+    from gemini_data_wrangler_spark.shared_builds import ann_exact_topk, mmr_list
 
     emb = _table(spark, sf_dir, "embeddings")
-    q = queries_from_ids(emb, _ANN_QUERY_IDS)
-    mmr = mmr_topk(emb, _ANN_QUERY_IDS).select("query_id", "vec_id", "mmr_rank")
-    plain = cosine_topk(emb, q, k=_MMR_K).select("query_id", "vec_id", "rank")
+    mmr = mmr_list(spark, sf_dir, reuse=True).select(
+        "query_id", "vec_id", "mmr_rank"
+    )
+    plain = ann_exact_topk(spark, sf_dir, reuse=True, k=_MMR_K).select(
+        "query_id", "vec_id", "rank"
+    )
     vecs = emb.select("vec_id", F.col("embedding").alias("_v"))
 
     def max_intra(df: DataFrame, label: str) -> DataFrame:

@@ -456,17 +456,21 @@ def similarity_graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1 (COVERAGE.md)."""
     import math
 
-    from gemini_data_wrangler_spark.operators.similarity import (
-        cosine_topk,
-        queries_from_ids,
-    )
+    from gemini_data_wrangler_spark.operators.similarity import queries_from_ids
 
     emb = _table(spark, sf_dir, "embeddings")
     n = emb.count()
     hops = max(_GANN_HOPS, math.ceil(math.log(max(n, 2)) / math.log(_GANN_DEGREE)) + 2)
     beam = max(_GANN_BEAM, 3 * math.ceil(math.log2(max(n, 2))))
     q = queries_from_ids(emb, _GANN_QUERY_IDS)
-    exact = cosine_topk(emb, q, k=_GANN_K).select("query_id", "vec_id")
+    # _GANN_QUERY_IDS == queries_ext._ANN_QUERY_IDS ([0..4]), so the
+    # shared exact ranked list serves this gate too (reuse contract:
+    # shared_builds.ann_exact_topk; publisher = similarity_cosine_topk).
+    from gemini_data_wrangler_spark.shared_builds import ann_exact_topk
+
+    exact = ann_exact_topk(spark, sf_dir, reuse=True, k=_GANN_K).select(
+        "query_id", "vec_id"
+    )
     approx = graph_ann_beam_topk(
         emb, q, beam=beam, hops=hops, cache_key=sf_dir
     ).select("query_id", "vec_id")

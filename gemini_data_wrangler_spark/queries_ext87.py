@@ -104,36 +104,28 @@ def graph_hits_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob).
     Ranking uses ROUNDED scores (ties to the lowest id) so the output
     order is stable across engines despite last-ulp sum differences."""
+    from gemini_data_wrangler_spark.operators.graphs import hits_raw
+
     orders = _table(spark, sf_dir, "orders")
     lineitem = _table(spark, sf_dir, "lineitem")
     edges = (
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .repartition(spark.sparkContext.defaultParallelism, "c")
-        .persist()
     )
-    hub = edges.select("c").distinct().withColumn("h", F.lit(1.0)).localCheckpoint()
     # Normalization only scales the vector, so the loop carries RAW sums
     # (growth stays far below double overflow — see the oracle note) and
     # a single L2 normalizer divides each side at the end: no per-round
-    # scalar passes. Inside the loop hub and auth each feed exactly ONE
-    # consumer (the next half-step), so materializing every round buys no
-    # recompute safety — the hub state checkpoints every SECOND round
-    # (half the Spark jobs; the multi-tenant bench host charges a
-    # per-job scheduling floor that dominates these node-sized rounds).
-    # The FINAL auth feeds three consumers (its norm, the output
-    # projection, and the last hub half-step), so it checkpoints eagerly
-    # INSIDE the last round — unmaterialized Spark branches would
-    # recompute the join+agg chain per reference.
-    auth = None
-    for _it in range(_HITS_ITERS):
-        auth = edges.join(hub, "c").groupBy("s").agg(F.sum("h").alias("a"))
-        if _it == _HITS_ITERS - 1:
-            auth = auth.localCheckpoint()
-        hub = edges.join(auth, "s").groupBy("c").agg(F.sum("a").alias("h"))
-        if (_it + 1) % _HITS_CHECKPOINT_EVERY == 0:
-            hub = hub.localCheckpoint()
+    # scalar passes. The 2·iterations join+aggregate rounds live in
+    # `hits_raw`, whose auto route runs them driver-side as numpy
+    # bincounts over the bounded collected edge list (round 7: the
+    # 16-shuffle loop's floor was 16× scheduler overhead — the most
+    # expensive full-suite row); the distributed loop stays as the
+    # forced 100 TB fallback, equivalence-pinned in
+    # tests/test_graph_driver_routes.py.
+    hub, auth = hits_raw(
+        edges, iterations=_HITS_ITERS, checkpoint_every=_HITS_CHECKPOINT_EVERY
+    )
     anorm = auth.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("_z"))
     hnorm = hub.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("_z"))
     hub_top = hub.crossJoin(F.broadcast(hnorm)).select(

@@ -80,6 +80,10 @@ def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets, TakeOrderedAndProject for the top-K."""
     orders = _table(spark, sf_dir, "orders")
     lineitem = _table(spark, sf_dir, "lineitem")
+    # Staged once (round 7): `li` feeds BOTH sides of the co-order
+    # self-join below — unpersisted, the lineitem⋈orders+distinct
+    # pipeline ran twice. Released right after `e` materializes (its
+    # localCheckpoint is eager), so nothing downstream still reads it.
     li = (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
         .select(
@@ -88,6 +92,7 @@ def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate").alias("d"),
         )
         .distinct()
+        .persist()
     )
     a = li.select(F.col("ok"), F.col("s").alias("sa"), F.col("d"))
     b = li.select(F.col("ok"), F.col("s").alias("sb"))
@@ -105,6 +110,7 @@ def graph_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"), "d")
         .localCheckpoint()
     )
+    li.unpersist()
     hop1 = e.select("src", "dst").distinct()
     e1 = e.select(F.col("src"), F.col("dst").alias("mid"), F.col("d").alias("d1"))
     e2 = e.select(F.col("src").alias("mid"), F.col("dst"), F.col("d").alias("d2"))

@@ -153,3 +153,37 @@ def test_knn_table_memo_matches_fresh_build(spark):
     }
     assert got == fresh
     assert knn_table(spark, SF_SMALL, reuse=True, k=5) is memo
+
+
+def test_hits_raw_driver_route_matches_distributed(spark):
+    from gemini_data_wrangler_spark.operators.graphs import hits_raw
+
+    # bipartite (c, s) edges with a hot supplier and a degree-1 tail
+    e = spark.createDataFrame(
+        [
+            (1, 100), (1, 101), (2, 100), (2, 102), (3, 100),
+            (3, 103), (4, 104), (5, 100), (5, 101), (6, 105),
+        ],
+        "c bigint, s bigint",
+    )
+
+    def norm_scores(hub, auth):
+        hs = {r["c"]: r["h"] for r in hub.collect()}
+        as_ = {r["s"]: r["a"] for r in auth.collect()}
+        hn = sum(v * v for v in hs.values()) ** 0.5
+        an = sum(v * v for v in as_.values()) ** 0.5
+        return (
+            {k: round(v / hn, 4) for k, v in hs.items()},
+            {k: round(v / an, 4) for k, v in as_.items()},
+        )
+
+    auto = norm_scores(*hits_raw(e, iterations=4))
+    dist = norm_scores(*hits_raw(e, iterations=4, route="distributed"))
+    assert auto == dist
+    # past the bound the auto route must fall back, not truncate
+    low = norm_scores(*hits_raw(e, iterations=4, max_edges=3))
+    assert low == dist
+    import pytest
+
+    with pytest.raises(ValueError):
+        hits_raw(e, route="driver")
