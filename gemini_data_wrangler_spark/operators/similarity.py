@@ -246,7 +246,31 @@ def ivf_topk(
         scored = df.crossJoin(F.broadcast(centroids)).withColumn(
             "_csim", cosine_similarity(F.col(vc), F.col("_c"))
         )
-        w = Window.partitionBy(*[c for c in df.columns if c != vc] or [vc]).orderBy(
+        keys = [c for c in df.columns if c != vc] or [vc]
+        if n_best == 1:
+            # Corpus assignment (round 7): max_by's map-side partial
+            # collapses the k×N scored stream to ONE row per vector
+            # BEFORE the exchange, where the ranking window shuffled and
+            # sorted all k×N rows (the same k× shuffle cut kmeans_lloyd's
+            # assignment step already took). The ordering struct
+            # (_csim, -cell_id) reproduces the window's ORDER BY _csim
+            # DESC, cell_id ASC tie-break exactly (struct comparison is
+            # lexicographic; Spark orders NaN greatest in both paths).
+            return (
+                scored.groupBy(*keys)
+                .agg(
+                    F.max_by(
+                        F.struct(F.col("cell_id"), F.col(vc)),
+                        F.struct(F.col("_csim"), (-F.col("cell_id")).alias("_nc")),
+                    ).alias("_best")
+                )
+                .select(
+                    *keys,
+                    F.col(f"_best.{vc}").alias(vc),
+                    F.col("_best.cell_id").alias(out),
+                )
+            )
+        w = Window.partitionBy(*keys).orderBy(
             F.col("_csim").desc(), F.col("cell_id").asc()
         )
         return (

@@ -137,7 +137,13 @@ def two_level_rank(
     Returns ``df`` with ``out_col`` added (cols ``_blk`` consumed).
     """
     parts = parts or []
-    base = df.withColumn("_blk", block).withColumn("_key", key)
+    # Staged once (round 7): `base` feeds BOTH the within-block window
+    # and the per-block count aggregate — unpersisted, every caller's
+    # upstream pipeline (often a join or an expression-dense projection)
+    # re-ran twice per rank. Lazy persist: the first action populates the
+    # blocks, the second subtree reads them; released by the session's
+    # per-query cache clear (bench) or cache eviction.
+    base = df.withColumn("_blk", block).withColumn("_key", key).persist()
     w_in = Window.partitionBy(*parts, "_blk").orderBy(F.col("_key"), *tiebreaks)
     within = base.withColumn("_wrank", F.row_number().over(w_in))
     counts = base.groupBy(*parts, "_blk").agg(F.count(F.lit(1)).alias("_bn"))
@@ -174,7 +180,9 @@ def two_level_cumsum(
     `two_level_rank`). Use for ECDF / threshold sweeps over
     distinct-value histograms whose cardinality grows with the data.
     """
-    base = df.withColumn("_blk", block).withColumn("_key", key)
+    # Staged once (round 7): same double-consumption as two_level_rank
+    # (within-block window + per-block totals).
+    base = df.withColumn("_blk", block).withColumn("_key", key).persist()
     end = 0 if inclusive else -1
     w_in = (
         Window.partitionBy("_blk")
@@ -224,6 +232,11 @@ def distributed_ntile(
     extra row). Returns ``df`` plus ``out_col``; see `two_level_rank` for
     the ``block`` contract (order-preserving coarsening of the sort key).
     """
+    # Staged once (round 7): the row count and the rank both consume
+    # ``df`` — persist so the count reads the same blocks the rank's
+    # staged base derives from instead of re-running the caller's
+    # pipeline a third time.
+    df = df.persist()
     n = df.agg(F.count(F.lit(1)).alias("_n"))
     ranked = two_level_rank(df, key, tiebreaks, block, out_col="_grank")
     return (

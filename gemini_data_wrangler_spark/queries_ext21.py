@@ -129,11 +129,15 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into the final projection. Lift > 1 flags genuinely
     associated pairs; `WHERE n_ab >= 5` prunes noise."""
     t = load_sf_tables(spark, sf_dir)
+    # Staged once (round 7): `ob` feeds FIVE subtrees (order count, brand
+    # marginals, both self-join sides) — unpersisted, the lineitem⋈part
+    # join + distinct re-ran per consumer.
     ob = (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint()
     )
     n_orders = ob.select(F.countDistinct("l_orderkey").alias("n"))
     brand_orders = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))

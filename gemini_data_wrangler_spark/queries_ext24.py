@@ -87,10 +87,7 @@ def layout_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number partitioned on the high Morton bits + a carry prefix over
     the tiny per-block count table) and the exact ntile split is derived
     row-locally from it."""
-    from gemini_data_wrangler_spark.operators.window import (
-        ntile_from_rank,
-        two_level_rank,
-    )
+    from gemini_data_wrangler_spark.operators.window import distributed_ntile
 
     orders = _table(spark, sf_dir, "orders")
     keyed = orders.select(
@@ -108,17 +105,17 @@ def layout_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + shiftleft(shiftright(dy, i) & 1, 2*i + 1))"
         ),
     )
-    ranked = two_level_rank(
+    # distributed_ntile == the previous inline two_level_rank + count +
+    # ntile_from_rank chain (round 7) — and it stages `z` once, where the
+    # inline chain re-ran the interpreted 16-step Morton fold three times
+    # (rank window, block counts, row count).
+    filed = distributed_ntile(
         z,
+        _Z_FILES,
         key=F.col("zval"),
         tiebreaks=[F.col("o_orderkey")],
         block=F.shiftright(F.col("zval"), 24),
-    )
-    n_rows = ranked.crossJoin(
-        F.broadcast(z.agg(F.count(F.lit(1)).alias("_n")))
-    )
-    filed = n_rows.withColumn(
-        "file_id", ntile_from_rank(F.col("_grank"), F.col("_n"), _Z_FILES)
+        out_col="file_id",
     )
     return filed.groupBy("file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -420,14 +417,18 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ' ', element_at(t, i + 2)))"
             )
         ).alias("sh"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     kept = (
         shingles.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") <= _CONTAIN_DF_CAP)
         .select("sh")
     )
-    shingles = shingles.join(kept, "sh", "left_semi")
+    # Staged twice deliberately (round 7): the RAW shingle set (eager
+    # checkpoint above) feeds the df-cap build and the semi-join; the
+    # KEPT set (persist below) feeds sizes and both self-join sides.
+    # Unpersisted, the tokenize+explode+distinct pipeline re-ran ~5×.
+    shingles = shingles.join(kept, "sh", "left_semi").persist()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -250,12 +250,15 @@ def ops_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined — a global ORDER BY window would drag every event through
     one partition; this never does."""
     events = _table(spark, sf_dir, "events")
+    # Staged once (round 7): `blk` feeds BOTH the within-block window and
+    # the block-maxima aggregate — unpersisted, the events scan +
+    # timestamp decode ran twice. Narrow 4-column frame, eager blocks.
     blk = events.select(
         "ts",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("_t"),
         (F.col("event_id") / 4096).cast("long").alias("_b"),
         "event_id",
-    )
+    ).localCheckpoint()
     w_in = (
         Window.partitionBy("_b")
         .orderBy("event_id")

@@ -217,6 +217,10 @@ def ops_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem")
     orders = _table(spark, sf_dir, "orders")
     first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship"))
+    # Staged once (round 7): `d` feeds FOUR subtrees (both unionAll
+    # branches of the boundary points, the direct latency rollup, and
+    # through them the max/integral) — unpersisted, the orders⋈first_ship
+    # join re-ran per consumer. Two narrow longs per order: tiny blocks.
     d = (
         orders.join(first_ship, orders["o_orderkey"] == first_ship["l_orderkey"])
         .filter(F.col("ship") >= F.col("o_orderdate"))
@@ -224,6 +228,7 @@ def ops_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("a"),
             F.unix_micros(F.col("ship").cast("timestamp")).alias("b"),
         )
+        .localCheckpoint()
     )
     pts = d.select(F.col("a").alias("t"), F.lit(1).alias("delta")).unionAll(
         d.select(F.col("b").alias("t"), F.lit(-1).alias("delta"))

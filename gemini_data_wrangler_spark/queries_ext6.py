@@ -490,11 +490,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences it spans. The prefix sum is distributed: window cumsum
     within ~1000-doc buckets (parallel) + a broadcast-joined running
     offset over the tiny bucket-totals table — no global one-task window."""
+    # Staged once (round 7): the tokenize (split of every document's full
+    # text) feeds BOTH the in-bucket window and the bucket-totals agg —
+    # unpersisted, it ran twice. Eager checkpoint of the tiny 3-column
+    # counts frame halves the text work.
     t = _docs(spark, sf_dir).select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
         (F.col("doc_id") / _PACK_BUCKET).cast("bigint").alias("bucket"),
-    )
+    ).localCheckpoint()
     in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
     local = t.withColumn(
         "local_start",

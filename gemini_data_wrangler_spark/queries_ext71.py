@@ -144,10 +144,15 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangular count."""
     li = _table(spark, sf_dir, "lineitem")
     part = _table(spark, sf_dir, "part")
+    # Staged once (round 7): the basket table feeds FOUR subtrees (item
+    # supports, the basket count, and both sides of the pair self-join) —
+    # unpersisted, the lineitem⋈part join + distinct re-ran per consumer.
+    # Eager checkpoint so every consumer reads the materialized blocks.
     bk = (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
         .distinct()
+        .localCheckpoint()
     )
     items = bk.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     tot = bk.agg(F.countDistinct("ok").alias("n_orders"))

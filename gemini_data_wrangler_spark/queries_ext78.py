@@ -168,12 +168,15 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2
     )
     split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    # Staged once (round 7): the events-wide per-user rollup feeds BOTH
+    # the theta moment row and the per-arm aggregate — unpersisted, the
+    # full events scan + groupBy ran twice.
     per_user = events.groupBy("user_id").agg(
         F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("pre"),
         F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)).alias(
             "post"
         ),
-    ).select(arm.alias("arm"), "pre", "post")
+    ).select(arm.alias("arm"), "pre", "post").localCheckpoint()
     theta = per_user.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("pre").alias("sx"),

@@ -100,14 +100,18 @@ def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("long"),
         "b",
     ).select("y", "b")
+    # Staged at the RIGHT node (round 7): `bins` feeds three subtrees
+    # (pre, the interval spine g, the final join) — with only `pre`
+    # checkpointed, the whole distributed_ntile pipeline re-ran for the
+    # other two. Checkpointing the |bins|-row frame itself (eager) runs
+    # the ntile pass once; pre is then a tiny window over those blocks.
     bins = scored.groupBy("b").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
-    )
+    ).localCheckpoint()
     wp = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    # eager: a / z / p fan out of this frame inside one action
     pre = bins.select(
         "b", F.sum("n").over(wp).alias("cn"), F.sum("k").over(wp).alias("ck")
-    ).localCheckpoint()
+    )
     a = pre.select(F.col("b").alias("lo"))
     z = pre.select(F.col("b").alias("hi"), F.col("cn").alias("cnh"), F.col("ck").alias("ckh"))
     p = pre.select((F.col("b") + 1).alias("lo"), F.col("cn").alias("cnp"), F.col("ck").alias("ckp"))
