@@ -184,8 +184,22 @@ def lsh_topk(
             F.col(idc), F.col(vc), F.posexplode(bucketer(F.col(vc))).alias("tbl", "bucket")
         )
 
-    cand = bucketize(embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")), "vec_id", "_v")
-    q = bucketize(queries.select(F.col("query_id"), F.col("query_vec").alias("_q")), "query_id", "_q")
+    # Decide with ids, attach payloads once (round 7, guide §8): the
+    # 64-dim vectors used to ride through the ×n_tables posexplode, the
+    # bucket join, AND a distinct over array columns. Now the candidate
+    # set is derived from (id, tbl, bucket) rows only — the distinct
+    # hashes 16-byte pairs — and the full vectors are fetched exactly
+    # once for the rerank via a broadcast of the tiny pair list.
+    cand = bucketize(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+        "vec_id",
+        "_v",
+    ).select("vec_id", "tbl", "bucket")
+    q = bucketize(
+        queries.select(F.col("query_id"), F.col("query_vec").alias("_q")),
+        "query_id",
+        "_q",
+    ).select("query_id", "tbl", "bucket")
     if multi_probe:
         bucket = F.col("bucket")
         probes = [bucket]
@@ -196,14 +210,20 @@ def lsh_topk(
                     F.substring(bucket, 1, p - 1), flipped, F.substring(bucket, p + 1, n_planes - p)
                 )
             )
-        q = q.select("query_id", "_q", "tbl", F.explode(F.array(*probes)).alias("bucket"))
-    pairs = (
+        q = q.select("query_id", "tbl", F.explode(F.array(*probes)).alias("bucket"))
+    pair_ids = (
         cand.join(q.hint("broadcast"), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "_q", "vec_id", "_v")
+        .select("query_id", "vec_id")
         .distinct()
     )
-    scored = pairs.withColumn("_sim", cosine_similarity(F.col("_q"), F.col("_v")))
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    qv = queries.select("query_id", F.col("query_vec").alias("_q"))
+    scored = (
+        vecs.join(F.broadcast(pair_ids), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("_sim", cosine_similarity(F.col("_q"), F.col("_v")))
+    )
     return _ranked_topk(scored, k)
 
 

@@ -302,13 +302,21 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution table in one aggregation; the pairwise grid and the JS
     sum are O(|sources|²·|langs|) on tiny data."""
     docs = _table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    # Staged once (round 7): the |sources|×|langs| count table feeds five
+    # subtrees (totals, dist, and — now derived from it instead of three
+    # more document scans — the source/lang axes; every doc contributes a
+    # (source, lang) row, so the distincts are identical).
+    counts = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     totals = counts.groupBy("source").agg(F.sum("n").alias("t"))
     dist = counts.join(totals, "source").select(
         "source", "lang", (F.col("n").cast("double") / F.col("t")).alias("p")
     )
-    sources = docs.select("source").distinct()
-    langs = docs.select("lang").distinct()
+    sources = counts.select("source").distinct()
+    langs = counts.select("lang").distinct()
     da = dist.select(
         F.col("source").alias("source_a"), F.col("lang"), F.col("p").alias("pa")
     )

@@ -247,10 +247,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(ws) - {_NOV_N - 1}),"
         f" i -> array_join(slice(ws, i, {_NOV_N}), ' '))"
     )
+    # Staged once (round 7): the span explode feeds the shared-span build
+    # AND the left-join back — unpersisted, the tokenize+explode ran twice.
     spans = (
         docs.select("doc_id", ws.alias("ws"))
         .filter(F.size("ws") >= _NOV_N)
         .select("doc_id", F.explode(spans_expr).alias("span"))
+        .persist()
     )
     shared = (
         spans.groupBy("span")

@@ -150,7 +150,11 @@ def sketch_quantile_histogram_check(spark: SparkSession, sf_dir: str) -> DataFra
     )
     # Per-source sketches then merge: the "source" here is the Spark input
     # partition — the merge algebra is what matters (sum per bin).
-    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # Staged once (round 7): the ≤64-row histogram feeds the cumulative
+    # window, the row count, and (via cum) both the rank locate and the
+    # interpolation join — unpersisted, the orders scan+bin re-ran per
+    # consumer. Eager checkpoint: bounded sketch-sized state.
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
     n_row = hist.agg(F.sum("cnt").alias("n"))

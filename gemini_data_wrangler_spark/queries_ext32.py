@@ -76,16 +76,29 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
         ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
     ]
-    rows = []
+    # One lazy union instead of 8 sequential driver-blocking count jobs
+    # (round 7): each edge contributes a 1-row (count × orphan-count)
+    # branch; a single downstream action computes all branches, and the
+    # independent subtrees' stages overlap instead of running one
+    # scheduler round-trip at a time (guide §2.6).
+    parts = []
     for name, child, fk, parent, pk in edges:
-        n_child = child.count()
-        n_orphans = child.join(
-            parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
-        ).count()
-        rows.append((name, n_child, n_orphans))
-    return spark.createDataFrame(
-        rows, "relationship string, n_child long, n_orphans long"
-    )
+        n_child = child.agg(F.count(F.lit(1)).alias("n_child"))
+        n_orphans = (
+            child.join(parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        parts.append(
+            n_child.crossJoin(n_orphans).select(
+                F.lit(name).alias("relationship"),
+                F.col("n_child").cast("long"),
+                F.col("n_orphans").cast("long"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -277,9 +277,12 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemini_data_wrangler_spark.operators.window import two_level_rank
 
     docs = _docs(spark, sf_dir)
+    # Staged once (round 7): the token explode feeds the vocabulary
+    # frequency build AND the encode join — unpersisted, the full-text
+    # tokenize ran twice.
     tok = docs.select(
         "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w")
-    )
+    ).persist()
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     vocab = two_level_rank(
         freq,

@@ -90,7 +90,11 @@ def dq_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected false-discovery fraction among flags is ≤ α. One grid
     build + per-group windows + a 25-row BH window."""
     cust = _table(spark, sf_dir, "customer")
-    vals = cust.select(F.col("c_nationkey").alias("g"), F.col("c_acctbal").alias("v"))
+    # Staged once (round 7): six subtrees read this 2-column projection
+    # (grid, axis, groups, global counts, sizes, total).
+    vals = cust.select(
+        F.col("c_nationkey").alias("g"), F.col("c_acctbal").alias("v")
+    ).persist()
     grid = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cg"))
     axis = vals.select("v").distinct()
     groups = vals.select("g").distinct()

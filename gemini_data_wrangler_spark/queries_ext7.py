@@ -140,6 +140,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_b0", F.floor(F.unix_timestamp("s") / _IV_BUCKET_S))
         .withColumn("_b1", F.floor(F.unix_timestamp("e") / _IV_BUCKET_S))
         .withColumn("_b", F.explode(F.sequence("_b0", "_b1")))
+        # Staged once (round 7): both self-join sides read this frame.
+        .persist()
     )
     a = iv.select("c", "_b", F.col("k").alias("okey_a"), F.col("s").alias("_sa"), F.col("e").alias("_ea"))
     b = iv.select("c", "_b", F.col("k").alias("okey_b"), F.col("s").alias("_sb"), F.col("e").alias("_eb"))
@@ -325,9 +327,12 @@ def equidepth_histogram(
     q, r = divmod(n, k)
     big = q + 1
 
+    # Staged once (round 7): the per-value counts feed BOTH the in-coarse
+    # window and the coarse totals — unpersisted, the value groupBy re-ran
+    # twice.
     hist = t.groupBy("x").agg(F.count(F.lit(1)).alias("_cnt")).withColumn(
         "_coarse", F.floor(F.col("x") / coarse_width)
-    )
+    ).persist()
     in_coarse = Window.partitionBy("_coarse").orderBy("x")
     local = hist.withColumn(
         "_local_end", F.sum("_cnt").over(in_coarse.rowsBetween(Window.unboundedPreceding, 0))

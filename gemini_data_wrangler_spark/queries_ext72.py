@@ -55,6 +55,14 @@ def fuzzy_jaro_winkler_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts."""
     from gemini_data_wrangler_spark.functions.strings import jaro_winkler_udf
 
+    # Marked non-deterministic (round 7, guide §4.4): the jw >= floor
+    # filter below references the UDF column, and Catalyst pushes the
+    # filter BELOW the projection by duplicating the UDF — the plan
+    # carried TWO ArrowEvalPython nodes, scoring every candidate pair
+    # twice. Non-deterministic forbids the duplication; one eval per
+    # pair, same rows (the kernel is pure).
+    jw_udf = jaro_winkler_udf().asNondeterministic()
+
     part = _table(spark, sf_dir, "part")
     a = part.select(
         F.col("p_partkey").alias("partkey_a"),
@@ -68,7 +76,7 @@ def fuzzy_jaro_winkler_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "p_size",
     )
-    jw = F.round(jaro_winkler_udf()(F.col("name_a"), F.col("name_b")), 6)
+    jw = F.round(jw_udf(F.col("name_a"), F.col("name_b")), 6)
     return (
         a.join(b, ["p_brand", "p_size"])
         .filter(F.col("partkey_a") < F.col("partkey_b"))

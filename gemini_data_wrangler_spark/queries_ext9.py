@@ -248,11 +248,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests."""
     from gemini_data_wrangler_spark.operators.graphs import label_propagation
 
+    # Staged once (round 7): both sides of the co-order self-join read
+    # this filtered-distinct projection.
     li = (
         load_sf_tables(spark, sf_dir)["lineitem"]
         .filter(F.col("l_quantity") >= 45)
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     edges = (
         li.select("l_orderkey", F.col("l_partkey").alias("src"))

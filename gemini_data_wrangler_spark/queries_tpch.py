@@ -15,7 +15,7 @@ clerk/comment — filters re-targeted to existing columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gemini_data_wrangler_spark.queries import register, run_stages
@@ -1031,14 +1031,23 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = li.join(
         orders.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey")
     ).withColumn("_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late_supp"),
-    )
+    # Round 7: the per-order distinct-supplier counts moved from a
+    # groupBy + join-back (which scanned and shuffled `flagged` twice) to
+    # window aggregates over the SAME l_orderkey partitioning — one
+    # shuffle of the joined stream serves both predicates for real now.
+    # size(collect_set(...)) == countDistinct per order (nulls excluded
+    # from the set the same way countDistinct ignores them; per-order set
+    # sizes are bounded by the suppliers-per-order fan-out).
+    wo = Window.partitionBy("l_orderkey")
     l1 = (
-        flagged.filter(F.col("_late"))
-        .join(per_order.withColumnRenamed("l_orderkey", "_ok"), F.col("l_orderkey") == F.col("_ok"))
-        .filter((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+        flagged.withColumn("_n_supp", F.size(F.collect_set("l_suppkey").over(wo)))
+        .withColumn(
+            "_n_late_supp",
+            F.size(
+                F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).over(wo)
+            ),
+        )
+        .filter(F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
     )
     supp = _t(spark, sf_dir, "supplier")
     return (
