@@ -81,18 +81,24 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-scaled shapes: two hash aggregations, then the
     inverted-index containment join on the (smaller) stage-2 corpus."""
     docs = _table(spark, sf_dir, "documents")
-    n_raw = docs.count()
     # Stage survivors and the shingle set are each consumed by several
     # downstream subtrees AND by their own funnel count action (round 7):
     # unpersisted, s1/s2 re-ran per consumer and the shingle
     # explode+distinct ran three times (sz + both sides of the
     # containment self-join) — persist each once, release before return.
-    s1 = (
+    # The exact-stage groups also carry the raw copy count, so ONE
+    # aggregate over the cached group table yields both n_raw and the s1
+    # survivor count — one docs scan and one action instead of two each.
+    g1 = (
         docs.groupBy(F.md5("text"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("_copies"))
         .persist()
     )
+    row1 = g1.agg(
+        F.sum("_copies").alias("_n_raw"), F.count(F.lit(1)).alias("_n_s1")
+    ).collect()[0]
+    n_raw, n_s1 = row1["_n_raw"], row1["_n_s1"]
+    s1 = g1.select("doc_id")
     d1 = docs.join(s1, "doc_id")
     norm = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
     s2 = (
@@ -129,13 +135,13 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark_ = docs.sparkSession
     counts = [
         (0, "raw", n_raw),
-        (1, "exact", s1.count()),
+        (1, "exact", n_s1),
         (2, "normalized", s2.count()),
         (3, "containment", s3.count()),
     ]
     # The funnel counts above are plain Python ints now — the staged
     # frames are no longer needed by the returned literal frame.
-    for f in (s1, s2, sh):
+    for f in (g1, s2, sh):
         f.unpersist()
     return spark_.createDataFrame(
         counts, "stage int, name string, docs_remaining long"

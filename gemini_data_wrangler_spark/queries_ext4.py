@@ -310,20 +310,26 @@ def _render_duck(c: str, kind: str) -> str:
     ),
 )
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column profile (rows / non-null / exact distinct / min / max) in
-    ONE scan: all aggregates land in a single agg() — Catalyst plans the
-    multi-column DISTINCTs with one Expand (rows × #distinct-cols) feeding
-    one partial aggregation, which beats N full scans for any table wide
-    enough to matter. The single result row pivots to per-column rows with
-    an explode of literals (driver-free, no collect)."""
+    """Per-column profile (rows / non-null / exact distinct / min / max),
+    split into TWO single-row aggregates (round 7): putting min/max of the
+    STRING columns in the same agg() as the multi-column DISTINCTs forced
+    the whole Expand stream (rows × #distinct-cols) through SortAggregate —
+    strings cannot live in a HashAggregate buffer — i.e. a 6-key sort of
+    900k expanded rows at sf0.1, twice (partial + merge). The distinct and
+    count aggregates (all-long buffers) now run hash-based over the Expand,
+    and the min/max aggregates run as a keyless second pass (no Sort node:
+    global SortAggregate needs no ordering) — two cheap scans instead of
+    one sorted one. The two 1-row results cross-join back and pivot to
+    per-column rows with an explode of literals (driver-free, no collect)."""
     orders = _table(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    minmax = []
     for c, kind in _PROFILE_COLS:
         aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
-        aggs.append(_render_spark(c, kind, F.min).alias(f"_min_{c}"))
-        aggs.append(_render_spark(c, kind, F.max).alias(f"_max_{c}"))
-    one = orders.agg(*aggs)
+        minmax.append(_render_spark(c, kind, F.min).alias(f"_min_{c}"))
+        minmax.append(_render_spark(c, kind, F.max).alias(f"_max_{c}"))
+    one = orders.agg(*aggs).crossJoin(F.broadcast(orders.agg(*minmax)))
     structs = [
         F.struct(
             F.lit(c).alias("column_name"),

@@ -88,14 +88,22 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") <= _SN_KEY_CAP)
         .select("c_custkey", "c_name")
     )
-    s = cust.withColumn(
-        "rn", F.row_number().over(Window.orderBy("c_name", "c_custkey"))
+    # "Each record's next w neighbors in sort order" is lead(key, i) for
+    # i = 1..w over the SAME ordering the rank join used — identical pair
+    # set, but one window pass instead of a BroadcastNestedLoopJoin that
+    # compared every (a, b) rank pair (n² row comparisons for n·w
+    # survivors; the round-7 before-plan shows the NLJ node).
+    w_sort = Window.orderBy("c_name", "c_custkey")
+    cand = (
+        cust.select(
+            F.col("c_custkey").alias("ka"),
+            F.array(
+                *[F.lead("c_custkey", i).over(w_sort) for i in range(1, _SN_W + 1)]
+            ).alias("_nbrs"),
+        )
+        .select("ka", F.explode("_nbrs").alias("kb"))
+        .filter(F.col("kb").isNotNull())
     )
-    a = s.select(F.col("c_custkey").alias("ka"), F.col("rn").alias("ra"))
-    b = s.select(F.col("c_custkey").alias("kb"), F.col("rn").alias("rb"))
-    cand = a.join(
-        b, (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + _SN_W)
-    ).select("ka", "kb")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     ta = cust.repartition(n_parts, F.col("c_custkey")).select(
         F.col("c_custkey").alias("ka"), F.col("c_name").alias("_na")

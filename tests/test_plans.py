@@ -160,9 +160,18 @@ def test_pii_scrub_is_shuffle_free(spark):
 
 def test_cosine_topk_broadcasts_queries(spark):
     # The query side must broadcast: candidate scan stays shuffle-free until
-    # the ranking window.
-    b, _ = registry()["similarity_cosine_topk"]
-    df = b(spark, SF_ORACLE)
+    # the ranking window. Pinned on the kernel directly — the registry query
+    # publishes the session-shared ranked list since round 7, so its returned
+    # plan is the localCheckpoint scan, not the build.
+    from gemini_data_wrangler_spark.operators.similarity import (
+        cosine_topk,
+        queries_from_ids,
+    )
+    from gemini_data_wrangler_spark.queries_ext import _ANN_QUERY_IDS
+    from gemini_data_wrangler_spark.sources.readers import load_sf_tables
+
+    emb = load_sf_tables(spark, SF_ORACLE)["embeddings"]
+    df = cosine_topk(emb, queries_from_ids(emb, _ANN_QUERY_IDS), k=10)
     assert "BroadcastNestedLoopJoin" in _plan(df) or "BroadcastExchange" in _plan(df)
 
 
@@ -343,3 +352,35 @@ def test_simhash_bits_stays_jvm_side(spark):
     # partial aggregation: both the partial and final HashAggregate
     # appear (map-side combine of the 64 sums before the exchange)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_profile_columns_distinct_agg_is_hash_based(spark):
+    """profile_orders_columns (round 7): min/max over STRING columns in
+    the same agg() as the multi-column DISTINCTs forced the whole Expand
+    stream through SortAggregate — a 6-key sort of rows x #distinct-cols.
+    Split into a hash-friendly distinct pass + a keyless min/max pass,
+    the plan must carry the Expand into HashAggregate and need NO Sort
+    node anywhere (a keyless SortAggregate for the string min/max is
+    sort-free)."""
+    import re
+
+    b, _ = registry()["profile_orders_columns"]
+    plan = _plan(b(spark, SF_ORACLE))
+    assert "Expand" in plan and "HashAggregate" in plan
+    assert re.search(r"(?m)^\s*[+:]- Sort\b", plan) is None
+
+
+def test_sorted_neighborhood_candidates_use_lead_window(spark):
+    """er_sorted_neighborhood (round 7): the w-nearest-neighbor candidate
+    set must come from lead() windows over the sort order (n·w rows, one
+    window pass), not the rank-band self-join the before-plan shows as a
+    BroadcastNestedLoopJoin comparing every rank pair (n² comparisons).
+    The remaining NLJs are the bounded all-pairs TRUTH side (consumed by
+    two count branches) and the two 1-row final cross joins — the before
+    plan carries 7 NLJ nodes (candidate band join in 3 consumer subtrees
+    on top of these 4)."""
+    b, _ = registry()["er_sorted_neighborhood"]
+    df = b(spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "lead(" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
