@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gemini_data_wrangler_spark.functions.text import char_shingle_hashes
+from gemini_data_wrangler_spark.operators.graphs import env_int as _env_int
 from gemini_data_wrangler_spark.plans.stage import Stage
 
 # Mersenne prime 2^31-1: modulus for the universal-hash family
@@ -754,7 +755,7 @@ def simhash_oracle_sql(
 # driver union-find costs one collect instead of rounds × join jobs.
 # Above the bound the distributed loops below take over (a trillion-token
 # corpus can still produce billions of pairs).
-DRIVER_CC_MAX_EDGES = 500_000
+DRIVER_CC_MAX_EDGES = _env_int("SPARK_GRAFT_DRIVER_CC_MAX_EDGES", 500_000)
 
 
 def _validate_cc_route(route: str) -> None:

@@ -97,7 +97,9 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     row1 = g1.agg(
         F.sum("_copies").alias("_n_raw"), F.count(F.lit(1)).alias("_n_s1")
     ).collect()[0]
-    n_raw, n_s1 = row1["_n_raw"], row1["_n_s1"]
+    # `or 0`: on an empty documents table sum(_copies) is NULL, while the
+    # oracle's count(*) is 0 (round-7 ADVICE #1).
+    n_raw, n_s1 = row1["_n_raw"] or 0, row1["_n_s1"]
     s1 = g1.select("doc_id")
     d1 = docs.join(s1, "doc_id")
     norm = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))

@@ -81,8 +81,8 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     (levenshtein ≤ {_SN_DIST}, keys ≤ {_SN_KEY_CAP}). Near-identical
     names sort adjacently, so completeness stays high at a fraction of
     nation-blocking's candidate count (`er_blocking_quality` is the
-    comparison row). One sort window + a w-bounded band self-join on
-    rank."""
+    comparison row). Candidates come from lead(key, i) windows over the
+    sort order — one pass, n·w rows, no rank self-join (round 7)."""
     cust = (
         _table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= _SN_KEY_CAP)

@@ -63,6 +63,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    # Free-form conf overrides from the environment (k=v;k=v) — lets a
+    # deployment (or an A/B harness) retune any knob without code edits;
+    # explicit extra_conf still wins.
+    extra_env = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra_env.split(";"))):
+        k, _, v = kv.partition("=")
+        if k and v:
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

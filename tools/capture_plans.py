@@ -3,15 +3,22 @@
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
-Writes `plans/r07/<query>_<suffix>.txt` for each query (default: every
-query that already has a `_before.txt` in plans/r07). The physical plan
-is the formatted explain string of the DataFrame the registry builder
-returns — the exact artifact the optimization-round judge diffs against
-the `_before.txt` capture.
+Writes `plans/<round>/<query>_<suffix>.txt` for each query (round defaults
+to r08; override with PLAN_ROUND). With no query names, re-captures every
+query that already has a `_before.txt` in the round directory. The
+physical plan is the formatted explain output of the DataFrame the
+registry builder returns — the exact artifact the optimization-round
+judge diffs against the `_before.txt` capture.
+
+Capture goes through the public `DataFrame.explain(mode)` API with stdout
+redirected (the r07 version reached into `df._jdf.queryExecution()`,
+which is version-fragile private API — round-7 ADVICE #3).
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
@@ -19,12 +26,13 @@ REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
-PLAN_DIR = os.path.join(REPO_DIR, "plans", "r07")
+PLAN_DIR = os.path.join(REPO_DIR, "plans", os.environ.get("PLAN_ROUND", "r08"))
 
 
 def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "after"
     names = sys.argv[2:]
+    os.makedirs(PLAN_DIR, exist_ok=True)
     if not names:
         names = sorted(
             f[: -len("_before.txt")]
@@ -46,10 +54,10 @@ def main() -> None:
             continue
         try:
             df = reg[name][0](spark, sf_dir)
-            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-            text = df._jdf.queryExecution().explainString(mode)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            text = buf.getvalue()
         except Exception as exc:  # noqa: BLE001 — record the failure, keep going
             text = f"EXPLAIN FAILED: {exc!r}\n"
         with open(os.path.join(PLAN_DIR, f"{name}_{suffix}.txt"), "w") as fh:
