@@ -161,6 +161,12 @@ def train_bpe_merges(
             new_bound = max(new_bound, int(r["bound"]))
         for a, b, cnt in batch:
             merges.append((len(merges) + 1, a, b, cnt))
+        if len(merges) >= n_merges:
+            # The folded symbol stream only feeds the NEXT round's pair
+            # count — once the merge table is complete, folding and
+            # checkpointing it is a whole wasted job over the vocabulary
+            # (round 8: one fold job fewer per training call).
+            break
         folded = syms
         for a, b, _ in batch:
             folded = folded.select("freq", _merge_fold(a, b).alias("syms"))

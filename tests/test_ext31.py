@@ -62,7 +62,12 @@ def test_gini_matches_direct_mean_difference(spark):
     ]
     n, tot = len(xs), sum(xs)
     assert r["n_users"] == n
-    # Direct O(n²) definition: mean absolute difference / (2·mean).
-    mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
+    # Direct definition: mean absolute difference / (2·mean). The O(n²)
+    # double loop is replaced by the exact sorted identity
+    # Σ_{i,j}|xi−xj| = 2·Σ_i (2i−n+1)·x_(i) (0-indexed ascending) — integer
+    # arithmetic, bit-identical value, and ~50 s faster at sf0.01 (the
+    # pure-Python pair loop was a top-5 pytest cost; round-8 ask #7).
+    xs_sorted = sorted(xs)
+    mad = 2 * sum((2 * i - n + 1) * x for i, x in enumerate(xs_sorted)) / (n * n)
     direct = mad / (2 * tot / n)
     assert abs(r["gini"] - direct) < 1e-6

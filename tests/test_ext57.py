@@ -40,16 +40,20 @@ def test_rank_join_certificate_and_exactness(spark):
     assert all(r["certified"] for r in rows)
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
-    # exactness: the certified top-1 must equal the true global top-1
+    # exactness: the certified top-1 must equal the true global top-1.
+    # Over a CROSS join every (order, customer) pair exists, so
+    # max(o_totalprice + 100·c_acctbal) = max(o_totalprice) +
+    # 100·max(c_acctbal), and round(·, 6) is monotone — identical value
+    # without materializing the 22.5M-row cross join (38 s of the pytest
+    # window; round-8 ask #7).
     t = load_sf_tables(spark, SF_ORACLE)
+    mx_o = t["orders"].agg(F.max("o_totalprice")).collect()[0][0]
+    mx_c = t["customer"].agg(F.max("c_acctbal")).collect()[0][0]
     true_top = (
         t["orders"]
-        .crossJoin(t["customer"])
-        .select(
-            F.round(F.col("o_totalprice") + 100 * F.col("c_acctbal"), 6).alias("s")
-        )
-        .agg(F.max("s").alias("mx"))
-        .collect()[0]["mx"]
+        .sparkSession.range(1)
+        .select(F.round(F.lit(mx_o) + 100 * F.lit(mx_c), 6).alias("s"))
+        .collect()[0]["s"]
     )
     assert scores[0] == true_top
 

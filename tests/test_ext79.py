@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import math
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMALL
 
 
 def _q(name):
@@ -18,10 +18,14 @@ def test_graph_ann_recall_floor(spark):
     """Beam search over the exact kNN graph must recover >= 60% of the
     brute-force top-10 for every probe query (the oracle-checked gate),
     and the rows-only top-k output must be well-formed."""
-    rows = _q("similarity_graph_ann_recall")(spark, SF_ORACLE).collect()
+    # SF_SMALL here (round 8, pytest-window ask #7): the sf0.01 recall_ok
+    # contract stays pinned by the parity sweep's oracle row (TRUE for
+    # every probe) and by the driver at sf0.1/sf0.01 — this test keeps the
+    # full corpus-adaptive search path exercised at 1/10 the cost.
+    rows = _q("similarity_graph_ann_recall")(spark, SF_SMALL).collect()
     assert rows and all(r["recall_ok"] for r in rows)
 
-    topk = _q("similarity_graph_ann_topk")(spark, SF_ORACLE).collect()
+    topk = _q("similarity_graph_ann_topk")(spark, SF_SMALL).collect()
     by_q = {}
     for r in topk:
         by_q.setdefault(r["query_id"], []).append(r)
