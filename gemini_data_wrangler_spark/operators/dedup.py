@@ -129,17 +129,6 @@ def _docs_broadcast_bytes() -> int:
     return env_int("SPARK_GRAFT_DOCS_BROADCAST_MAX_BYTES", 64 * 1024 * 1024)
 
 
-def _shingle_stats(shingled: DataFrame, id_col: str) -> tuple[int, int]:
-    """(n_docs, approx_payload_bytes) of the cached shingle frame — one
-    cheap aggregate over cache blocks; drives the verify-join broadcast
-    decision (measured size, not Catalyst's estimate)."""
-    row = shingled.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.coalesce(F.sum(F.size("_shingles")), F.lit(0)).alias("_e"),
-    ).collect()[0]
-    n_docs = int(row["_n"])
-    return n_docs, int(row["_e"]) * 8 + n_docs * 48
-
 
 def _verify_jaccard(
     candidates: DataFrame,  # columns: doc_a, doc_b
@@ -163,6 +152,10 @@ def _verify_jaccard(
     a = shingled.select(F.col(id_col).alias("doc_a"), F.col("_shingles").alias("_sh_a"))
     b = shingled.select(F.col(id_col).alias("doc_b"), F.col("_shingles").alias("_sh_b"))
     if broadcast_docs:
+        # Only worth pinning when the caller measured the side under the
+        # budget AND Catalyst would otherwise mis-plan; sides read straight
+        # off an InMemoryRelation already carry accurate size stats, so
+        # callers in that shape pass False and let the planner decide.
         a, b = F.broadcast(a), F.broadcast(b)
     # Materialize the intersection size into its own column so the O(|A|+|B|)
     # set intersection runs ONCE per pair — referencing the same expression in
@@ -387,9 +380,17 @@ def ngram_jaccard_pairs(
     # becomes sequence(0, -1) — a DESCENDING two-element array in Spark,
     # not an empty one — so a degenerate corpus falls through to the
     # hash-set verify instead.
-    n_docs, payload_bytes = _shingle_stats(shingled, id_col)
-    budget = _docs_broadcast_bytes()
     if 0 < vocab_n <= _BITMAP_MAX_VOCAB:
+        # The bitmap side is built through explode + broadcast join + two
+        # groupBys, whose Catalyst size estimate is inflated far past the
+        # real n_docs × (n_words·8 + ~48) bytes — the round-8 plan capture
+        # shows both attach joins planned as SortMergeJoin (two exchanges
+        # + sorts of the candidate stream). Gate on the MEASURED size (one
+        # cached count) and pin BroadcastHashJoin under the budget; the
+        # hash-set branch below reads its sides straight off the persisted
+        # shingle cache, whose stats are accurate, so the planner already
+        # broadcasts there and needs no pin.
+        n_docs = shingled.count()
         n_words = (vocab_n + 63) // 64
         return _verify_jaccard_bitmap(
             candidates,
@@ -398,11 +399,9 @@ def ngram_jaccard_pairs(
             vocab_n,
             id_col,
             threshold,
-            broadcast_docs=n_docs * (n_words * 8 + 48) <= budget,
+            broadcast_docs=n_docs * (n_words * 8 + 48) <= _docs_broadcast_bytes(),
         )
-    return _verify_jaccard(
-        candidates, shingled, id_col, threshold, broadcast_docs=payload_bytes <= budget
-    )
+    return _verify_jaccard(candidates, shingled, id_col, threshold)
 
 
 def ngram_jaccard_oracle_sql(
@@ -569,15 +568,6 @@ def minhash_lsh_pairs(
     est_cut = max(threshold - 0.25, 0.0)
     sig_a = sig.select(F.col(id_col).alias("doc_a"), F.col("_sig").alias("_ga"))
     sig_b = sig.select(F.col(id_col).alias("doc_b"), F.col("_sig").alias("_gb"))
-    # Same measured-size broadcast gate as the verify joins: the signature
-    # side is n_docs × (num_perm·8 + ~48) bytes; under the budget both
-    # screen joins pin to BroadcastHashJoin so the candidate pair stream is
-    # never exchanged or sorted (Catalyst's estimate for the cached
-    # signature-fold lineage is inflated → SortMergeJoin otherwise).
-    n_docs, payload_bytes = _shingle_stats(shingled, id_col)
-    budget = _docs_broadcast_bytes()
-    if n_docs * (num_perm * 8 + 48) <= budget:
-        sig_a, sig_b = F.broadcast(sig_a), F.broadcast(sig_b)
     agree = F.expr("size(filter(zip_with(_ga, _gb, (x, y) -> x = y), b -> b))")
     screened = (
         candidates.join(sig_a, "doc_a")
@@ -585,9 +575,11 @@ def minhash_lsh_pairs(
         .filter(agree >= F.lit(est_cut * num_perm))
         .select("doc_a", "doc_b")
     )
-    return _verify_jaccard(
-        screened, shingled, id_col, threshold, broadcast_docs=payload_bytes <= budget
-    )
+    # Screen and verify sides read straight off the eager caches (staged /
+    # shingled InMemoryRelations with accurate stats) — the round-8 kernel
+    # plan shows every join already BroadcastHashJoin, so no pin (an A/B
+    # with forced broadcasts + a measuring agg read ~0.8 s SLOWER).
+    return _verify_jaccard(screened, shingled, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -715,14 +707,7 @@ def simhash_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    _, payload_bytes = _shingle_stats(shingled, id_col)
-    return _verify_jaccard(
-        candidates,
-        shingled,
-        id_col,
-        jaccard_threshold,
-        broadcast_docs=payload_bytes <= _docs_broadcast_bytes(),
-    )
+    return _verify_jaccard(candidates, shingled, id_col, jaccard_threshold)
 
 
 def simhash_oracle_sql(
